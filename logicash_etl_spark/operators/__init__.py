@@ -1,0 +1,30 @@
+"""Relational + extension operators (SURVEY.md section 2 inventory)."""
+
+from logicash_etl_spark.operators.joins import (
+    enrich,
+    semi_join,
+    anti_join,
+    range_join,
+    asof_join,
+)
+from logicash_etl_spark.operators.aggregates import (
+    grouped_summary,
+    conditional_pivot,
+    scd1_latest,
+    top_k,
+)
+from logicash_etl_spark.operators.windows import ranked, sessionize
+
+__all__ = [
+    "enrich",
+    "semi_join",
+    "anti_join",
+    "range_join",
+    "asof_join",
+    "grouped_summary",
+    "conditional_pivot",
+    "scd1_latest",
+    "top_k",
+    "ranked",
+    "sessionize",
+]

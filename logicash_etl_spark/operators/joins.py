@@ -1,0 +1,182 @@
+"""Join operators.
+
+Reference parity: J1 broadcast left outer equi-join fact x dim
+(etl_job.py:68-71) — the only join the reference has. We generalize to
+the full family (semi/anti/range/as-of) because SURVEY.md section 2.3 scopes
+the engine to Spark's built-ins plus the two composites Spark lacks.
+
+Scale notes baked into each operator's strategy choice:
+- dims below the broadcast threshold ship to every executor (no
+  shuffle of the 100 TB fact side);
+- range/as-of joins bucketize the range key first so the join is an
+  equi-join on bucket (a bounded blow-up) instead of a full
+  cartesian BroadcastNestedLoopJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def enrich(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fact x dim enrichment join; dim is broadcast by default.
+
+    Matches the reference's hinted broadcast (dims "<200MB"). With
+    ``broadcast_dim=False`` Catalyst/AQE still auto-broadcasts below
+    the session threshold, or falls back to sort-merge with skew
+    splitting for genuinely large dims.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """EXISTS: rows of left with a match in right (no right columns)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """NOT EXISTS: referential-integrity orphan report (SURVEY section 2.3 J2)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """Join left rows to right rows where ``lo <= point < hi``.
+
+    Strategy: explode each right interval into the integer buckets it
+    overlaps, equi-join on bucket (+ optional keys), then apply the
+    exact range predicate. Turns an O(n*m) nested-loop into a shuffle
+    hash/sort-merge join — the standard trick until Spark grows a
+    native range-join optimizer. ``bucket_width`` should be the typical
+    interval width so each interval lands in O(1) buckets.
+    """
+    lb = F.floor(F.col(left_point) / F.lit(bucket_width)).alias("__bucket")
+    l2 = left.withColumn("__bucket", lb)
+    r2 = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / F.lit(bucket_width)),
+                F.floor(F.col(right_hi) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    on = ["__bucket"] + (extra_on or [])
+    cond = (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
+    return l2.join(r2, on=on, how="inner").filter(cond).drop("__bucket")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (backward) or earliest ``>=`` (forward),
+    per key.
+
+    Strategy (pure DataFrame, no Python boundary): union the two
+    sides tagged by origin, sort within key by time, and carry the
+    most recent right-side values forward with ``last(ignorenulls)``
+    over an unbounded-preceding window — one shuffle on the key,
+    no per-group pandas. This is the classic streaming-merge
+    re-expressed as a window; it scales as long as a single key's
+    rows fit a partition (same constraint as any windowed op), and
+    skewed keys split via AQE.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    rcols = [c for c in right.columns if c not in keys and c != right_ts]
+
+    l_tag = left.select(
+        *keys,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in rcols],
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ts => `<=` semantics
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+    elif direction == "forward":
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    filled = unioned.select(
+        *keys,
+        "__t",
+        "__is_left",
+        *[F.col(c) for c in lcols],
+        *[
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in rcols
+        ],
+        F.last(F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True)
+        .over(w)
+        .alias(f"{right_ts}{suffix}"),
+    )
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .drop("__is_left")
+        .withColumnRenamed("__t", left_ts)
+    )
+
+
+def join_with_skew_salt(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual key salting for pathological skew.
+
+    The big side gets a random salt in [0, salt_buckets); the small
+    side is replicated across every salt value, then the join runs on
+    (key, salt). Use when AQE's skew splitting is not available/enough
+    (e.g. skewed *broadcast-ineligible* dimension). At 100 TB a single
+    hot key (null, 'UNKNOWN', ...) otherwise pins one task forever.
+    """
+    salted_big = big.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    salts = small.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("__salt"))
+    salted_small = small.crossJoin(F.broadcast(salts))
+    out = salted_big.join(salted_small, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -1,0 +1,17 @@
+"""Query catalog: every implemented operator exposed as a named query
+with (where SQL-expressible) a DuckDB oracle for differential testing.
+
+`__spark_entry__.py` re-exports this registry; tests run each pair at
+sf0.001/sf0.01 and compare row-count + schema + order-insensitive
+values, mirroring the driver's correctness gate.
+"""
+
+from logicash_etl_spark.queries.registry import QUERIES, ORACLES, query
+
+# import for side effect: each module registers its queries
+from logicash_etl_spark.queries import relational  # noqa: F401
+from logicash_etl_spark.queries import text  # noqa: F401
+from logicash_etl_spark.queries import dedup  # noqa: F401
+from logicash_etl_spark.queries import similarity  # noqa: F401
+
+__all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,653 @@
+"""Relational query catalog — every SURVEY.md section 2 operator expressed on
+the driver fixture tables, each paired with a DuckDB oracle.
+
+Determinism rules (so value-hashes match the oracle bit-for-bit):
+- money-style SUM/AVG aggregate in DECIMAL(18,2) (exact, partition-
+  order independent) and emit DOUBLE (functions/money.py);
+- every computed column aliased identically on both sides;
+- ties broken by explicit key columns everywhere a LIMIT/rank exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from logicash_etl_spark.functions.money import davg, dsum, money
+from logicash_etl_spark.operators.aggregates import (
+    conditional_pivot,
+    daily_summary,
+    distinct_dedup,
+    scd1_latest,
+    top_k,
+    top_k_per_group,
+)
+from logicash_etl_spark.operators.joins import anti_join, asof_join, enrich, range_join, semi_join
+from logicash_etl_spark.operators.windows import ranked, sessionize, with_lag_lead, running
+from logicash_etl_spark.dq.profile import null_audit, range_audit
+from logicash_etl_spark.queries.registry import query
+from logicash_etl_spark.sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's "top-5 ATMs by money moved" (etl_job.py:147-158)
+# transposed onto orders x customer: scan -> quality filter -> broadcast
+# left join -> grouped agg -> top-k. One vertical slice of the engine.
+# ---------------------------------------------------------------------------
+@query(
+    "flagship_top_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(*) AS total_transacciones,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS dinero_total_movido,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS monto_promedio
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE o_custkey IS NOT NULL AND o_totalprice > 0
+      AND o_orderstatus = 'F'
+    GROUP BY c_custkey, c_name
+    ORDER BY dinero_total_movido DESC, c_custkey
+    LIMIT 5
+    """,
+)
+def flagship_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    clean = orders.filter(
+        F.col("o_custkey").isNotNull()
+        & (F.col("o_totalprice") > 0)
+        & (F.col("o_orderstatus") == "F")  # status gate, as the reference's EXITOSA
+    )
+    joined = enrich(clean, customer, on=clean.o_custkey == customer.c_custkey, how="left")
+    agg = joined.groupBy("c_custkey", "c_name").agg(
+        F.count("*").alias("total_transacciones"),
+        dsum("o_totalprice", "dinero_total_movido"),
+        davg("o_totalprice", "monto_promedio"),
+    )
+    return top_k(agg, "dinero_total_movido", 5, tiebreak=["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# A2/A3 grouped summaries
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan->filter->hash-agg pipeline.
+
+    Partial aggregation (map-side combine) means the shuffle carries
+    |groups| x |partitions| rows, not the raw 100 TB.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = money("l_extendedprice") * (1 - money("l_discount"))
+    charge = disc_price * (1 + money("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "daily_order_summary",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS fecha_dia,
+           count(*) AS total_transacciones,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monto_total,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monto_minimo,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monto_maximo,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS monto_promedio
+    FROM orders GROUP BY fecha_dia
+    """,
+)
+def daily_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 daily summary with the P2 derived date column
+    (etl_job.py:163-174). Unordered: the driver compare is order-
+    insensitive, and a global sort at scale is a needless exchange."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "fecha_dia", F.to_date("o_orderdate")
+    )
+    return daily_summary(orders, "fecha_dia", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# A8 conditional-aggregation pivot (ddl_gold.sql:36-47)
+# ---------------------------------------------------------------------------
+@query(
+    "daily_balance_pivot",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS fecha_dia,
+           count(*) AS total_transacciones,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             - CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS flujo_neto
+    FROM events GROUP BY user_id, fecha_dia
+    """,
+)
+def daily_balance_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rpt_diario_balance shape: per-key-per-day conditional pivot
+    with net flow (deposits - withdrawals -> purchase - error)."""
+    ev = _t(spark, sf_dir, "events").withColumn("fecha_dia", F.to_date("ts"))
+    return conditional_pivot(
+        ev,
+        keys=["user_id", "fecha_dia"],
+        pivot_col="event_type",
+        pivot_values=["purchase", "error"],
+        amount="value",
+        net_pair=("purchase", "error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9: DISTINCT dedup + correct SCD1 latest-wins
+# ---------------------------------------------------------------------------
+@query(
+    "distinct_catalog",
+    oracle="""
+    SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def distinct_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_dedup(
+        _t(spark, sf_dir, "lineitem"), ["l_suppkey", "l_returnflag", "l_linestatus"]
+    )
+
+
+@query(
+    "scd1_latest_event",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def scd1_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins per key — the correct version of the reference's
+    DISTINCT-as-SCD1 (ddl_gold.sql:20-32)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    return scd1_latest(ev, pk=["user_id"], order_by="ts", tiebreak=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Joins: semi / anti / range / as-of
+# ---------------------------------------------------------------------------
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 orphan report as a left-anti join (no right columns, no
+    row duplication, shuffle only on the key)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(cust, orders, on="c_custkey")
+
+
+@query(
+    "suppliers_with_returns",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+    """,
+)
+def suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return semi_join(sup, li, on="s_suppkey")
+
+
+@query(
+    "price_band_range_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 200000.0), ('high', 200000.0, 1000000.0)
+    )
+    SELECT band, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: point-in-interval via bucketized equi-join
+    (operators/joins.py:range_join) instead of a nested-loop join."""
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 200000.0), ("high", 200000.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join(
+        orders, bands, left_point="o_totalprice", right_lo="lo", right_hi="hi",
+        bucket_width=50000.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice", "total")
+    )
+
+
+@query(
+    "asof_last_purchase",
+    oracle="""
+    SELECT e.user_id, e.event_id, e.ts,
+           p.value AS value_right, p.ts AS ts_right
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent
+    purchase at-or-before it (operators/joins.py:asof_join — one
+    shuffle union+window, no per-group pandas)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(clicks, purchases, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select("user_id", "event_id", "ts", "value_right", "ts_right")
+
+
+# ---------------------------------------------------------------------------
+# Audits (A4/A5/A6/A7) — single-pass aggregates
+# ---------------------------------------------------------------------------
+@query(
+    "null_audit_orders",
+    oracle="""
+    SELECT count(*) AS total_rows,
+           count(o_custkey) AS o_custkey_non_null,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey_nulls,
+           count(o_totalprice) AS o_totalprice_non_null,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_nulls
+    FROM orders
+    """,
+)
+def null_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return null_audit(_t(spark, sf_dir, "orders"), ["o_custkey", "o_totalprice"])
+
+
+@query(
+    "quality_scan_lineitem",
+    oracle="""
+    SELECT count(*) AS total_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_suppliers,
+           CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS non_positive_qty,
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_min,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_max,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS price_avg
+    FROM lineitem
+    """,
+)
+def quality_scan_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: the 'una sola pasada' multi-metric quality scan
+    (validate_data_fast.py:156-171) — 8 metrics, one aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("total_rows"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("non_positive_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("bad_discount"),
+        F.min(money("l_extendedprice")).cast("double").alias("price_min"),
+        F.max(money("l_extendedprice")).cast("double").alias("price_max"),
+        davg("l_extendedprice", "price_avg"),
+    )
+
+
+@query(
+    "conditional_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS discounted,
+           CAST(count(CASE WHEN l_tax = 0 THEN 1 END) AS BIGINT) AS tax_free
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 conditional counts per group."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("discounted"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("tax_free"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1 + extension surface)
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_ranking_report",
+    oracle="""
+    SELECT CAST(ranking AS STRING) AS posicion, s_suppkey, s_name, total_movido FROM (
+      SELECT s_suppkey, s_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_movido,
+             row_number() OVER (ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))) DESC, s_suppkey) AS ranking
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_suppkey, s_name
+    )
+    """,
+)
+def supplier_ranking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ROW_NUMBER ranking label over an aggregated report
+    (validate_data_fast.py:124-154), with CAST(rank AS STRING) as the
+    display column (F4). Global window is safe: post-agg input is
+    bounded by |suppliers|."""
+    li, sup = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    agg = (
+        enrich(li, sup, on=li.l_suppkey == sup.s_suppkey, how="inner")
+        .groupBy("s_suppkey", "s_name")
+        .agg(dsum("l_extendedprice", "total_movido"))
+    )
+    out = ranked(
+        agg,
+        order_by=[F.col("total_movido").desc(), F.col("s_suppkey").asc()],
+        small_input_ok=True,
+    )
+    return out.select(
+        F.col("ranking").cast("string").alias("posicion"),
+        "s_suppkey",
+        "s_name",
+        "total_movido",
+    )
+
+
+@query(
+    "top3_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: partitioned window, one shuffle on the group
+    key; never a global sort."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    j = enrich(o, c, on=o.o_custkey == c.c_custkey, how="inner").select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return top_k_per_group(j, ["c_mktsegment"], "o_totalprice", 3, tiebreak=["o_orderkey"])
+
+
+@query(
+    "event_value_deltas",
+    oracle="""
+    SELECT user_id, event_id, ts, value,
+           lag(value) OVER w AS prev,
+           lead(value) OVER w AS next,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead + explicit-frame running total."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ev.withColumn("prev", F.lag("value").over(w))
+        .withColumn("next", F.lead("value").over(w))
+        .withColumn("running_total", F.sum(money("value")).over(frame).cast("double"))
+    )
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap): lag + cumulative-sum windows,
+    single shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"), F.min("ts").alias("session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (section 2.7)
+# ---------------------------------------------------------------------------
+@query(
+    "brand_set_ops",
+    oracle="""
+    SELECT 'both' AS tag, p_brand FROM
+      (SELECT DISTINCT p_brand FROM part WHERE p_size > 25
+       INTERSECT SELECT DISTINCT p_brand FROM part WHERE p_retailprice > 1500)
+    UNION ALL
+    SELECT 'large_only' AS tag, p_brand FROM
+      (SELECT DISTINCT p_brand FROM part WHERE p_size > 25
+       EXCEPT SELECT DISTINCT p_brand FROM part WHERE p_retailprice > 1500)
+    """,
+)
+def brand_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    large = part.filter(F.col("p_size") > 25).select("p_brand").distinct()
+    pricey = part.filter(F.col("p_retailprice") > 1500).select("p_brand").distinct()
+    both = large.intersect(pricey).select(F.lit("both").alias("tag"), "p_brand")
+    only = large.exceptAll(pricey).select(F.lit("large_only").alias("tag"), "p_brand")
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube (free Spark surface, section 2.4 note)
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface: dates, JSON, string ops, CASE (section 2.8)
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           date_trunc('month', o_orderdate) AS order_month,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           round(o_totalprice, 2) AS price_rounded,
+           CAST(o_totalprice AS STRING) AS price_str,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 50000 THEN 'mid'
+                ELSE 'low' END AS price_class,
+           upper(o_orderpriority) AS priority_upper,
+           substr(o_orderpriority, 1, 1) AS priority_code,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_priority,
+           coalesce(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_resolved,
+           length(o_orderpriority) AS priority_len
+    FROM orders
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F7 + the broader scalar surface (dates, string, conditional,
+    cast) — all JVM built-ins inside whole-stage codegen."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.round("o_totalprice", 2).alias("price_rounded"),
+        F.col("o_totalprice").cast("string").alias("price_str"),
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("low")
+        .alias("price_class"),
+        F.upper("o_orderpriority").alias("priority_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_resolved"
+        ),
+        F.length("o_orderpriority").alias("priority_len"),
+    )
+
+
+@query(
+    "json_extraction",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling: get_json_object (JVM-side) + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("k_total"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles (A10 median) — exact, to be oracle-comparable
+# ---------------------------------------------------------------------------
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+           round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS p90,
+           round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (generator.py:210-270 uses
+    median). At 100 TB swap to percentile_approx — same call shape,
+    sketch-mergeable; exact kept here for oracle comparability."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregation (batch analog of streaming windows)
+# ---------------------------------------------------------------------------
+@query(
+    "hourly_event_windows",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows via F.window — identical code shape to the
+    streaming version (streaming/ops.py) minus the watermark."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join + filter pushdown showcase (the classic star query)
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_by_nation_region",
+    oracle="""
+    SELECT n_name, r_name,
+           count(*) AS n_lineitems,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name, r_name
+    """,
+)
+def revenue_by_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact x three broadcast dims, filter pushed to the
+    fact scan. The 100 TB plan: no shuffle until the final groupBy."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1996-01-01")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    revenue = money("l_extendedprice") * (1 - money("l_discount"))
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count("*").alias("n_lineitems"), F.sum(revenue).cast("double").alias("revenue"))
+    )

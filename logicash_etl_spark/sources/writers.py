@@ -1,0 +1,64 @@
+"""Writers — idempotent, partition-aware sinks.
+
+Reference parity:
+- S4 day-partitioned parquet overwrite (etl_job.py:130-132).
+- S6 warehouse export == plain parquet overwrite (ddl_gold.sql:71-89).
+- S7 CTAS with DROP IF EXISTS == saveAsTable(overwrite) (ddl_gold.sql).
+- L5 idempotency contract: every write is re-runnable.
+
+Scale notes: writers take ``target_file_rows``/``partition_cols`` so a
+100 TB job can size output files (small-files problem) — locally AQE
+coalescing mostly handles it; on a cluster pair with
+``spark.sql.files.maxRecordsPerFile``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned parquet write (Silver sink).
+
+    Partition columns must be low-cardinality (the reference uses the
+    derived day column precisely for this). Consumers get partition
+    pruning for free.
+    """
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).parquet(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Unpartitioned idempotent parquet export (Gold UNLOAD analog)."""
+    df.write.mode(mode).parquet(path)
+
+
+def create_table_as(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    partition_cols: list[str] | None = None,
+    bucket: tuple[int, str] | None = None,
+) -> None:
+    """CTAS: idempotent gold materialization (DROP IF EXISTS + CREATE,
+    ddl_gold.sql:22-62) as ``saveAsTable(mode="overwrite")``.
+
+    ``bucket=(n, col)`` bucketizes the table so later equi-joins /
+    aggs on ``col`` are shuffle-free — the scale path for repeatedly
+    joined gold tables.
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if bucket:
+        n, col = bucket
+        writer = writer.bucketBy(n, col).sortBy(col)
+    writer.saveAsTable(name)

@@ -1,0 +1,80 @@
+"""Differential-oracle harness mirroring the driver's correctness gate:
+run the Spark query and the DuckDB oracle on the same parquet tables,
+compare row count + column names + order-insensitive values.
+
+Comparison is strict: doubles must match bit-for-bit (our aggregates
+are decimal-exact so they do); timestamps/dates normalized to pandas
+Timestamps before comparison.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, (pd.Timestamp, _dt.datetime)):
+        ts = pd.Timestamp(v)
+        return ts.tz_localize(None) if ts.tzinfo else ts
+    if isinstance(v, _dt.date):
+        return pd.Timestamp(v)
+    if isinstance(v, pd.Timedelta):
+        return v.to_pytimedelta()
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(_norm_cell(v) for v in row))
+    out.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return out
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
+    """Assert Spark result == DuckDB oracle result (driver semantics)."""
+    sdf = spark_df.toPandas()
+    con = duck_connection(sf_dir)
+    try:
+        odf = con.execute(oracle_sql).df()
+    finally:
+        con.close()
+
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"schema mismatch:\n spark={sorted(sdf.columns)}\n oracle={sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), f"row count mismatch: spark={len(sdf)} oracle={len(odf)}"
+
+    s_rows, o_rows = _canon(sdf), _canon(odf)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{len(mismatches)}/{len(s_rows)} value mismatches; first 3:\n"
+        + "\n".join(f"  spark={a}\n oracle={b}" for _, a, b in mismatches[:3])
+        + f"\n columns (sorted): {sorted(sdf.columns)}"
+    )
