@@ -1,0 +1,293 @@
+"""Deduplication operators — exact and near-dup, at pipeline scale.
+
+Beyond-reference scope (SURVEY.md section 7): first-class components of a
+training-data pipeline. Design for 100 TB:
+
+- exact: hash-groupBy on a content fingerprint — shuffle carries only
+  (hash, id), never the text.
+- MinHash + LSH: shingle -> k seeded xxhash64 minima -> band buckets ->
+  candidates via equi-join on (band, band_hash) — the join never
+  compares all pairs; verification re-checks exact Jaccard on the
+  candidate set only.
+- SimHash: 64-bit signature from token-hash bit majorities; near-dup =
+  band-partitioned Hamming join.
+- embedding near-dup: cosine >= threshold via the similarity module.
+
+All signatures use seeded xxhash64 (JVM, codegen) — deterministic
+across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logicash_etl_spark.operators.text import content_hash, tokens, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str = "text", keep: str = "min"
+) -> DataFrame:
+    """Keep one row per identical (normalized) content: group by
+    md5 fingerprint, keep min/max id — deterministic, unlike
+    dropDuplicates which keeps an arbitrary row."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    keep_ids = (
+        df.select(F.col(id_col), content_hash(F.col(text_col)).alias("__h"))
+        .groupBy("__h")
+        .agg(agg.alias(id_col))
+        .drop("__h")
+    )
+    # semi join back: only ids survive the shuffle, not text payloads
+    return df.join(keep_ids, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures as (id, __mh0..__mh{k-1}): min over distinct
+    shingles of xxhash64(shingle, seed_i).
+
+    Plan shape: explode distinct shingles -> ONE groupBy(id) with k
+    min-aggregates (seeds are python ints -> flat codegen, no nested
+    array recomputation). Shuffle carries k longs per doc. Docs with
+    no shingles are dropped (nothing to near-dup on).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("__s"),
+    )
+    return sh.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("__s", F.lit(i))).alias(f"__mh{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: split the signature
+    into ``bands`` groups of ``num_hashes/bands`` values, bucket on
+    (band_idx, xxhash64(band values)), self-join buckets.
+
+    Shuffle volume: num_docs x bands small rows; candidate pairs only
+    where a full band collides (the LSH s-curve). Returns distinct
+    (id_a, id_b), id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    with_sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = with_sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"__mh{i}")
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bhash") == F.col("b.bhash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via inverted index:
+    explode distinct shingles -> self-join on shingle -> |intersect| =
+    co-occurrence count -> Jaccard = inter / (|A|+|B|-inter).
+
+    No all-pairs comparison: only documents sharing >=1 shingle meet.
+    At 100 TB, hot shingles are the skew risk — drop top-frequency
+    shingles (stop-shingles) before the join like a stop-word list.
+    """
+    sh = (
+        df.select(
+            F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("sh")
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup: LSH candidates, then exact-Jaccard
+    verification on the candidate set only (the scale path: candidates
+    << all pairs)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """SimHash signatures: (id, __sim bigint). Bit b of the signature
+    = 1 iff sum over tokens of (bit b of xxhash64(token) ? +1 : -1) > 0.
+
+    Plan shape: explode tokens -> hash once -> ONE groupBy(id) with 64
+    conditional sums (all whole-stage codegen) -> pack bits. Scales
+    linearly in corpus token count; shuffle carries 64 ints per doc.
+    Docs with no tokens get signature 0.
+    """
+    tok = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("__t"))
+    hashed = tok.select(id_col, F.xxhash64("__t").alias("__h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("__h").isNull(), 0)
+                .when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        val = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit of long
+        term = F.when(F.col(f"__v{b}") > 0, F.lit(val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return votes.select(F.col(id_col), sig.alias("__sim"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole LSH: split 64 bits into ``bands`` chunks; any pair
+    within Hamming <= bands-1 must agree exactly on >=1 chunk -> block
+    on (chunk_idx, chunk_value), verify Hamming on candidates via
+    bit_count(xor). For max_hamming=3, bands=4 gives exact recall.
+    """
+    chunk = 64 // bands
+    sig = simhash_signatures(df, id_col, text_col)
+    blocked = sig.select(
+        id_col,
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned("__sim", b * chunk)
+                        .bitwiseAND(F.lit((1 << chunk) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "__sim", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.val") == F.col("b.val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

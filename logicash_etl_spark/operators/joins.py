@@ -56,6 +56,7 @@ def range_join(
     right_hi: str,
     bucket_width: float,
     extra_on: list[str] | None = None,
+    broadcast_intervals: bool = True,
 ) -> DataFrame:
     """Join left rows to right rows where ``lo <= point < hi``.
 
@@ -79,6 +80,9 @@ def range_join(
     )
     on = ["__bucket"] + (extra_on or [])
     cond = (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
+    # interval tables are typically tiny and often local (no stats) —
+    # without the hint Catalyst may broadcast the big point side instead
+    r2 = F.broadcast(r2) if broadcast_intervals else r2
     return l2.join(r2, on=on, how="inner").filter(cond).drop("__bucket")
 
 

@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference scope (SURVEY.md section 7): ANN over an embedding column.
+
+- brute-force cosine top-k: the correctness baseline. Query side is
+  broadcast; the dot product is a JVM-side sequential fold
+  (zip_with + aggregate) — deterministic doubles, no Python boundary.
+- LSH-bucketed ANN (random hyperplanes): the scale path. Signatures
+  are seeded-hash hyperplanes with +-1 components — no stored model,
+  reproducible on any cluster. Candidates = same bucket (plus
+  multi-probe neighbors), exact cosine re-rank on candidates only.
+
+At 100 TB: brute force is O(Q x N) — fine for small Q (broadcast), a
+wall for Q ~ N; LSH trades recall for a ~buckets-fold candidate cut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double(vec: Column | str) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return c.cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    query_id: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    queries is broadcast (small Q); the corpus streams once; per-query
+    heap via window row_number. Deterministic: doubles from a
+    sequential fold, ties broken by neighbor id. ``exclude_self``
+    drops the query point itself (matched by id) before ranking.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id), as_double(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("__cv"))
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id))
+    scored = scored.select(
+        query_id,
+        id_col,
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, planes: int = 16, plane_offset: int = 0
+) -> Column:
+    """Random-hyperplane LSH signature as an int bucket id.
+
+    Hyperplane p's component i is +1/-1 from the parity of
+    xxhash64((plane_offset + p) * dim + i) — deterministic, model-free,
+    identical on every executor. sign(v . h_p) gives bit p;
+    plane_offset yields independent hyperplane sets for multi-table LSH.
+    """
+    sig = None
+    for p in range(planes):  # planes is a small python int: unrolled JVM exprs
+        base = (plane_offset + p) * dim
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(base), F.lit(base + dim - 1)),
+                lambda x, i: F.when(F.xxhash64(i).bitwiseAND(F.lit(1)) == 1, x).otherwise(
+                    -x
+                ),
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        term = F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sig
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 4,
+    tables: int = 8,
+    k: int = 5,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH.
+
+    Each of ``tables`` hash tables buckets vectors by the signs of
+    ``planes`` dot products (distinct hyperplanes per table via index
+    offset); candidates = union over tables of same-bucket pairs,
+    deduped, then exact cosine re-rank on candidates only.
+
+    Tuning: candidate fraction ~= tables / 2^planes; recall rises with
+    tables and falls with planes. planes=4/tables=8 suits ~1e3-row
+    buckets; at 1e9 rows use planes~16, tables~16 and the candidate
+    cut is ~2^-12 — the whole point at 100 TB. Recall is property-
+    tested against cosine_topk (tests/test_extensions.py).
+    """
+    def keyed(df: DataFrame, out: str) -> DataFrame:
+        v = as_double(vec_col)
+        buckets = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_signature(v, dim, planes, plane_offset=t * planes)
+                        .alias("bucket"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("bk")
+        return df.select(F.col(id_col).alias(out), buckets).select(
+            out, F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket")
+        )
+
+    c_keys = keyed(corpus, "cand_id")
+    q_keys = keyed(queries, query_id)
+    cand = (
+        q_keys.join(c_keys, on=["tbl", "bucket"])
+        .filter(F.col("cand_id") != F.col(query_id))
+        .select(query_id, "cand_id")
+        .distinct()
+    )
+    q_vec = queries.select(F.col(id_col).alias(query_id), as_double(vec_col).alias("__qv"))
+    c_vec = corpus.select(F.col(id_col).alias("cand_id"), as_double(vec_col).alias("__cv"))
+    scored = (
+        cand.join(F.broadcast(q_vec), query_id)
+        .join(c_vec, "cand_id")
+        .select(
+            query_id,
+            F.col("cand_id").alias(id_col),
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_label_vote(topk: DataFrame, labels: DataFrame, id_col: str = "vec_id",
+                   label_col: str = "label", query_id: str = "query_id") -> DataFrame:
+    """Majority label among a query's top-k neighbors (classification
+    by retrieval). Ties broken by smaller label value."""
+    joined = topk.join(labels.select(id_col, label_col), on=id_col)
+    counts = joined.groupBy(query_id, label_col).agg(F.count("*").alias("votes"))
+    w = W.partitionBy(query_id).orderBy(F.desc("votes"), F.col(label_col).asc())
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(query_id, F.col(label_col).alias("predicted_label"), "votes")
+    )

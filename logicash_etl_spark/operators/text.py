@@ -1,0 +1,164 @@
+"""Text-analysis operators over document tables.
+
+Beyond-reference scope (SURVEY.md section 7 north star): the reference never
+processes text, but a 100 TB training-data pipeline lives on these.
+Everything here is built-in column expressions (JVM, whole-stage
+codegen) — no Python UDFs in the hot path. Shapes:
+
+- tokenization / token counting (whitespace + BPE-ish regex)
+- quality scoring (length / punctuation / digit / stopword ratios)
+- language ID (stopword-hit heuristic, argmax over languages)
+- document fingerprinting (md5 content hash + min-shingle sketch)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Word-boundary regexes keep the scoring
+# O(len) per doc and JVM-side.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenization -> array<string> (empty array for blank)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), pattern), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-flavored proxy: count word pieces + digits + punctuation
+    runs (the usual ~chars/4 heuristic is too crude for mixed text).
+
+    regexp_count of word/number/punct units — a cheap, deterministic
+    stand-in for a real tokenizer (which would be a pandas UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"))
+
+
+def char_class_counts(text: Column | str) -> dict[str, Column]:
+    """One pass per class, all JVM regexp_count."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_chars": F.length(c),
+        "n_letters": F.regexp_count(c, F.lit(r"[A-Za-z]")),
+        "n_digits": F.regexp_count(c, F.lit(r"[0-9]")),
+        "n_punct": F.regexp_count(c, F.lit(r"[.,!?;:]")),
+        "n_spaces": F.regexp_count(c, F.lit(r"\s")),
+        "n_upper": F.regexp_count(c, F.lit(r"[A-Z]")),
+    }
+
+
+def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Attach quality-scoring features: token count, mean token length,
+    punctuation/digit ratios, stopword ratio (en) — the standard
+    pre-training quality filters (C4/Gopher-style rules)."""
+    cc = char_class_counts(text)
+    toks = token_count(text)
+    stop_hits = _marker_hits(F.col(text), LANG_MARKERS["en"])
+    n_chars = F.greatest(cc["n_chars"], F.lit(1))
+    out = df.withColumn("n_tokens", toks)
+    out = out.withColumn("n_chars_calc", cc["n_chars"])
+    out = out.withColumn(
+        "mean_token_len",
+        F.when(toks > 0, (cc["n_chars"] - cc["n_spaces"]) / toks).otherwise(F.lit(0.0)),
+    )
+    out = out.withColumn("punct_ratio", cc["n_punct"] / n_chars)
+    out = out.withColumn("digit_ratio", cc["n_digits"] / n_chars)
+    out = out.withColumn(
+        "stopword_ratio",
+        F.when(toks > 0, stop_hits / toks).otherwise(F.lit(0.0)),
+    )
+    return out
+
+
+def quality_flag(
+    df: DataFrame,
+    min_tokens: int = 10,
+    max_mean_token_len: float = 12.0,
+    max_digit_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-ish keep/drop flag from quality_features columns."""
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("mean_token_len") <= max_mean_token_len)
+        & (F.col("digit_ratio") <= max_digit_ratio)
+    )
+    return df.withColumn("quality_keep", keep)
+
+
+def _marker_hits(c: Column, words: list[str]) -> Column:
+    """Count occurrences of any marker word (word-boundary for latin,
+    bare for CJK)."""
+    parts = []
+    for w in words:
+        if w.isascii():
+            parts.append(rf"\b{w}\b")
+        else:
+            parts.append(w)
+    return F.regexp_count(F.lower(c), F.lit("(" + "|".join(parts) + ")"))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    c = F.col(text) if isinstance(text, str) else text
+    return {lang: _marker_hits(c, words) for lang, words in LANG_MARKERS.items()}
+
+
+def predict_lang(df: DataFrame, text: str = "text", alias: str = "lang_pred") -> DataFrame:
+    """Argmax over language marker scores; deterministic tiebreak by
+    language code order; 'und' when no marker hits at all."""
+    scores = lang_scores(text)
+    # build argmax as chained CASE WHEN over a greatest() pivot
+    langs = sorted(scores)
+    greatest = F.greatest(*[scores[l] for l in langs])
+    expr = F.lit("und")
+    for l in reversed(langs):
+        expr = F.when((greatest > 0) & (scores[l] == greatest), F.lit(l)).otherwise(expr)
+    return df.withColumn(alias, expr)
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+def normalize_text(c: Column | str) -> Column:
+    """Canonical form for content hashing: lowercase, collapse
+    whitespace, strip."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def content_hash(c: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of normalized text (md5 so external
+    systems can reproduce it; xxhash64 is Spark-private)."""
+    return F.md5(normalize_text(c))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined); the unit for Jaccard /
+    MinHash. Built with transform over a token-index sequence — pure
+    JVM, no explode until the caller wants one."""
+    toks = tokens(text)
+    k = F.size(toks)
+    return F.when(k >= n, F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def min_shingle_sketch(text: Column | str, n: int = 3) -> Column:
+    """Cheap 1-perm document sketch: lexicographic min of md5(shingle).
+    Reproducible anywhere md5 exists (rolling-hash fingerprint analog)."""
+    return F.array_min(F.transform(word_shingles(text, n), F.md5))

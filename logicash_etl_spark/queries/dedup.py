@@ -1,1 +1,95 @@
-"""Deduplication queries over the documents table (filled in M6)."""
+"""Deduplication queries over the documents table.
+
+exact + n-gram-Jaccard have DuckDB oracles; MinHash-LSH and SimHash
+signatures are xxhash64-seeded (Spark-private hash), so those are
+registered without oracles (driver's rows-only check) and verified
+instead by property tests against the exact-Jaccard ground truth
+(tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logicash_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_dup_pairs,
+)
+from logicash_etl_spark.queries.registry import query
+from logicash_etl_spark.sources.readers import read_table
+
+
+@query(
+    "exact_dedup_docs",
+    oracle=r"""
+    WITH keyed AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+      FROM documents
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM keyed GROUP BY h
+    )
+    SELECT d.doc_id, d.source, d.n_chars FROM documents d
+    WHERE EXISTS (SELECT 1 FROM keep k WHERE k.doc_id = d.doc_id)
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-content md5, keep the
+    min doc_id of each group (deterministic survivor)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").select("doc_id", "source", "n_chars")
+
+
+@query(
+    "ngram_jaccard_dups",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 3
+                    THEN list_transform(generate_series(1, len(ws) - 2),
+                                        i -> array_to_string(ws[i:i+2], ' '))
+                    ELSE [] END)) AS s
+      FROM w
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.35
+    """,
+)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard near-dup pairs via inverted-index join —
+    the ground truth the approximate detectors are tested against."""
+    docs = read_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.35)
+
+
+@query("minhash_lsh_dups")  # xxhash64 signatures: no SQL oracle; property-tested
+def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms) + banded LSH(16 bands) candidates, exact-
+    Jaccard verified at 0.35 — the 100 TB near-dup path (candidates
+    only, never all pairs)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.35, num_hashes=64, bands=16
+    )
+
+
+@query("simhash_dups")  # xxhash64 signatures: no SQL oracle; property-tested
+def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dups within Hamming<=3 via pigeonhole banding."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)

@@ -243,9 +243,11 @@ def price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: point-in-interval via bucketized equi-join
     (operators/joins.py:range_join) instead of a nested-loop join."""
     orders = _t(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
-        [("low", 0.0, 50000.0), ("mid", 50000.0, 200000.0), ("high", 200000.0, 1000000.0)],
-        "band string, lo double, hi double",
+    # inline VALUES -> JVM LocalRelation (known-tiny, no Python RDD ship)
+    bands = spark.sql(
+        """SELECT * FROM VALUES
+           ('low', 0.0D, 50000.0D), ('mid', 50000.0D, 200000.0D),
+           ('high', 200000.0D, 1000000.0D) AS t(band, lo, hi)"""
     )
     joined = range_join(
         orders, bands, left_point="o_totalprice", right_lo="lo", right_hi="hi",

@@ -1,1 +1,90 @@
-"""Similarity-search queries over the embeddings table (filled in M6)."""
+"""Similarity-search queries over the embeddings table.
+
+Brute-force cosine top-k and the kNN label vote have DuckDB oracles
+(sequential-fold doubles are bitwise identical across engines — see
+tests/test_oracle_parity.py). The LSH ANN variant has no oracle
+(xxhash64 hyperplanes); it is recall-tested against brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logicash_etl_spark.operators.similarity import (
+    cosine_topk,
+    knn_label_vote,
+    lsh_ann_topk,
+)
+from logicash_etl_spark.queries.registry import query
+from logicash_etl_spark.sources.readers import read_table
+
+_COSINE_TOPK_SQL = r"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cosine_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS INT) AS rank
+      FROM scored
+    )
+"""
+
+
+@query(
+    "cosine_topk_bruteforce",
+    oracle=_COSINE_TOPK_SQL + "SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5",
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: top-5 cosine neighbors for the first 10
+    vectors. Queries broadcast; corpus streams once; JVM fold dot
+    product (bitwise-deterministic doubles)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk(emb, queries, k=5, exclude_self=True)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "knn_label_vote",
+    oracle=_COSINE_TOPK_SQL
+    + r"""
+    , top5 AS (
+      SELECT query_id, vec_id FROM ranked WHERE rank <= 5
+    ), votes AS (
+      SELECT t.query_id, e.label, count(*) AS votes
+      FROM top5 t JOIN embeddings e USING (vec_id)
+      GROUP BY t.query_id, e.label
+    )
+    SELECT query_id, label AS predicted_label, votes FROM (
+      SELECT query_id, label, votes,
+             row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def knn_label_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by retrieval: majority label of the top-5
+    neighbors."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    top5 = cosine_topk(emb, queries, k=5, exclude_self=True)
+    return knn_label_vote(top5, emb)
+
+
+@query("ann_lsh_topk")  # xxhash64 hyperplanes: no SQL oracle; recall-tested
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via multi-table random-hyperplane LSH
+    (8 tables x 4 planes) with exact cosine re-rank on the candidate
+    union — the scale path when Q ~ N and brute force is O(N^2)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = lsh_ann_topk(emb, queries, dim=64, planes=4, tables=8, k=5)
+    return out

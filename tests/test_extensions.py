@@ -1,0 +1,89 @@
+"""Property tests for the approximate operators that have no SQL
+oracle: MinHash-LSH and SimHash near-dup detection, LSH ANN recall.
+
+Ground truth comes from the exact counterparts (exact Jaccard pairs,
+brute-force cosine top-k), which ARE oracle-verified.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logicash_etl_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_signatures,
+    simhash_dup_pairs,
+)
+from logicash_etl_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from logicash_etl_spark.sources.readers import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_minhash_verified_pairs_are_true_dups(docs):
+    """Every LSH+verify pair must be a genuine >=threshold Jaccard pair
+    (verification step guarantees precision=1.0 vs ground truth)."""
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(docs, "doc_id", threshold=0.35).collect()
+    }
+    truth = {
+        (r.id_a, r.id_b) for r in jaccard_pairs(docs, "doc_id", threshold=0.35).collect()
+    }
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    # LSH @ 64 hashes / 16 bands has ~P(collide)=1-(1-s^4)^16 ≈ 0.97
+    # at s=0.5; at 0.35 it's ~0.22 per band -> recall is probabilistic.
+    # Demand decent recall on the clearly-duplicated (s>=0.5) pairs.
+    strong = {
+        (r.id_a, r.id_b) for r in jaccard_pairs(docs, "doc_id", threshold=0.5).collect()
+    }
+    if strong:
+        recall = len(got & strong) / len(strong)
+        assert recall >= 0.8, f"recall on strong dups {recall:.2f} < 0.8"
+
+
+def test_simhash_self_consistency(docs):
+    """Identical texts must produce identical signatures; the
+    signature must be deterministic across two computations."""
+    s1 = simhash_signatures(docs, "doc_id").collect()
+    s2 = simhash_signatures(docs, "doc_id").collect()
+    assert sorted((r.doc_id, r["__sim"]) for r in s1) == sorted(
+        (r.doc_id, r["__sim"]) for r in s2
+    )
+
+
+def test_simhash_pairs_sane(docs):
+    """Hamming<=3 pairs: symmetric-free (a<b), bounded hamming, and
+    every reported pair shares most signature bits."""
+    pairs = simhash_dup_pairs(docs, "doc_id", max_hamming=3).collect()
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert 0 <= r.hamming <= 3
+
+
+def test_lsh_ann_recall_vs_bruteforce(emb):
+    """Bucketed ANN must recover a reasonable fraction of the true
+    top-5 (single-probe LSH: recall is traded for the candidate cut;
+    we assert it's material, not perfect)."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = lsh_ann_topk(emb, queries, dim=64, planes=4, tables=8, k=5).collect()
+    truth = {(r.query_id, r.vec_id) for r in exact}
+    got = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.3, f"ANN recall {recall:.2f} < 0.3"
+    # and every approx hit must carry the exact cosine of that pair
+    exact_sims = {(r.query_id, r.vec_id): r.cosine_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact_sims:
+            assert abs(r.cosine_sim - exact_sims[(r.query_id, r.vec_id)]) < 1e-12
