@@ -15,6 +15,7 @@ coalescing mostly handles it; on a cluster pair with
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_parquet_partitioned(
@@ -23,13 +24,24 @@ def write_parquet_partitioned(
     partition_cols: list[str],
     mode: str = "overwrite",
     max_records_per_file: int | None = None,
+    compact: bool = True,
 ) -> None:
     """Partitioned parquet write (Silver sink).
 
     Partition columns must be low-cardinality (the reference uses the
     derived day column precisely for this). Consumers get partition
     pruning for free.
+
+    ``compact=True`` repartitions by the partition columns first so
+    each output directory gets ONE file instead of one per task —
+    without it, T tasks x P partition values emit up to T*P small
+    files (the small-files problem that kills 100 TB readers; at 10k
+    rows/730 days it already cost 30s of file churn). Set
+    compact=False when single partitions exceed executor memory and
+    pair with ``max_records_per_file`` instead.
     """
+    if compact:
+        df = df.repartition(*[F.col(c) for c in partition_cols])
     writer = df.write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)

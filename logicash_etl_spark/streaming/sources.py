@@ -1,0 +1,66 @@
+"""Streaming sources — the `_READY` lot pattern, Spark-native.
+
+The reference's ingestion is event-driven *batch*: a producer drops
+files then a `_READY` flag; EventBridge matches the flag and triggers
+the pipeline (data_gen/generator.py:177-192, main.tf:821-842). The
+Spark-native equivalent is a file-source ``readStream`` with
+``Trigger.AvailableNow``: process everything present, checkpoint, and
+stop — re-invocations pick up only new files (the checkpoint replaces
+both the EventBridge dedup and the delete-trigger-first idempotency
+dance, main.tf:350-361).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def stream_parquet_dir(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """File-source stream over a directory (schema required: streaming
+    reads never infer)."""
+    return spark.readStream.format("parquet").schema(schema).load(path)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    sink_table: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain everything currently available into an in-session memory
+    sink table, then stop — the lot-processing batch semantics of the
+    reference, with exactly-once bookkeeping via the checkpoint.
+
+    For a real deployment swap ``format("memory")`` for parquet/Delta;
+    the call shape is identical.
+    """
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_available_now_to_parquet(
+    stream_df: DataFrame, checkpoint_dir: str, out_dir: str
+) -> None:
+    """Drain to a parquet sink with exactly-once checkpointing — the
+    durable variant: re-invocations with the same checkpoint append
+    only files that arrived since the previous drain (memory sinks
+    cannot recover a checkpoint; file sinks can)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

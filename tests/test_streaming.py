@@ -1,0 +1,146 @@
+"""Streaming tests: file-source AvailableNow lot processing (the
+`_READY` pattern), watermarked windows, session windows, stream dedup,
+and a stateful running-counter via applyInPandasWithState.
+
+Memory sink + availableNow drains a parquet lot synchronously — batch
+data driving a real streaming query (incl. checkpointed incremental
+re-runs).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from logicash_etl_spark import schemas as S
+from logicash_etl_spark.sources.readers import read_table
+from logicash_etl_spark.streaming.ops import dedup_stream, session_windows, windowed_counts
+from logicash_etl_spark.streaming.sources import (
+    run_available_now,
+    run_available_now_to_parquet,
+    stream_parquet_dir,
+)
+
+
+@pytest.fixture(scope="module")
+def events_lot(spark, sf_smoke, tmp_path_factory):
+    """Copy the events fixture into a writable lot dir (micro-second
+    timestamps, streaming-readable)."""
+    root = tmp_path_factory.mktemp("stream")
+    lot = str(root / "lot")
+    ev = read_table(spark, sf_smoke, "events")
+    ev.write.mode("overwrite").parquet(lot)
+    return root, lot, ev
+
+
+def _drain(spark, df, root, name):
+    run_available_now(df, str(root / f"ckpt_{name}"), name)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_available_now_lot(spark, events_lot):
+    root, lot, ev = events_lot
+    stream = stream_parquet_dir(spark, lot, S.EVENTS)
+    assert stream.isStreaming
+    out = _drain(spark, stream, root, "lot_raw")
+    assert out.count() == ev.count()
+
+
+def test_available_now_incremental(spark, events_lot, tmp_path_factory):
+    """Second AvailableNow run with the SAME checkpoint sees only new
+    files — the EventBridge-dedup/idempotency contract."""
+    root, lot, ev = events_lot
+    inc = tmp_path_factory.mktemp("inc")
+    inc_dir, out_dir, ckpt = str(inc / "lot"), str(inc / "out"), str(inc / "ckpt")
+    ev.limit(100).write.mode("overwrite").parquet(inc_dir)
+    stream = stream_parquet_dir(spark, inc_dir, S.EVENTS)
+    run_available_now_to_parquet(stream, ckpt, out_dir)
+    assert spark.read.parquet(out_dir).count() == 100
+    # add new files to the directory; rerun with the SAME checkpoint
+    ev.limit(150).write.mode("append").parquet(inc_dir)
+    stream2 = stream_parquet_dir(spark, inc_dir, S.EVENTS)
+    run_available_now_to_parquet(stream2, ckpt, out_dir)
+    # only the appended 150 were processed, not a 100-row reprocess
+    assert spark.read.parquet(out_dir).count() == 250
+
+
+def test_windowed_counts_match_batch(spark, events_lot):
+    """Streaming tumbling windows (append mode, watermark-finalized)
+    must agree with the batch groupBy(window) on the same closed lot."""
+    root, lot, ev = events_lot
+    stream = stream_parquet_dir(spark, lot, S.EVENTS)
+    agg = windowed_counts(stream, window="1 hour", watermark="10 minutes",
+                          keys=["event_type"])
+    out = _drain(spark, agg, root, "win_out")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match batch exactly, and most windows must be emitted
+    got = {(r.window_start, r.event_type): r.n for r in out.collect()}
+    want = {(r.window_start, r.event_type): r.n for r in batch.collect()}
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert want.get(k) == v, f"window {k}: stream={v} batch={want.get(k)}"
+    assert len(got) >= 0.9 * len(want)
+
+
+def test_session_windows(spark, events_lot):
+    root, lot, ev = events_lot
+    stream = stream_parquet_dir(spark, lot, S.EVENTS)
+    sess = session_windows(stream, gap="30 minutes", watermark="1 hour")
+    out = _drain(spark, sess, root, "sess_out")
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r.session_end > r.session_start
+        assert r.n_events >= 1
+
+
+def test_dedup_stream(spark, events_lot, tmp_path_factory):
+    """Duplicated lot -> dedup_stream keeps one copy per (event_id, ts)."""
+    root, lot, ev = events_lot
+    dup_dir = str(tmp_path_factory.mktemp("dup") / "lot")
+    ev.write.mode("overwrite").parquet(dup_dir)
+    ev.write.mode("append").parquet(dup_dir)  # exact duplicates
+    stream = stream_parquet_dir(spark, dup_dir, S.EVENTS)
+    dedup = dedup_stream(stream, keys=["event_id"], watermark="10 years")
+    out = _drain(spark, dedup, root, "dedup_out")
+    assert out.count() == ev.count()
+
+
+def test_stateful_running_count(spark, events_lot):
+    """Custom stateful operator: per-user cumulative event counter via
+    applyInPandasWithState (the engine's extension point for operators
+    streaming SQL can't express)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    root, lot, ev = events_lot
+
+    def count_fn(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    stream = stream_parquet_dir(spark, lot, S.EVENTS)
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_fn,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_available_now(counted, str(root / "ckpt_stateful"), "stateful_out",
+                      output_mode="update")
+    out = spark.sql("SELECT * FROM stateful_out")
+    got = {r.user_id: r.n_events for r in out.collect()}
+    want = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert got == want
