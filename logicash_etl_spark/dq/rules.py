@@ -56,10 +56,17 @@ class RuleSet:
         clean_rows."""
         aggs = [F.count("*").alias("total_rows")]
         for r in self.rules:
+            # coalesce: SUM over zero rows is NULL, counts must be 0
             aggs.append(
-                F.sum(F.when(r.violated, 1).otherwise(0)).alias(f"{r.name}_violations")
+                F.coalesce(F.sum(F.when(r.violated, 1).otherwise(0)), F.lit(0)).alias(
+                    f"{r.name}_violations"
+                )
             )
-        aggs.append(F.sum(F.when(self.keep_all, 1).otherwise(0)).alias("clean_rows"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(self.keep_all, 1).otherwise(0)), F.lit(0)).alias(
+                "clean_rows"
+            )
+        )
         return df.agg(*aggs)
 
     def clean(self, df: DataFrame) -> DataFrame:

@@ -621,6 +621,48 @@ def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "shipping_priority_top10",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+    GROUP BY o_orderkey, order_date, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: the big-big join path. lineitem x orders join
+    on o_orderkey is fact-to-fact — at 100 TB neither side broadcasts,
+    so it shuffles both on the key (sort-merge / shuffled-hash, AQE
+    decides; co-located bucketing on o_orderkey eliminates it — see
+    tests/test_plan_contracts.py::test_bucketed_join_no_shuffle).
+    The customer filter reduces orders via a broadcast semi-ish join
+    first, so the big shuffle carries only matching orders."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-06-30")
+    revenue = money("l_extendedprice") * (1 - money("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multi-way join + filter pushdown showcase (the classic star query)
 # ---------------------------------------------------------------------------

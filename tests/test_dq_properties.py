@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the DQ rule engine: for ANY
+input data, clean+quarantine partitions the input exactly, clean rows
+never violate a rule, and the one-pass violation counts agree with
+per-rule filters."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from logicash_etl_spark import schemas as S
+from logicash_etl_spark.dq.rules import logicash_rules
+
+AS_OF = dt.datetime(2026, 1, 1)
+
+row = st.tuples(
+    st.uuids().map(str),
+    st.one_of(st.none(), st.sampled_from(["ATM-001", "ATM-002", "ATM-003"])),
+    st.one_of(
+        st.none(),
+        st.datetimes(min_value=dt.datetime(2020, 1, 1), max_value=dt.datetime(2035, 1, 1)),
+    ),
+    st.one_of(
+        st.none(),
+        st.decimals(
+            min_value=Decimal("-9999.99"), max_value=Decimal("9999.99"), places=2
+        ),
+    ),
+    st.sampled_from(["RETIRO", "DEPOSITO"]),
+    st.one_of(st.none(), st.sampled_from(["EXITOSA", "FALLIDA", "REVERSADA"])),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(row, min_size=0, max_size=60))
+def test_rules_partition_input(spark, rows):
+    df = spark.createDataFrame(rows, S.FACT_TRANSACTIONS)
+    rules = logicash_rules(F.to_timestamp(F.lit(AS_OF.isoformat(sep=" "))))
+    clean, quarantine = rules.split(df)
+    n, nc, nq = df.count(), clean.count(), quarantine.count()
+    assert nc + nq == n
+
+    # clean side never violates any rule (incl. null-predicate cases)
+    bad = clean.filter(
+        F.col("id_atm").isNull()
+        | F.col("monto").isNull()
+        | (F.col("monto") <= 0)
+        | F.col("fecha").isNull()
+        | (F.col("fecha") > AS_OF.isoformat(sep=" "))
+        | F.col("status_transaccion").isNull()
+        | (F.col("status_transaccion") != "EXITOSA")
+    )
+    assert bad.count() == 0
+
+    # one-pass counts == per-rule filtered counts
+    report = rules.violation_counts(df).collect()[0]
+    for r in rules.rules:
+        assert report[f"{r.name}_violations"] == df.filter(r.violated).count()
+    assert report["clean_rows"] == nc
