@@ -82,6 +82,14 @@ def read_parquet(
     reads them as long) are converted to microsecond timestamps here,
     truncating like every µs-native engine does.
     """
+    # Defensive: callers may hand us a session built elsewhere (e.g.
+    # the verification driver) without the nanos compat conf — without
+    # it any TIMESTAMP(NANOS) parquet read throws PARQUET_TYPE_ILLEGAL.
+    # Runtime-settable, so pin it here rather than only at session build.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Engine timestamp semantics are UTC (to_date/date_trunc shift with
+    # session TZ; oracles are UTC-naive) — pin on whatever session runs us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     if schema is not None:
         df = _validate(df, schema, path)
