@@ -14,8 +14,12 @@ from logicash_etl_spark.operators.aggregates import (
     top_k,
 )
 from logicash_etl_spark.operators.windows import ranked, sessionize
+from logicash_etl_spark.operators.merge import upsert, scd2_apply, scd2_init
 
 __all__ = [
+    "upsert",
+    "scd2_apply",
+    "scd2_init",
     "enrich",
     "semi_join",
     "anti_join",

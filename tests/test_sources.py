@@ -1,0 +1,71 @@
+"""Unit tests for the sources layer: CSV round-trips, schema
+validation failures, source probing, catalog registration."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logicash_etl_spark import schemas as S
+from logicash_etl_spark.sources.catalog import register_sources
+from logicash_etl_spark.sources.readers import (
+    SchemaMismatchError,
+    read_csv_dir,
+    read_parquet,
+    source_probe,
+)
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    df = spark.range(10).select(
+        F.concat(F.lit("ATM-"), F.col("id")).alias("id_atm"),
+        F.lit("Lima").alias("ubicacion"),
+        F.lit(-12.0).alias("latitud"),
+        F.lit(-77.0).alias("longitud"),
+        F.lit(100000).cast("long").alias("capacidad_maxima"),
+        F.lit("NCR").alias("modelo"),
+        F.lit("OPERATIVO").alias("estado"),
+    )
+    out = str(tmp_path / "dim")
+    df.write.option("header", "true").csv(out)
+    back = read_csv_dir(spark, out, schema=S.DIM_ATMS)
+    assert back.count() == 10
+    assert back.schema["capacidad_maxima"].dataType == T.LongType()
+
+
+def test_csv_requires_schema_or_optin(spark, tmp_path):
+    out = str(tmp_path / "x")
+    spark.range(3).write.option("header", "true").csv(out)
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_csv_dir(spark, out)
+    assert read_csv_dir(spark, out, infer=True).count() == 3
+
+
+def test_schema_mismatch_fails_loudly(spark, tmp_path):
+    """The reference's schema-drift bug class (SURVEY 1.3): a source
+    missing registered columns must raise, not silently null-fill."""
+    out = str(tmp_path / "bad")
+    spark.range(3).select(F.col("id").alias("wrong_col")).write.parquet(out)
+    with pytest.raises(SchemaMismatchError, match="missing columns"):
+        read_parquet(spark, out, S.DIM_ATMS)
+
+
+def test_source_probe_fallback(spark, tmp_path, sf_smoke):
+    got = source_probe(
+        spark,
+        [
+            ("parquet", str(tmp_path / "missing")),
+            ("parquet", f"{sf_smoke}/orders.parquet"),
+        ],
+    )
+    assert got.count() > 0
+    with pytest.raises(FileNotFoundError):
+        source_probe(spark, [("parquet", str(tmp_path / "nope"))])
+
+
+def test_register_sources(spark, sf_smoke):
+    reg = register_sources(spark, sf_smoke)
+    assert set(reg) == set(S.FIXTURE_TABLES)
+    # views usable from SQL
+    assert spark.sql("SELECT count(*) n FROM nation").collect()[0].n == 25
