@@ -42,6 +42,8 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)
+        # operators may persist intermediates; isolate measurements
+        spark.catalog.clearCache()
     total = round(time.perf_counter() - t_all, 4)
 
     print(

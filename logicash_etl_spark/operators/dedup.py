@@ -69,6 +69,11 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("__s"),
     )
+    return _signatures_from_exploded(sh, id_col, num_hashes)
+
+
+def _signatures_from_exploded(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, __s shingle) rows -> (id, __mh0..__mh{k-1}) signatures."""
     return sh.groupBy(id_col).agg(
         *[F.min(F.xxhash64("__s", F.lit(i))).alias(f"__mh{i}") for i in range(num_hashes)]
     )
@@ -81,6 +86,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: split the signature
     into ``bands`` groups of ``num_hashes/bands`` values, bucket on
@@ -88,12 +94,17 @@ def minhash_lsh_candidates(
 
     Shuffle volume: num_docs x bands small rows; candidate pairs only
     where a full band collides (the LSH s-curve). Returns distinct
-    (id_a, id_b), id_a < id_b.
+    (id_a, id_b), id_a < id_b. Pass ``shingles`` (id, sh array) to
+    reuse a precomputed/persisted tokenization.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    with_sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    if shingles is not None:
+        exploded = shingles.select(F.col(id_col), F.explode("sh").alias("__s"))
+        with_sig = _signatures_from_exploded(exploded, id_col, num_hashes)
+    else:
+        with_sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = with_sig.select(
         id_col,
         F.explode(
@@ -148,10 +159,17 @@ def jaccard_pairs(
     At 100 TB, hot shingles are the skew risk — drop top-frequency
     shingles (stop-shingles) before the join like a stop-word list.
     """
+    # join/shuffle on the 64-bit shingle hash, not the string: smaller
+    # shuffle rows, cheaper comparisons; P(collision) ~ n^2/2^64 is
+    # negligible for intersection counting
     sh = (
         df.select(
-            F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("sh")
+            F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("__s")
         )
+        .select(id_col, F.xxhash64("__s").alias("sh"))
+        # consumed 3x (sizes + both join sides): persist the tiny
+        # (id, hash64) projection instead of re-tokenizing the corpus
+        .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -183,9 +201,13 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup: LSH candidates, then exact-Jaccard
     verification on the candidate set only (the scale path: candidates
     << all pairs)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    # tokenize once: the shingle-array projection feeds both the LSH
+    # signature path and the verification joins
     sh = df.select(
         F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh")
+    ).persist()
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_n, shingles=sh
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

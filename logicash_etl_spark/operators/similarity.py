@@ -73,33 +73,48 @@ def cosine_topk(
     )
 
 
+def _sign_matrix(dim: int, planes: int, plane_offset: int = 0) -> list[list[float]]:
+    """Deterministic +-1 hyperplane components from a seeded PRNG —
+    computed once on the driver, shipped as a literal (no per-element
+    hashing on executors). plane_offset yields independent sets for
+    multi-table LSH."""
+    import random
+
+    out = []
+    for p in range(planes):
+        rng = random.Random(1_000_003 * (plane_offset + p) + 42)
+        out.append([1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)])
+    return out
+
+
 def hyperplane_signature(
     vec: Column, dim: int, planes: int = 16, plane_offset: int = 0
 ) -> Column:
-    """Random-hyperplane LSH signature as an int bucket id.
+    """Random-hyperplane LSH signature as an int bucket id:
+    bit p = sign(v . h_p), hyperplanes shipped as a literal +-1 matrix.
 
-    Hyperplane p's component i is +1/-1 from the parity of
-    xxhash64((plane_offset + p) * dim + i) — deterministic, model-free,
-    identical on every executor. sign(v . h_p) gives bit p;
-    plane_offset yields independent hyperplane sets for multi-table LSH.
+    One transform over the matrix (multiply-add folds, whole-stage
+    codegen) — no hash calls in the hot loop; 2^planes exact in a
+    double for planes <= 50, so bits pack via pow and cast.
     """
-    sig = None
-    for p in range(planes):  # planes is a small python int: unrolled JVM exprs
-        base = (plane_offset + p) * dim
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(base), F.lit(base + dim - 1)),
-                lambda x, i: F.when(F.xxhash64(i).bitwiseAND(F.lit(1)) == 1, x).otherwise(
-                    -x
-                ),
+    mat = F.lit(_sign_matrix(dim, planes, plane_offset))
+    dots = F.transform(
+        mat,
+        lambda row: F.aggregate(
+            F.zip_with(vec, row, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v
+        ),
+    )
+    return (
+        F.aggregate(
+            F.transform(
+                dots,
+                lambda d, i: F.when(d > 0, F.pow(F.lit(2.0), i)).otherwise(F.lit(0.0)),
             ),
             F.lit(0.0),
             lambda s, v: s + v,
         )
-        term = F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return sig
+        .cast("long")
+    )
 
 
 def lsh_ann_topk(
