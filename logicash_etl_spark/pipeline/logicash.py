@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from logicash_etl_spark import schemas as S
 from logicash_etl_spark.dq.rules import RuleSet, logicash_rules
 from logicash_etl_spark.functions.money import davg, dsum, money
-from logicash_etl_spark.operators.aggregates import scd1_latest, top_k
+from logicash_etl_spark.operators.aggregates import scd1_latest
 from logicash_etl_spark.operators.joins import enrich
 from logicash_etl_spark.operators.windows import ranked
 from logicash_etl_spark.pipeline.runner import Pipeline, Step

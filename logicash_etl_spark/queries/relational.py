@@ -24,8 +24,8 @@ from logicash_etl_spark.operators.aggregates import (
     top_k_per_group,
 )
 from logicash_etl_spark.operators.joins import anti_join, asof_join, enrich, range_join, semi_join
-from logicash_etl_spark.operators.windows import ranked, sessionize, with_lag_lead, running
-from logicash_etl_spark.dq.profile import null_audit, range_audit
+from logicash_etl_spark.operators.windows import ranked, sessionize
+from logicash_etl_spark.dq.profile import null_audit
 from logicash_etl_spark.queries.registry import query
 from logicash_etl_spark.sources.readers import read_table
 
@@ -327,6 +327,34 @@ def quality_scan_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(money("l_extendedprice")).cast("double").alias("price_max"),
         davg("l_extendedprice", "price_avg"),
     )
+
+
+@query(
+    "dq_violation_report",
+    oracle="""
+    SELECT count(*) AS total_rows,
+           CAST(SUM(CASE WHEN NOT (o_custkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey_violations,
+           CAST(SUM(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS non_positive_price_violations,
+           CAST(SUM(CASE WHEN NOT coalesce(o_orderdate <= TIMESTAMP '2001-01-01 00:00:00', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS future_order_violations,
+           CAST(SUM(CASE WHEN coalesce(o_custkey IS NOT NULL AND o_totalprice > 0
+                          AND o_orderdate <= TIMESTAMP '2001-01-01 00:00:00', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS clean_rows
+    FROM orders
+    """,
+)
+def dq_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DQ rule engine through the driver gate: P9's per-rule
+    accounting as ONE aggregation pass (dq/rules.py), here with a
+    3-rule set on orders and an injected as_of (SURVEY section 7.5)."""
+    from logicash_etl_spark.dq.rules import Rule, RuleSet
+
+    rules = RuleSet(
+        [
+            Rule("null_custkey", F.col("o_custkey").isNotNull()),
+            Rule("non_positive_price", F.col("o_totalprice") > 0),
+            Rule("future_order", F.col("o_orderdate") <= F.to_timestamp(F.lit("2001-01-01 00:00:00"))),
+        ]
+    )
+    return rules.violation_counts(_t(spark, sf_dir, "orders"))
 
 
 @query(

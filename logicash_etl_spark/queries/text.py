@@ -10,7 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from logicash_etl_spark.operators.text import (
+from logicash_etl_spark.operators.text import (  # noqa: F401 — re-exported surface
+    bpe_ish_token_count,
     char_class_counts,
     content_hash,
     min_shingle_sketch,
@@ -28,12 +29,14 @@ from logicash_etl_spark.sources.readers import read_table
     oracle=r"""
     WITH w AS (
       SELECT source, n_chars,
-             len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_ish
       FROM documents
     )
     SELECT source,
            count(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_bpe_ish) AS BIGINT) AS total_bpe_ish_tokens,
            CAST(SUM(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
@@ -44,10 +47,16 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting rolled up per source — the scan is one pass,
     tokenization is a JVM split (no UDF)."""
     docs = read_table(spark, sf_dir, "documents")
-    t = docs.select("source", "n_chars", token_count("text").alias("n_tokens"))
+    t = docs.select(
+        "source",
+        "n_chars",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_ish"),
+    )
     return t.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_bpe_ish").cast("bigint").alias("total_bpe_ish_tokens"),
         (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.max("n_tokens").cast("bigint").alias("max_tokens"),
