@@ -56,17 +56,27 @@ def cosine_topk(
     sequential fold, ties broken by neighbor id. ``exclude_self``
     drops the query point itself (matched by id) before ranking.
     """
+    # norms computed once per vector on each side — a per-pair cosine()
+    # would fold each vector's norm Q (resp. N) times over
     q = queries.select(
-        F.col(id_col).alias(query_id), as_double(vec_col).alias("__qv")
+        F.col(id_col).alias(query_id),
+        as_double(vec_col).alias("__qv"),
+        _norm(as_double(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col), as_double(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col),
+        as_double(vec_col).alias("__cv"),
+        _norm(as_double(vec_col)).alias("__cn"),
+    )
     scored = c.crossJoin(F.broadcast(q))
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id))
     scored = scored.select(
         query_id,
         id_col,
-        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        (_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+            "cosine_sim"
+        ),
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.col(id_col).asc())
     return (
@@ -173,15 +183,25 @@ def lsh_ann_topk(
         .select(query_id, "cand_id")
         .distinct()
     )
-    q_vec = queries.select(F.col(id_col).alias(query_id), as_double(vec_col).alias("__qv"))
-    c_vec = corpus.select(F.col(id_col).alias("cand_id"), as_double(vec_col).alias("__cv"))
+    q_vec = queries.select(
+        F.col(id_col).alias(query_id),
+        as_double(vec_col).alias("__qv"),
+        _norm(as_double(vec_col)).alias("__qn"),
+    )
+    c_vec = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        as_double(vec_col).alias("__cv"),
+        _norm(as_double(vec_col)).alias("__cn"),
+    )
     scored = (
         cand.join(F.broadcast(q_vec), query_id)
         .join(c_vec, "cand_id")
         .select(
             query_id,
             F.col("cand_id").alias(id_col),
-            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+            (_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+                "cosine_sim"
+            ),
         )
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.col(id_col).asc())

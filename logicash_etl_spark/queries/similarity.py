@@ -79,6 +79,45 @@ def knn_label_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_vote(top5, emb)
 
 
+@query(
+    "embedding_dup_pairs",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+      FROM embeddings
+    )
+    SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.e, b.e) / (a.n * b.n) AS cosine_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.4
+    """,
+)
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold):
+    the semantic-dedup primitive. Pairs are generated within a coarse
+    blocking key (here the label column) and scored exactly — the
+    IVF-style shape: a coarse partitioner bounds the quadratic blow-up
+    to within-block pairs, the equi-join on the block key shuffles
+    instead of cross-joining. At 100 TB the block key comes from LSH
+    buckets or a k-means coarse quantizer; scoring is unchanged."""
+    from logicash_etl_spark.operators.similarity import _dot, _norm, as_double
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # norms once per vector (N folds), not once per pair (3x N^2 folds)
+    v = emb.select(
+        "label", "vec_id", as_double("embedding").alias("__v"),
+        _norm(as_double("embedding")).alias("__n"),
+    )
+    a = v.select("label", F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    b = v.select("label", F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    pairs = a.join(b, on=[a.label == b.label, F.col("id_a") < F.col("id_b")]).select(
+        a.label, "id_a", "id_b",
+        (_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias("cosine_sim"),
+    )
+    return pairs.filter(F.col("cosine_sim") >= 0.4)
+
+
 @query("ann_lsh_topk")  # xxhash64 hyperplanes: no SQL oracle; recall-tested
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via multi-table random-hyperplane LSH
