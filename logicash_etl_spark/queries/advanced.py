@@ -108,3 +108,205 @@ def embedding_norms_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.round(l2(F.col("embedding").cast("array<double>")), 6).alias("l2_norm")
     )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH thresholds AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity)) AS thr
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           count(*) AS n_small,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN thresholds USING (l_partkey)
+    WHERE l_quantity < thr
+    GROUP BY p_brand
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    threshold), expressed via the SQL API so Catalyst's subquery
+    decorrelation produces the same agg+join plan the hand-decorrelated
+    version would. Threshold arithmetic is decimal-exact on both sides
+    so boundary rows can't flip."""
+    for t in ("lineitem", "part"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT p_brand,
+               count(*) AS n_small,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+          SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l2.l_quantity))
+          FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+        )
+        GROUP BY p_brand
+        """
+    )
+
+
+@query(
+    "hourly_moving_value",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_1h,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def hourly_moving_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based window frame: per-user trailing-1h sum via
+    rangeBetween on epoch microseconds — the event-time moving
+    aggregate (distinct from row-count frames; ties at equal ts are
+    included together on both engines)."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("value_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+@query(
+    "string_function_surface",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           lpad(CAST(p_size AS STRING), 4, '0') AS size_padded,
+           split_part(p_type, ' ', 1) AS type_head,
+           strpos(p_name, 'a') AS first_a,
+           left(p_name, 8) AS name_prefix,
+           right(p_brand, 2) AS brand_suffix,
+           reverse(p_brand) AS brand_rev,
+           repeat(p_brand, 2) AS brand_twice,
+           regexp_extract(p_brand, '[0-9]+') AS brand_num,
+           replace(p_type, ' ', '_') AS type_snake
+    FROM part
+    """,
+)
+def string_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth (section 2.8 extension surface) — all JVM
+    built-ins, each with an exact DuckDB twin."""
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_head"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.substring("p_brand", -2, 2).alias("brand_suffix"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.replace("p_type", F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@query(
+    "date_function_surface",
+    oracle="""
+    SELECT o_orderkey,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+           CAST(date_add(CAST(o_orderdate AS DATE), INTERVAL 3 MONTH) AS DATE) AS plus_3_months,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(isodow(o_orderdate) - 1 AS INT) AS weekday_monday0,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS yyyymm
+    FROM orders
+    """,
+)
+def date_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function breadth: datediff, add_months (end-of-month
+    aware on both engines), last_day, quarter, Monday-0 weekday,
+    year-month key."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.add_months(F.to_date("o_orderdate"), 3).alias("plus_3_months"),
+        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.weekday("o_orderdate").cast("int").alias("weekday_monday0"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("yyyymm"),
+    )
+
+
+@query(
+    "grouping_sets_report",
+    oracle="""
+    SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() disambiguation flags
+    (beyond rollup/cube: arbitrary set lists) via the SQL API."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "array_function_surface",
+    oracle="""
+    SELECT vec_id,
+           array_length(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_elem,
+           list_transform(list_slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+           list_contains(list_transform(embedding, x -> x > 0), TRUE) AS has_positive
+    FROM embeddings
+    """,
+)
+def array_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column surface: size, indexing, min/max, slice, transform,
+    contains — the vector-column toolbox without UDFs."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_elem"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_elem"),
+        F.transform(
+            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+        ).alias("head3"),
+        F.array_contains(F.transform("embedding", lambda x: x > 0), True).alias(
+            "has_positive"
+        ),
+    )

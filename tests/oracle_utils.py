@@ -39,6 +39,8 @@ def _norm_cell(v):
         return pd.Timestamp(v)
     if isinstance(v, pd.Timedelta):
         return v.to_pytimedelta()
+    if hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0:  # numpy array
+        return tuple(_norm_cell(x) for x in v.tolist())
     if hasattr(v, "item"):  # numpy scalar
         return v.item()
     if isinstance(v, (list, tuple)):
