@@ -88,6 +88,18 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_clusters")  # iterative algorithm: rows-only check; property-tested
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH pairs -> connected
+    components (iterative label propagation) -> one canonical doc per
+    cluster. The representative non-SQL-expressible iterative op."""
+    from logicash_etl_spark.operators.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.35)
+    return dedup_clusters(pairs.select("id_a", "id_b"), docs, "doc_id")
+
+
 @query("simhash_dups")  # xxhash64 signatures: no SQL oracle; property-tested
 def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dups within Hamming<=3 via pigeonhole banding."""

@@ -122,3 +122,50 @@ def test_skew_salted_join_matches_plain(spark, sf_dir):
     )
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_connected_components_vs_union_find(spark, docs):
+    """Cluster assignment must equal a driver-side union-find over the
+    same pairs: same-cluster iff connected."""
+    from logicash_etl_spark.operators.dedup import minhash_dedup_pairs
+    from logicash_etl_spark.operators.graph import dedup_clusters
+
+    pairs = [(r.id_a, r.id_b) for r in
+             minhash_dedup_pairs(docs, "doc_id", threshold=0.35).collect()]
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(
+            spark.createDataFrame(pairs or [(0, 0)], "id_a long, id_b long"),
+            docs, "doc_id",
+        ).collect()
+    }
+    # union-find ground truth
+    parent: dict = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    all_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    want = {i: find(i) if i in parent else i for i in all_ids}
+    # normalize: min-id representative per set on both sides
+    from collections import defaultdict
+    def normalize(m):
+        groups = defaultdict(list)
+        for k, v in m.items():
+            groups[v].append(k)
+        return {k: min(g) for v, g in groups.items() for k in g}
+    assert normalize(got) == normalize(want)
+    # canonical flags: exactly one canonical per cluster
+    res = dedup_clusters(
+        spark.createDataFrame(pairs or [(0, 0)], "id_a long, id_b long"), docs, "doc_id"
+    )
+    per_cluster = res.filter("is_canonical").groupBy("cluster_id").count()
+    assert per_cluster.filter("count != 1").count() == 0
