@@ -310,3 +310,33 @@ def array_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_positive"
         ),
     )
+
+
+@query(
+    "train_test_split_stats",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(CAST(('0x' || substr(md5('split' || CAST(o_orderkey AS STRING)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.1 AS is_test
+      FROM orders
+    )
+    SELECT is_test, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM tagged GROUP BY is_test
+    """,
+)
+def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/test split (operators/
+    sampling.py): membership is a pure function of the row id — stable
+    across partitioning, cluster size, and engines (md5 is universal;
+    the oracle reproduces the exact split in SQL)."""
+    from logicash_etl_spark.operators.sampling import train_test_split
+
+    o = read_table(spark, sf_dir, "orders")
+    train, test = train_test_split(o, "o_orderkey", test_fraction=0.1)
+    return (
+        train.withColumn("is_test", F.lit(False))
+        .unionByName(test.withColumn("is_test", F.lit(True)))
+        .groupBy("is_test")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+    )

@@ -48,6 +48,9 @@ def session_config(cpus: str | int | None = None) -> dict[str, str]:
         # Parquet: vectorized reader on (default, pinned for clarity);
         # size split partitions for large scans.
         "spark.sql.parquet.enableVectorizedReader": "true",
+        # zstd: ~30% smaller than snappy at similar scan speed — at
+        # 100 TB that is 30 TB less storage and network per full scan
+        "spark.sql.parquet.compression.codec": "zstd",
         # Some producers write TIMESTAMP(NANOS) parquet (e.g. pandas
         # datetime64[ns]); Spark has no nanos timestamp — read as long
         # and convert at the reader layer (sources/readers.py).

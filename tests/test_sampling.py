@@ -1,0 +1,53 @@
+"""Deterministic-sampling invariants: stability under repartitioning,
+disjoint/exhaustive splits, per-stratum fractions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logicash_etl_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+    train_test_split,
+)
+from logicash_etl_spark.sources.readers import read_table
+
+
+def test_sample_stable_under_repartition(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    s1 = {r.o_orderkey for r in deterministic_sample(o, "o_orderkey", 0.2).select("o_orderkey").collect()}
+    s2 = {
+        r.o_orderkey
+        for r in deterministic_sample(o.repartition(7), "o_orderkey", 0.2)
+        .select("o_orderkey")
+        .collect()
+    }
+    assert s1 == s2  # df.sample() fails this; hash sampling must not
+    n = o.count()
+    assert 0.15 * n < len(s1) < 0.25 * n
+
+
+def test_split_disjoint_exhaustive_monotone(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    train, test = train_test_split(o, "o_orderkey", 0.1)
+    nt, ns = train.count(), test.count()
+    assert nt + ns == o.count()
+    assert train.join(test, "o_orderkey", "inner").count() == 0
+    # stability: membership unchanged on a subset of the data
+    half = o.filter(F.col("o_orderkey") % 2 == 0)
+    _, test_half = train_test_split(half, "o_orderkey", 0.1)
+    full_test_ids = {r.o_orderkey for r in test.select("o_orderkey").collect()}
+    for r in test_half.select("o_orderkey").collect():
+        assert r.o_orderkey in full_test_ids
+
+
+def test_stratified_fractions(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    sampled = stratified_sample(
+        o, "o_orderkey", "o_orderstatus", {"F": 1.0, "O": 0.1}, default_fraction=0.0
+    )
+    counts = {r.o_orderstatus: r.n for r in sampled.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    full = {r.o_orderstatus: r.n for r in o.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("F") == full["F"]            # keep-all stratum intact
+    assert "P" not in counts                        # default 0.0 drops unlisted
+    assert 0.05 * full["O"] < counts.get("O", 0) < 0.15 * full["O"]
