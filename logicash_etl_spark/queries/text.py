@@ -164,3 +164,30 @@ def _shingles_expr():
     from logicash_etl_spark.operators.text import word_shingles
 
     return F.when(F.size(word_shingles("text", 3)) > 0, word_shingles("text", 3))
+
+
+@query(
+    "word_count_top20",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS word
+      FROM documents
+    )
+    SELECT word, count(*) AS n FROM tok
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def word_count_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical corpus word count: explode tokens -> hash agg ->
+    top-k. Partial aggregation makes the shuffle carry |vocab| rows per
+    task, not |tokens|."""
+    docs = read_table(spark, sf_dir, "documents")
+    from logicash_etl_spark.operators.text import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.col("word").asc())
+        .limit(20)
+    )
