@@ -150,14 +150,20 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.7,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via inverted index:
     explode distinct shingles -> self-join on shingle -> |intersect| =
     co-occurrence count -> Jaccard = inter / (|A|+|B|-inter).
 
     No all-pairs comparison: only documents sharing >=1 shingle meet.
-    At 100 TB, hot shingles are the skew risk — drop top-frequency
-    shingles (stop-shingles) before the join like a stop-word list.
+    At 100 TB, hot shingles are the skew risk: a shingle in k docs
+    produces k^2 candidate rows. With ``max_doc_freq`` set, shingles
+    above that document frequency are dropped from the inverted index,
+    which then serves as CANDIDATE GENERATION only; surviving pairs
+    are re-scored exactly from their full shingle arrays (so scores
+    are still exact). Pairs sharing ONLY stop-shingles are missed —
+    the deliberate trade (boilerplate overlap, not content overlap).
     """
     # join/shuffle on the 64-bit shingle hash, not the string: smaller
     # shuffle rows, cheaper comparisons; P(collision) ~ n^2/2^64 is
@@ -172,12 +178,39 @@ def jaccard_pairs(
         .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+
+    index = sh
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        index = sh.join(F.broadcast(hot), on="sh", how="left_anti")
+
+    a, b = index.alias("a"), index.alias("b")
     inter = (
         a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
+
+    if max_doc_freq is not None:
+        # filtered index undercounts intersections: re-score candidates
+        # exactly against the UNFILTERED index
+        full = sh
+        fa = full.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__sha"))
+        fb = full.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__shb"))
+        inter = (
+            inter.select("id_a", "id_b")
+            .join(fa, "id_a")
+            .join(fb, "id_b")
+            .filter(F.col("__sha") == F.col("__shb"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (

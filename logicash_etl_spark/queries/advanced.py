@@ -340,3 +340,59 @@ def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("is_test")
         .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
     )
+
+
+@query(
+    "value_trend_stats",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 1000000.0 AS DECIMAL(18,2)) AS x,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x*y) AS DOUBLE) AS sxy,
+             CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 10) AS slope,
+           round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 10) AS correlation
+    FROM s
+    """,
+)
+def value_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression statistics per group — slope and Pearson correlation
+    of value vs time, computed from decimal-exact moment sums (Sx, Sy,
+    Sxy, Sxx, Syy) so results are partition-order independent. The
+    built-in regr_slope/corr aggregate in floating point with
+    order-dependent error; at 1000 executors this formulation is the
+    reproducible one. x is seconds since 2024-01-01 to keep moments
+    within decimal range."""
+    ev = read_table(spark, sf_dir, "events")
+    x = ((F.unix_micros("ts") - F.lit(1704067200000000)).cast("double") / 1e6).cast(
+        "decimal(18,2)"
+    )
+    y = F.col("value").cast("decimal(18,2)")
+    d = ev.select("event_type", x.alias("x"), y.alias("y"))
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = [F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+    return s.select(
+        "event_type",
+        "n",
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 10).alias("slope"),
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            10,
+        ).alias("correlation"),
+    )

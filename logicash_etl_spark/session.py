@@ -36,6 +36,10 @@ def session_config(cpus: str | int | None = None) -> dict[str, str]:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # runtime Bloom-filter pushdown: a selective dim filter becomes
+        # a bloom filter applied at the fact scan — default-on in this
+        # Spark, pinned because 100 TB plans depend on it
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         # Arrow for any Python<->JVM pandas interchange (pandas UDFs,
         # toPandas) — the only sanctioned slow path.
         "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -77,11 +77,11 @@ def test_lsh_ann_recall_vs_bruteforce(emb):
     we assert it's material, not perfect)."""
     queries = emb.filter(F.col("vec_id") < 20)
     exact = cosine_topk(emb, queries, k=5).collect()
-    approx = lsh_ann_topk(emb, queries, dim=64, planes=4, tables=8, k=5).collect()
+    approx = lsh_ann_topk(emb, queries, dim=64, planes=4, tables=16, k=5).collect()
     truth = {(r.query_id, r.vec_id) for r in exact}
     got = {(r.query_id, r.vec_id) for r in approx}
     recall = len(got & truth) / len(truth)
-    assert recall >= 0.3, f"ANN recall {recall:.2f} < 0.3"
+    assert recall >= 0.6, f"ANN recall {recall:.2f} < 0.6"
     # and every approx hit must carry the exact cosine of that pair
     exact_sims = {(r.query_id, r.vec_id): r.cosine_sim for r in exact}
     for r in approx:
@@ -169,3 +169,22 @@ def test_connected_components_vs_union_find(spark, docs):
     )
     per_cluster = res.filter("is_canonical").groupBy("cluster_id").count()
     assert per_cluster.filter("count != 1").count() == 0
+
+
+def test_jaccard_stop_shingles_exact_scores(docs):
+    """With a document-frequency cutoff, every surviving pair's score
+    must equal the unfiltered exact score (candidates shrink, scores
+    don't change)."""
+    from logicash_etl_spark.operators.dedup import jaccard_pairs
+
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in jaccard_pairs(docs, "doc_id", threshold=0.35).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in jaccard_pairs(docs, "doc_id", threshold=0.35,
+                                     max_doc_freq=10).collect()}
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert abs(v - full[k]) < 1e-12, f"{k}: {v} != {full[k]}"
+    # at this corpus/threshold the cutoff should not lose strong pairs
+    strong = {k for k, v in full.items() if v >= 0.5}
+    assert strong <= set(capped)
