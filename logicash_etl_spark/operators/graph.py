@@ -30,18 +30,27 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(src, dst) undirected edges -> (id, component) with component =
     min vertex id in the component. Isolated vertices don't appear
-    (callers union them back with component = own id)."""
+    (callers union them back with component = own id).
+
+    ``num_partitions`` sizes the per-round shuffles: the label/edge
+    frames are usually orders of magnitude smaller than the corpus
+    that produced them, so running the loop at the session's default
+    partitioning wastes a task-dispatch round-trip per empty
+    partition per iteration. Size to ~edges/1e6 on a cluster.
+    """
     # edges may be an expensive pipeline (e.g. MinHash-LSH): materialize
     # once — the symmetrization below consumes it twice
     edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
-    sym = (
-        edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .persist()
-    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    if num_partitions:
+        sym = sym.repartition(num_partitions, "v")
+    sym = sym.persist()
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
@@ -83,12 +92,13 @@ def dedup_clusters(
     pairs: DataFrame,
     all_ids: DataFrame,
     id_col: str,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs + the full id universe -> (id, cluster_id,
     is_canonical): every document assigned a cluster (singletons are
     their own), canonical = min id in cluster — the keep-set for
     cluster-level dedup."""
-    comps = connected_components(pairs, "id_a", "id_b")
+    comps = connected_components(pairs, "id_a", "id_b", num_partitions=num_partitions)
     out = (
         all_ids.select(F.col(id_col).alias("id"))
         .join(comps, on="id", how="left")

@@ -97,7 +97,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.35)
-    return dedup_clusters(pairs.select("id_a", "id_b"), docs, "doc_id")
+    return dedup_clusters(pairs.select("id_a", "id_b"), docs, "doc_id", num_partitions=8)
 
 
 @query("simhash_dups")  # xxhash64 signatures: no SQL oracle; property-tested
