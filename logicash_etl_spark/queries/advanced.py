@@ -396,3 +396,40 @@ def value_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).alias("correlation"),
     )
+
+
+@query("per_group_trend_forecast")  # grouped-map pandas: rows-only; slope
+# cross-checked against the SQL-exact value_trend_stats in tests
+def per_group_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per event_type, fit value ~ time by
+    OLS and forecast one day past the group's last event — the
+    engine's batch custom-operator extension point (each group arrives
+    as ONE pandas DataFrame; Arrow both ways). Use when per-group
+    logic genuinely needs imperative code; everything SQL-expressible
+    stays JVM-side (cf. value_trend_stats, same slope in pure SQL)."""
+    import numpy as np
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["ts"].astype("int64").to_numpy() / 1e9  # seconds
+        y = pdf["value"].to_numpy()
+        if len(pdf) < 2 or np.ptp(x) == 0.0:
+            # degenerate group: no trend is fittable (polyfit SVD fails)
+            slope, forecast = None, None
+        else:
+            x0 = x - x.min()
+            slope_f, intercept = np.polyfit(x0, y, 1)
+            slope = float(slope_f)
+            forecast = float(intercept + slope_f * (x0.max() + 86_400.0))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(pdf)],
+                "slope_per_sec": [slope],
+                "forecast_next_day": [forecast],
+            }
+        )
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        fit, schema="event_type string, n long, slope_per_sec double, forecast_next_day double"
+    )

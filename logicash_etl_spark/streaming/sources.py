@@ -64,3 +64,23 @@ def run_available_now_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def run_available_now_foreach_batch(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    batch_fn,
+) -> None:
+    """Drain via foreachBatch: each micro-batch arrives as a normal
+    batch DataFrame with an epoch id — the exactly-once custom-sink
+    hook (idempotent upserts, multi-table writes, JDBC). The
+    checkpoint records committed epochs, so a re-run after a crash
+    re-delivers only uncommitted batches; batch_fn must be idempotent
+    per (epoch_id, data)."""
+    q = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

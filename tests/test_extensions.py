@@ -188,3 +188,21 @@ def test_jaccard_stop_shingles_exact_scores(docs):
     # at this corpus/threshold the cutoff should not lose strong pairs
     strong = {k for k, v in full.items() if v >= 0.5}
     assert strong <= set(capped)
+
+
+def test_grouped_map_trend_matches_sql_slope(spark, sf_dir):
+    """applyInPandas OLS slope must agree with the decimal-exact SQL
+    slope (value_trend_stats) to float tolerance."""
+    from logicash_etl_spark.queries.advanced import (
+        per_group_trend_forecast,
+        value_trend_stats,
+    )
+
+    pandas_slopes = {
+        r.event_type: r.slope_per_sec
+        for r in per_group_trend_forecast(spark, sf_dir).collect()
+    }
+    sql_slopes = {r.event_type: r.slope for r in value_trend_stats(spark, sf_dir).collect()}
+    assert set(pandas_slopes) == set(sql_slopes)
+    for k in sql_slopes:
+        assert abs(pandas_slopes[k] - sql_slopes[k]) < 1e-9, k

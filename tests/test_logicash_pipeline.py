@@ -112,3 +112,26 @@ def test_idempotent_rerun(pipeline_result, spark):
     after = spark.read.parquet(f"{cfg.gold_dir}/top_atms_ranking").collect()
     assert sorted(map(str, before)) == sorted(map(str, after))
     assert [m["status"] for m in ctx2["__manifest__"]] == ["ok"] * 5
+
+
+def test_golden_outputs(pipeline_result, spark):
+    """Golden-file regression guard: the seeded 10k lot must produce
+    byte-identical DQ accounting and top-5 ranking across engine
+    versions (tests/golden_logicash.json, generated once from the
+    seeded generator — SURVEY.md section 5's deterministic-ground-truth
+    strategy made durable)."""
+    import json
+    import os
+
+    ctx, cfg, root = pipeline_result
+    with open(os.path.join(os.path.dirname(__file__), "golden_logicash.json")) as fh:
+        golden = json.load(fh)
+    assert ctx["load_silver"] == golden["dq_report"]
+    top5 = [
+        {k: (str(v) if not isinstance(v, (int, float, bool)) else v) for k, v in r.asDict().items()}
+        for r in spark.read.parquet(f"{cfg.gold_dir}/top_atms_ranking")
+        .orderBy("ranking").limit(5).collect()
+    ]
+    assert top5 == golden["top5_ranking"]
+    assert spark.read.parquet(f"{cfg.gold_dir}/dim_atms").count() == golden["gold_dim_rows"]
+    assert spark.read.parquet(f"{cfg.gold_dir}/rpt_diario_balance").count() == golden["balance_rows"]

@@ -144,3 +144,26 @@ def test_stateful_running_count(spark, events_lot):
     got = {r.user_id: r.n_events for r in out.collect()}
     want = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     assert got == want
+
+
+def test_foreach_batch_exactly_once(spark, events_lot, tmp_path_factory):
+    """foreachBatch sink: batches carry epoch ids; a rerun with the
+    same checkpoint delivers nothing new (exactly-once bookkeeping)."""
+    from logicash_etl_spark.streaming.sources import run_available_now_foreach_batch
+
+    root, lot, ev = events_lot
+    ck = str(tmp_path_factory.mktemp("fb") / "ckpt")
+    seen: list[tuple[int, int]] = []
+
+    def sink(df, epoch_id):
+        seen.append((epoch_id, df.count()))
+
+    stream = stream_parquet_dir(spark, lot, S.EVENTS)
+    run_available_now_foreach_batch(stream, ck, sink)
+    total_first = sum(n for _, n in seen)
+    assert total_first == ev.count()
+    # rerun, same checkpoint: no new batches
+    seen.clear()
+    stream2 = stream_parquet_dir(spark, lot, S.EVENTS)
+    run_available_now_foreach_batch(stream2, ck, sink)
+    assert sum(n for _, n in seen) == 0
