@@ -745,3 +745,86 @@ def per_user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct(F.to_date("ts")).alias("active_days"),
     )
+
+
+@query(
+    "null_safe_join_audit",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS k
+      FROM orders
+    )
+    SELECT a.k, count(*) AS n_pairs
+    FROM keyed a JOIN keyed b ON a.k IS NOT DISTINCT FROM b.k
+                             AND a.o_orderkey = b.o_orderkey
+    GROUP BY a.k
+    """,
+)
+def null_safe_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics audits need
+    when the join key itself is the dirty column."""
+    o = _t(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ).alias("k"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    j = a.join(
+        b,
+        on=[F.col("a.k").eqNullSafe(F.col("b.k")),
+            F.col("a.o_orderkey") == F.col("b.o_orderkey")],
+    )
+    return j.groupBy(F.col("a.k").alias("k")).agg(F.count("*").alias("n_pairs"))
+
+
+@query(
+    "schema_evolution_union",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): append a source version
+    that lacks a column — Spark null-pads by NAME (positional UNION
+    would silently misalign columns; this is the schema-evolution-safe
+    form)."""
+    o = _t(spark, sf_dir, "orders")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 2 == 1).select("o_orderkey", "o_totalprice")
+    return v2.unionByName(v1, allowMissingColumns=True)
+
+
+@query(
+    "pivot_native_daily",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS fecha_dia,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error
+    FROM events GROUP BY fecha_dia
+    """,
+)
+def pivot_native_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The idiomatic .pivot() form of A8 (explicit value list: no
+    extra distinct-values pass, stable output schema). Absent combos
+    are NULL here, vs the conditional_pivot ELSE-0 variant."""
+    ev = _t(spark, sf_dir, "events").withColumn("fecha_dia", F.to_date("ts"))
+    out = (
+        ev.groupBy("fecha_dia")
+        .pivot("event_type", ["click", "purchase", "error"])
+        .agg(F.sum(money("value")))
+    )
+    return out.select(
+        "fecha_dia",
+        F.col("click").cast("double").alias("click"),
+        F.col("purchase").cast("double").alias("purchase"),
+        F.col("error").cast("double").alias("error"),
+    )
