@@ -220,3 +220,118 @@ def knn_label_vote(topk: DataFrame, labels: DataFrame, id_col: str = "vec_id",
         .filter(F.col("__rn") == 1)
         .select(query_id, F.col(label_col).alias("predicted_label"), "votes")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF: k-means coarse quantizer + cell-probed exact re-rank
+# ---------------------------------------------------------------------------
+
+def kmeans_lite(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iterations: int = 5,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over DataFrames: centroids
+    broadcast each round, assignment via numpy matmul in one Arrow
+    pass, means recomputed with a groupBy. Init = the k lowest-id
+    vectors (seeded and reproducible, no RNG).
+
+    Returns (centroid_id, centroid array<double>). Each iteration is
+    one scan + one shuffle of (cell, partial-sum) rows — the textbook
+    scalable k-means loop (k*dim floats of driver traffic per round,
+    never the data)."""
+    v = vectors.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    centroids = [
+        (int(r.id), list(r.v))
+        for r in v.orderBy("id").limit(k).collect()
+    ]
+    for _ in range(iterations):
+        C = np.array([c for _, c in centroids])          # (k, d)
+
+        @F.pandas_udf("int")
+        def nearest(col: pd.Series) -> pd.Series:
+            M = np.vstack(col.values)                    # (n, d)
+            # cosine assignment: normalize rows then argmax dot
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            return pd.Series(np.argmax(Mn @ Cn.T, axis=1).astype("int32"))
+
+        assigned = v.withColumn("cell", nearest("v"))
+        dim = len(centroids[0][1])
+        sums = assigned.groupBy("cell").agg(
+            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+            F.count("*").alias("n"),
+        )
+        new = {
+            int(r.cell): [r[f"s{i}"] / r.n for i in range(dim)]
+            for r in sums.collect()
+        }
+        centroids = [
+            (cid, new.get(cid, c)) for cid, c in [(i, c) for i, (_, c) in enumerate(centroids)]
+        ]
+    sess = vectors.sparkSession
+    return sess.createDataFrame(
+        [(cid, c) for cid, c in centroids], "centroid_id int, centroid array<double>"
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 3,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF search: corpus rows live in their nearest centroid's cell;
+    each query probes its ``n_probe`` nearest cells and exact-cosine
+    re-ranks only those cells' members. Candidate fraction ~ n_probe/k.
+
+    The inverted-file structure is just a partitioned DataFrame —
+    persist (or write bucketed by cell) to amortize across queries.
+    """
+    cent = [(int(r.centroid_id), np.array(r.centroid)) for r in centroids.collect()]
+    C = np.array([c for _, c in cent])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def cells_udf(top_n: int):
+        @F.pandas_udf("array<int>")
+        def cells(col: pd.Series) -> pd.Series:
+            M = np.vstack(col.values)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = Mn @ Cn.T
+            order = np.argsort(-sims, axis=1)[:, :top_n].astype("int32")
+            return pd.Series(list(order))
+        return cells
+
+    c_vec = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        as_double(vec_col).alias("__cv"),
+        _norm(as_double(vec_col)).alias("__cn"),
+        F.element_at(cells_udf(1)(as_double(vec_col)), 1).alias("cell"),
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias(query_id),
+        as_double(vec_col).alias("__qv"),
+        _norm(as_double(vec_col)).alias("__qn"),
+        F.explode(cells_udf(n_probe)(as_double(vec_col))).alias("cell"),
+    )
+    scored = (
+        q_vec.join(c_vec, on="cell")
+        .filter(F.col("cand_id") != F.col(query_id))
+        .select(
+            query_id,
+            F.col("cand_id").alias(id_col),
+            (_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+                "cosine_sim"
+            ),
+        )
+        .groupBy(query_id, id_col)
+        .agg(F.first("cosine_sim").alias("cosine_sim"))  # dedup multi-probe hits
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -127,3 +127,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     out = lsh_ann_topk(emb, queries, dim=64, planes=4, tables=16, k=5)
     return out
+
+
+@query("ivf_ann_topk")  # iterative k-means quantizer: rows-only; recall-tested
+def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer (lowest-id
+    init, Lloyd iterations as scan+groupBy rounds), inverted-file
+    cells, n_probe nearest cells exact-re-ranked per query. The other
+    classic ANN scale path beside LSH: candidate fraction ~ n_probe/k,
+    and the cell assignment doubles as the blocking key for
+    embedding dedup (cf. embedding_dup_pairs)."""
+    from logicash_etl_spark.operators.similarity import ivf_ann_topk, kmeans_lite
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_lite(emb, k=8, iterations=2)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_ann_topk(emb, queries, centroids, k=5, n_probe=3)

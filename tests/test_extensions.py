@@ -206,3 +206,26 @@ def test_grouped_map_trend_matches_sql_slope(spark, sf_dir):
     assert set(pandas_slopes) == set(sql_slopes)
     for k in sql_slopes:
         assert abs(pandas_slopes[k] - sql_slopes[k]) < 1e-9, k
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    """IVF with a real quantizer must reach material recall, and every
+    reported similarity must equal the exact pair cosine."""
+    from logicash_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        kmeans_lite,
+    )
+
+    centroids = kmeans_lite(emb, k=16, iterations=3)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_ann_topk(emb, queries, centroids, k=5, n_probe=6).collect()
+    truth = {(r.query_id, r.vec_id) for r in exact}
+    got = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} < 0.6"
+    exact_sims = {(r.query_id, r.vec_id): r.cosine_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact_sims:
+            assert abs(r.cosine_sim - exact_sims[(r.query_id, r.vec_id)]) < 1e-12

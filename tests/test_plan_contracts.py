@@ -141,3 +141,14 @@ def test_shipping_priority_plan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in strategies
     assert "CartesianProduct" not in strategies
     assert has_take_ordered(df)
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """Catalyst must rewrite the Q17-shape correlated scalar subquery
+    into aggregate + equi-join — never a per-row re-execution or a
+    nested-loop join."""
+    df = QUERIES["small_quantity_revenue"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "CartesianProduct" not in strategies
+    assert len(strategies) == 2  # threshold join + part join
