@@ -828,3 +828,40 @@ def pivot_native_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase").cast("double").alias("purchase"),
         F.col("error").cast("double").alias("error"),
     )
+
+
+@query(
+    "ranking_function_surface",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           round(percent_rank() OVER w, 10) AS prank,
+           round(cume_dist() OVER w, 10) AS cdist,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           first_value(s_suppkey) OVER w AS richest,
+           last_value(s_suppkey) OVER (ORDER BY s_acctbal DESC, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def ranking_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one ordered window
+    (global window acceptable: |suppliers| is a bounded dimension);
+    last_value needs the explicit unbounded frame — the default frame
+    ends at CURRENT ROW, a classic correctness trap."""
+    sup = _t(spark, sf_dir, "supplier")
+    w = W.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return sup.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w), 10).alias("prank"),
+        F.round(F.cume_dist().over(w), 10).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.first("s_suppkey").over(w).alias("richest"),
+        F.last("s_suppkey").over(w_full).alias("poorest"),
+    )
