@@ -31,20 +31,33 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 20,
     num_partitions: int | None = None,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(src, dst) undirected edges -> (id, component) with component =
     min vertex id in the component. Isolated vertices don't appear
     (callers union them back with component = own id).
 
-    ``num_partitions`` sizes the per-round shuffles: the label/edge
-    frames are usually orders of magnitude smaller than the corpus
-    that produced them, so running the loop at the session's default
-    partitioning wastes a task-dispatch round-trip per empty
-    partition per iteration. Size to ~edges/1e6 on a cluster.
+    Adaptive execution, same principle as the broadcast-join
+    threshold: the edge list of a near-dup graph is orders of
+    magnitude smaller than the corpus that produced it, and when it
+    fits on the driver (<= ``driver_threshold`` edges, ~16 bytes
+    each -> ~32 MB at the default) a single-pass union-find beats
+    any number of distributed label-propagation rounds — each round
+    costs a shuffle + a convergence job regardless of data size.
+    Above the threshold, the distributed loop runs; the driver only
+    ever sees one scalar per round.
+
+    ``num_partitions`` sizes the per-round shuffles of the
+    distributed path: size to ~edges/1e6 on a cluster.
     """
     # edges may be an expensive pipeline (e.g. MinHash-LSH): materialize
     # once — the symmetrization below consumes it twice
     edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        out = _union_find_components(edges)
+        edges.unpersist()
+        return out
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
@@ -86,6 +99,38 @@ def connected_components(
     sym.unpersist()
     edges.unpersist()
     return labels
+
+
+def _union_find_components(edges: DataFrame) -> DataFrame:
+    """Small-graph path: collect (u, v) longs, path-compressed
+    union-find on the driver, one createDataFrame back. Output schema
+    matches the distributed path: (id, component)."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r.u), find(r.v)
+        if ra != rb:
+            # min-id root so component == min vertex id, as distributed path
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out = [(x, find(x)) for x in list(parent)]
+    spark = edges.sparkSession
+    id_type = dict(edges.dtypes)["u"]
+    if not out:
+        return spark.createDataFrame([], f"id {id_type}, component {id_type}")
+    return spark.createDataFrame(out, f"id {id_type}, component {id_type}")
 
 
 def dedup_clusters(

@@ -171,6 +171,23 @@ def test_connected_components_vs_union_find(spark, docs):
     assert per_cluster.filter("count != 1").count() == 0
 
 
+def test_components_distributed_matches_driver_path(spark):
+    """The label-propagation loop (forced via driver_threshold=0) and
+    the driver union-find fast path must agree component-for-component,
+    including a chain graph (worst case for min-propagation rounds)."""
+    from logicash_etl_spark.operators.graph import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r.id, r.component) for r in connected_components(df).collect()}
+    dist = {
+        (r.id, r.component)
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    assert fast == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
+
+
 def test_jaccard_stop_shingles_exact_scores(docs):
     """With a document-frequency cutoff, every surviving pair's score
     must equal the unfiltered exact score (candidates shrink, scores
