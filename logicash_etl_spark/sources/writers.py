@@ -53,6 +53,60 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def lakehouse_format_available(spark: SparkSession, fmt: str) -> bool:
+    """True when the table format's runtime (delta-spark / Iceberg) is
+    on the classpath. Probed, not assumed: the engine core depends only
+    on vanilla Spark, so lakehouse sinks are an optional capability
+    discovered at runtime."""
+    classes = {
+        "delta": "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        "iceberg": "org.apache.iceberg.spark.SparkCatalog",
+    }
+    cls = classes.get(fmt)
+    if cls is None:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(cls)  # type: ignore[union-attr]
+        return True
+    except Exception:  # noqa: BLE001 — Py4J raises wrapped ClassNotFound
+        return False
+
+
+def write_lakehouse(
+    df: DataFrame,
+    path: str,
+    fmt: str = "delta",
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+    allow_fallback: bool = True,
+) -> str:
+    """ACID-table sink: Delta or Iceberg when the runtime is present,
+    else (``allow_fallback``) plain parquet with the same layout.
+    Returns the format actually written so pipelines can record it in
+    the run manifest.
+
+    On a production cluster the lakehouse format is what makes the
+    overwrite-everywhere idempotency contract (COVERAGE.md L5) cheap:
+    commit-log atomicity instead of directory swaps, and MERGE/OPTIMIZE
+    for the upsert + small-files paths. The engine's own upsert/SCD2
+    operators (operators/merge.py) stay format-agnostic."""
+    spark = df.sparkSession
+    if fmt not in ("delta", "iceberg"):
+        raise ValueError(f"unknown lakehouse format {fmt!r}")
+    actual = fmt if lakehouse_format_available(spark, fmt) else None
+    if actual is None:
+        if not allow_fallback:
+            raise RuntimeError(
+                f"{fmt} runtime not on the classpath and allow_fallback=False"
+            )
+        actual = "parquet"
+    writer = df.write.mode(mode).format(actual)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
+    return actual
+
+
 def create_table_as(
     spark: SparkSession,
     name: str,

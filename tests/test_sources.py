@@ -69,3 +69,30 @@ def test_register_sources(spark, sf_smoke):
     assert set(reg) == set(S.FIXTURE_TABLES)
     # views usable from SQL
     assert spark.sql("SELECT count(*) n FROM nation").collect()[0].n == 25
+
+
+def test_lakehouse_writer_fallback(spark, tmp_path):
+    """Without delta/iceberg on the classpath the lakehouse sink must
+    degrade to parquet with identical layout — and report what it did."""
+    from logicash_etl_spark.sources.writers import (
+        lakehouse_format_available,
+        write_lakehouse,
+    )
+
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket")
+    )
+    out = str(tmp_path / "lake")
+    actual = write_lakehouse(df, out, fmt="delta", partition_cols=["bucket"])
+    expected = "delta" if lakehouse_format_available(spark, "delta") else "parquet"
+    assert actual == expected
+    back = spark.read.format(actual).load(out)
+    assert back.count() == 10
+    assert set(back.columns) == {"id", "bucket"}
+    with pytest.raises(RuntimeError, match="classpath"):
+        if not lakehouse_format_available(spark, "iceberg"):
+            write_lakehouse(df, out, fmt="iceberg", allow_fallback=False)
+        else:
+            raise RuntimeError("classpath present; skip-equivalent")
+    with pytest.raises(ValueError, match="unknown lakehouse format"):
+        write_lakehouse(df, out, fmt="hudi")
