@@ -865,3 +865,53 @@ def ranking_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("s_suppkey").over(w).alias("richest"),
         F.last("s_suppkey").over(w_full).alias("poorest"),
     )
+
+
+@query(
+    "calendar_gap_fill",
+    oracle="""
+    WITH span AS (
+      SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+    ), cal AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ), dims AS (
+      SELECT DISTINCT o_orderpriority AS prio FROM orders
+    ), actual AS (
+      SELECT o_orderdate AS day, o_orderpriority AS prio,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+      GROUP BY 1, 2
+    )
+    SELECT cal.day, dims.prio, coalesce(a.n_orders, 0) AS n_orders
+    FROM cal CROSS JOIN dims
+      LEFT JOIN actual a ON a.day = cal.day AND a.prio = dims.prio
+    """,
+)
+def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: every (day, priority) cell of a month
+    gets a row, zero-filled where no orders landed — the gap-fill step
+    every downstream window/trend computation needs. The calendar is
+    generated with sequence()+explode from the observed span (no
+    driver-side date loop); both generated dims are tiny -> both sides
+    of the fill join broadcast."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-01-31")
+    )
+    span = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    cal = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    dims = orders.select(F.col("o_orderpriority").alias("prio")).distinct()
+    actual = orders.groupBy(
+        F.col("o_orderdate").alias("day"), F.col("o_orderpriority").alias("prio")
+    ).agg(F.count("*").alias("n_orders"))
+    return (
+        cal.crossJoin(F.broadcast(dims))
+        .join(F.broadcast(actual), on=["day", "prio"], how="left")
+        .select("day", "prio", F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+    )
