@@ -232,48 +232,41 @@ def kmeans_lite(
     vec_col: str = "embedding",
     k: int = 16,
     iterations: int = 5,
+    train_sample: int = 65536,
 ) -> DataFrame:
-    """Deterministic Lloyd's k-means over DataFrames: centroids
-    broadcast each round, assignment via numpy matmul in one Arrow
-    pass, means recomputed with a groupBy. Init = the k lowest-id
-    vectors (seeded and reproducible, no RNG).
+    """Deterministic coarse quantizer, trained the way production IVF
+    indexes train (FAISS practice): Lloyd's k-means in numpy on a
+    driver-sized sample — the quantizer never needs the full corpus;
+    only the CELL ASSIGNMENT pass (ivf_ann_topk) is distributed.
 
-    Returns (centroid_id, centroid array<double>). Each iteration is
-    one scan + one shuffle of (cell, partial-sum) rows — the textbook
-    scalable k-means loop (k*dim floats of driver traffic per round,
-    never the data)."""
+    The sample is the ``train_sample`` rows with the lowest
+    xxhash64(id): uniform-ish, fully reproducible (no RNG), and
+    selected with TakeOrderedAndProject — per-partition top-K then a
+    driver merge, so at 100 TB it costs one scan and O(K) memory per
+    partition, never a full sort shuffle. Init = the k lowest-id
+    sample vectors. Returns (centroid_id, centroid array<double>).
+    """
     v = vectors.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
-    centroids = [
-        (int(r.id), list(r.v))
-        for r in v.orderBy("id").limit(k).collect()
-    ]
+    rows = (
+        v.orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(train_sample)
+        .collect()
+    )
+    rows.sort(key=lambda r: r.id)
+    M = np.array([list(r.v) for r in rows])              # (n, d)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = M[:k].copy()                                     # k lowest-id init
     for _ in range(iterations):
-        C = np.array([c for _, c in centroids])          # (k, d)
-
-        @F.pandas_udf("int")
-        def nearest(col: pd.Series) -> pd.Series:
-            M = np.vstack(col.values)                    # (n, d)
-            # cosine assignment: normalize rows then argmax dot
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-            return pd.Series(np.argmax(Mn @ Cn.T, axis=1).astype("int32"))
-
-        assigned = v.withColumn("cell", nearest("v"))
-        dim = len(centroids[0][1])
-        sums = assigned.groupBy("cell").agg(
-            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
-            F.count("*").alias("n"),
-        )
-        new = {
-            int(r.cell): [r[f"s{i}"] / r.n for i in range(dim)]
-            for r in sums.collect()
-        }
-        centroids = [
-            (cid, new.get(cid, c)) for cid, c in [(i, c) for i, (_, c) in enumerate(centroids)]
-        ]
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        cell = np.argmax(Mn @ Cn.T, axis=1)              # cosine assignment
+        for c in range(k):
+            members = M[cell == c]
+            if len(members):                             # empty cell keeps centroid
+                C[c] = members.mean(axis=0)
     sess = vectors.sparkSession
     return sess.createDataFrame(
-        [(cid, c) for cid, c in centroids], "centroid_id int, centroid array<double>"
+        [(i, [float(x) for x in C[i]]) for i in range(k)],
+        "centroid_id int, centroid array<double>",
     )
 
 
@@ -330,8 +323,9 @@ def ivf_ann_topk(
                 "cosine_sim"
             ),
         )
-        .groupBy(query_id, id_col)
-        .agg(F.first("cosine_sim").alias("cosine_sim"))  # dedup multi-probe hits
+        # no dedup needed: every corpus vector lives in exactly ONE
+        # cell and a query's probed cells are distinct, so each
+        # (query, candidate) pair joins at most once
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
