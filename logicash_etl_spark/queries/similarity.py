@@ -120,12 +120,14 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_lsh_topk")  # xxhash64 hyperplanes: no SQL oracle; recall-tested
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via multi-table random-hyperplane LSH
-    (16 tables x 4 planes, recall@5 ~0.93 here) with exact cosine re-rank on the candidate
+    """Approximate top-5 via multi-probe random-hyperplane LSH
+    (8 tables x 4 planes, 2 least-confident-bit probes per table,
+    recall@5 ~0.96 here — beats 16 single-probe tables at HALF the
+    corpus-side index) with exact cosine re-rank on the candidate
     union — the scale path when Q ~ N and brute force is O(N^2)."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = lsh_ann_topk(emb, queries, dim=64, planes=4, tables=16, k=5)
+    out = lsh_ann_topk(emb, queries, dim=64, planes=4, tables=8, k=5, multi_probe=2)
     return out
 
 

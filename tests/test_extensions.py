@@ -89,6 +89,26 @@ def test_lsh_ann_recall_vs_bruteforce(emb):
             assert abs(r.cosine_sim - exact_sims[(r.query_id, r.vec_id)]) < 1e-12
 
 
+def test_multi_probe_lsh_recall(emb):
+    """Multi-probe at HALF the tables must recover at least the recall
+    of the same half-table index single-probed (probes only ever add
+    buckets), and stay material in absolute terms — the corpus-side
+    index is the expensive half at scale."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {(r.query_id, r.vec_id)
+             for r in cosine_topk(emb, queries, k=5).collect()}
+
+    def recall(**kw):
+        got = {(r.query_id, r.vec_id)
+               for r in lsh_ann_topk(emb, queries, dim=64, planes=4, k=5, **kw).collect()}
+        return len(got & truth) / len(truth)
+
+    single = recall(tables=8)
+    probed = recall(tables=8, multi_probe=2)
+    assert probed >= single, f"multi-probe lost recall: {probed:.2f} < {single:.2f}"
+    assert probed >= 0.6, f"multi-probe recall {probed:.2f} < 0.6"
+
+
 def test_approx_sketch_accuracy(spark, sf_dir):
     """approx_count_distinct within its rsd bound; percentile_approx
     within a tolerant band of the exact percentiles."""
