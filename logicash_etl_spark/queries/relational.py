@@ -915,3 +915,33 @@ def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(actual), on=["day", "prio"], how="left")
         .select("day", "prio", F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
     )
+
+
+@query(
+    "fuzzy_name_match",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: near-identical part names by edit
+    distance, BLOCKED on brand so the candidate space is
+    sum(|block|^2), never |table|^2 — the standard scale shape for
+    fuzzy matching (block -> pair -> score -> threshold). levenshtein
+    runs JVM-side; at 100 TB tighten blocks (brand x container) or
+    pre-filter candidates with a cheap q-gram LSH before scoring."""
+    part = _t(spark, sf_dir, "part")
+    a = part.select(F.col("p_brand").alias("b"), F.col("p_partkey").alias("key_a"),
+                    F.col("p_name").alias("name_a"))
+    b = part.select(F.col("p_brand").alias("b"), F.col("p_partkey").alias("key_b"),
+                    F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, on=[a.b == b.b, F.col("key_a") < F.col("key_b")])
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("key_a", "key_b", "edit_dist")
+    )
