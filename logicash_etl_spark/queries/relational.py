@@ -924,16 +924,21 @@ def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
     FROM part a JOIN part b
       ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
     """,
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy join: near-identical part names by edit
     distance, BLOCKED on brand so the candidate space is
     sum(|block|^2), never |table|^2 — the standard scale shape for
-    fuzzy matching (block -> pair -> score -> threshold). levenshtein
-    runs JVM-side; at 100 TB tighten blocks (brand x container) or
-    pre-filter candidates with a cheap q-gram LSH before scoring."""
+    fuzzy matching (block -> pair -> cheap filter -> score). Two
+    score-side cuts that matter at scale: a length-difference
+    prefilter (|len diff| > t implies dist > t, and it short-circuits
+    before the O(m*n) levenshtein) and Spark's thresholded
+    levenshtein (early-exits rows whose distance exceeds t). At
+    100 TB also tighten blocks (brand x container) or pre-filter
+    candidates with a q-gram LSH."""
     part = _t(spark, sf_dir, "part")
     a = part.select(F.col("p_brand").alias("b"), F.col("p_partkey").alias("key_a"),
                     F.col("p_name").alias("name_a"))
@@ -941,7 +946,8 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("p_name").alias("name_b"))
     return (
         a.join(b, on=[a.b == b.b, F.col("key_a") < F.col("key_b")])
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("int"))
-        .filter(F.col("edit_dist") <= 2)
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 2).cast("int"))
+        .filter(F.col("edit_dist").between(0, 2))
         .select("key_a", "key_b", "edit_dist")
     )
