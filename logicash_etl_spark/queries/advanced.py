@@ -69,7 +69,10 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000).alias("price_q"),
+        # split the quantile sketch into scalar columns: the driver
+        # canonicalizer cannot hash array-typed output
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("price_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("price_p95"),
         F.count("*").alias("n"),
     )
 
@@ -288,14 +291,17 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
            round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem,
            round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_elem,
-           list_transform(list_slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+           round(CAST(embedding[2] AS DOUBLE), 4) AS head2,
+           round(CAST(embedding[3] AS DOUBLE), 4) AS head3,
            list_contains(list_transform(embedding, x -> x > 0), TRUE) AS has_positive
     FROM embeddings
     """,
 )
 def array_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-column surface: size, indexing, min/max, slice, transform,
-    contains — the vector-column toolbox without UDFs."""
+    contains — the vector-column toolbox without UDFs. The slice is
+    emitted as scalar columns (head2/head3): oracle-checked queries
+    must not emit raw array columns (driver canonicalizer limitation)."""
     e = read_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
@@ -303,9 +309,8 @@ def array_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_elem"),
         F.round(F.array_min("embedding").cast("double"), 6).alias("min_elem"),
-        F.transform(
-            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
-        ).alias("head3"),
+        F.round(F.element_at("embedding", 2).cast("double"), 4).alias("head2"),
+        F.round(F.element_at("embedding", 3).cast("double"), 4).alias("head3"),
         F.array_contains(F.transform("embedding", lambda x: x > 0), True).alias(
             "has_positive"
         ),

@@ -729,7 +729,7 @@ def revenue_by_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per_user_event_profile",
     oracle="""
     SELECT user_id,
-           list_sort(list_distinct(array_agg(event_type))) AS event_types,
+           array_to_string(list_sort(list_distinct(array_agg(event_type))), ',') AS event_types,
            count(*) AS n_events,
            CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
     FROM events GROUP BY user_id
@@ -738,10 +738,12 @@ def revenue_by_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 def per_user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-aggregation surface: collect_set with a deterministic
     sort (collect order is partition-dependent; sort_array makes the
-    result comparable), plus distinct-day counting."""
+    result comparable), plus distinct-day counting. The array is
+    serialized to a csv string: oracle-checked queries must not emit
+    raw array columns (the driver canonicalizer can't hash lists)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("event_types"),
         F.count("*").alias("n_events"),
         F.countDistinct(F.to_date("ts")).alias("active_days"),
     )

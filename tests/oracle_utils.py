@@ -59,6 +59,19 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     """Assert Spark result == DuckDB oracle result (driver semantics)."""
+    # The driver canonicalizer (pandas sort_values) crashes on
+    # array/map/struct output columns — reject them here so the local
+    # gate fails wherever the driver would (round-1 lesson:
+    # per_user_event_profile passed locally, failed in the driver).
+    complex_cols = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in spark_df.schema.fields
+        if f.dataType.simpleString().startswith(("array", "map", "struct"))
+    ]
+    assert not complex_cols, (
+        "oracle-checked query emits non-scalar columns (driver cannot "
+        f"hash them — serialize with array_join or split): {complex_cols}"
+    )
     sdf = spark_df.toPandas()
     con = duck_connection(sf_dir)
     try:
