@@ -164,6 +164,79 @@ def asof_join(
     )
 
 
+def fuzzy_self_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    block_cols: list[str] | None = None,
+    prefix_len: int = 4,
+    suffix_len: int = 4,
+) -> DataFrame:
+    """Entity-resolution fuzzy self-join: pairs of rows whose text is
+    within ``max_dist`` edits, blocked so candidates never approach
+    |table|^2.
+
+    Blocking is multi-pass on text-derived keys: a pair is a candidate
+    iff it shares (block_cols + first ``prefix_len`` chars) OR
+    (block_cols + last ``suffix_len`` chars). Unlike a fixed-cardinality
+    attribute key (25 brands => block size grows linearly with N and
+    pairs with N^2), prefix/suffix key cardinality grows with text
+    diversity, so per-block size stays bounded as the table grows —
+    the property tests/test_extensions.py pins. A dist<=max_dist pair
+    misses only when edits corrupt both ends simultaneously; that
+    residual recall loss is inherent to blocking and is the documented
+    ER trade (Papadakis et al., "Blocking and Filtering Techniques for
+    Entity Resolution", CSUR 2020).
+
+    Verification applies two cheap cuts before the O(m*n) DP:
+    a length-difference prefilter (|len(a)-len(b)| > t implies
+    dist > t) and Spark's thresholded ``levenshtein(a, b, t)`` which
+    early-exits rows whose distance exceeds t.
+
+    Returns (key_a, key_b, edit_dist) with key_a < key_b.
+    """
+    blocks = list(block_cols or [])
+    keyed = df.select(
+        *blocks,
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__txt"),
+        # left/right (not substring with negative pos): identical
+        # shorter-than-n semantics across engines for the oracle mirror
+        F.expr(f"left({text_col}, {prefix_len})").alias("__pre"),
+        F.expr(f"right({text_col}, {suffix_len})").alias("__suf"),
+    )
+
+    def one_pass(key: str) -> DataFrame:
+        a = keyed.select(
+            *blocks, F.col(key).alias("__k"),
+            F.col("__id").alias("key_a"), F.col("__txt").alias("name_a"),
+        )
+        b = keyed.select(
+            *blocks, F.col(key).alias("__k"),
+            F.col("__id").alias("key_b"), F.col("__txt").alias("name_b"),
+        )
+        return (
+            a.join(b, on=blocks + ["__k"])
+            .filter(F.col("key_a") < F.col("key_b"))
+            .select("key_a", "key_b", "name_a", "name_b")
+        )
+
+    cand = (
+        one_pass("__pre")
+        .unionByName(one_pass("__suf"))
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    return (
+        cand.filter(F.abs(F.length("name_a") - F.length("name_b")) <= max_dist)
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b", max_dist).cast("int")
+        )
+        .filter(F.col("edit_dist").between(0, max_dist))
+        .select("key_a", "key_b", "edit_dist")
+    )
+
+
 def join_with_skew_salt(
     big: DataFrame,
     small: DataFrame,

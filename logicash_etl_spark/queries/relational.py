@@ -922,34 +922,43 @@ def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fuzzy_name_match",
     oracle="""
-    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
-    FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
-      AND levenshtein(a.p_name, b.p_name) <= 2
+    WITH cand AS (
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             a.p_name AS name_a, b.p_name AS name_b
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand
+       AND left(a.p_name, 4) = left(b.p_name, 4)
+       AND a.p_partkey < b.p_partkey
+      UNION
+      SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand
+       AND right(a.p_name, 4) = right(b.p_name, 4)
+       AND a.p_partkey < b.p_partkey
+    )
+    SELECT key_a, key_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
+    FROM cand
+    WHERE abs(length(name_a) - length(name_b)) <= 2
+      AND levenshtein(name_a, name_b) <= 2
     """,
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy join: near-identical part names by edit
-    distance, BLOCKED on brand so the candidate space is
-    sum(|block|^2), never |table|^2 — the standard scale shape for
-    fuzzy matching (block -> pair -> cheap filter -> score). Two
-    score-side cuts that matter at scale: a length-difference
-    prefilter (|len diff| > t implies dist > t, and it short-circuits
-    before the O(m*n) levenshtein) and Spark's thresholded
-    levenshtein (early-exits rows whose distance exceeds t). At
-    100 TB also tighten blocks (brand x container) or pre-filter
-    candidates with a q-gram LSH."""
+    distance, via operators/joins.py::fuzzy_self_join.
+
+    Blocking is compound and text-derived — (brand x name-prefix) OR
+    (brand x name-suffix) — not brand alone: brand has fixed
+    cardinality 25, so brand-only blocks grow linearly with the table
+    and pairs quadratically (the round-1 scale-killer). Prefix/suffix
+    key cardinality grows with name diversity, so per-block size is
+    bounded as data grows; the two passes together catch any pair
+    whose <=2 edits leave either end of the name intact. The oracle
+    mirrors the same candidate generation so results hash-match."""
+    from logicash_etl_spark.operators.joins import fuzzy_self_join
+
     part = _t(spark, sf_dir, "part")
-    a = part.select(F.col("p_brand").alias("b"), F.col("p_partkey").alias("key_a"),
-                    F.col("p_name").alias("name_a"))
-    b = part.select(F.col("p_brand").alias("b"), F.col("p_partkey").alias("key_b"),
-                    F.col("p_name").alias("name_b"))
-    return (
-        a.join(b, on=[a.b == b.b, F.col("key_a") < F.col("key_b")])
-        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 2).cast("int"))
-        .filter(F.col("edit_dist").between(0, 2))
-        .select("key_a", "key_b", "edit_dist")
+    return fuzzy_self_join(
+        part, id_col="p_partkey", text_col="p_name",
+        max_dist=2, block_cols=["p_brand"], prefix_len=4, suffix_len=4,
     )

@@ -266,3 +266,59 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     for r in approx:
         if (r.query_id, r.vec_id) in exact_sims:
             assert abs(r.cosine_sim - exact_sims[(r.query_id, r.vec_id)]) < 1e-12
+
+
+def test_fuzzy_self_join_blocking_bounded(spark):
+    """The round-2 re-block contract: candidate pairs from the
+    prefix/suffix compound blocking must NOT scale quadratically when
+    a single fixed-cardinality attribute (brand) dominates — the
+    round-1 brand-only blocking failure mode.
+
+    One brand, n diverse names + planted near-dups: brand-only
+    blocking would generate n(n-1)/2 candidates; compound blocking
+    must stay within a small linear factor, while still finding every
+    planted pair."""
+    import hashlib
+
+    from logicash_etl_spark.operators.joins import fuzzy_self_join
+
+    n = 400
+    rows = []
+    for i in range(n):
+        # diverse names: hex digests have high prefix/suffix entropy
+        name = hashlib.md5(f"name-{i}".encode()).hexdigest()[:20]
+        rows.append((i, name, "Brand#1"))
+    # planted near-dups: single-char substitution mid-string (both
+    # prefix and suffix intact -> must be found)
+    planted = []
+    for i in range(20):
+        base = rows[i][1]
+        mutated = base[:10] + ("z" if base[10] != "z" else "y") + base[11:]
+        rows.append((n + i, mutated, "Brand#1"))
+        planted.append((i, n + i))
+    df = spark.createDataFrame(rows, ["id", "name", "brand"])
+
+    out = fuzzy_self_join(
+        df, id_col="id", text_col="name", max_dist=2,
+        block_cols=["brand"], prefix_len=4, suffix_len=4,
+    )
+    pairs = {(r.key_a, r.key_b) for r in out.collect()}
+    assert set(planted) <= pairs, f"missed planted dups: {set(planted) - pairs}"
+
+    # candidate bound: recompute the blocking passes the operator runs
+    # and assert they are nowhere near the brand-only n^2/2 blow-up
+    keyed = df.select(
+        "brand", "id",
+        F.expr("left(name, 4)").alias("pre"),
+        F.expr("right(name, 4)").alias("suf"),
+    )
+    n_total = df.count()
+    brand_only_pairs = n_total * (n_total - 1) // 2
+    cand = 0
+    for key in ("pre", "suf"):
+        sizes = keyed.groupBy("brand", key).count().collect()
+        cand += sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+    assert cand < 10 * n_total, (
+        f"compound blocking produced {cand} candidates for {n_total} rows "
+        f"(brand-only would be {brand_only_pairs})"
+    )
