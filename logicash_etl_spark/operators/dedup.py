@@ -164,6 +164,13 @@ def jaccard_pairs(
     are re-scored exactly from their full shingle arrays (so scores
     are still exact). Pairs sharing ONLY stop-shingles are missed —
     the deliberate trade (boilerplate overlap, not content overlap).
+
+    Caching: the (id, hash) projection is persisted because the plan
+    consumes it up to 4x. The returned DataFrame is lazy, so the
+    cache must outlive this call — callers own cleanup
+    (``spark.catalog.clearCache()`` or ``.unpersist()`` on a handle)
+    once the result is materialized; bench.py does exactly that
+    between queries.
     """
     # join/shuffle on the 64-bit shingle hash, not the string: smaller
     # shuffle rows, cheaper comparisons; P(collision) ~ n^2/2^64 is
@@ -233,7 +240,12 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: LSH candidates, then exact-Jaccard
     verification on the candidate set only (the scale path: candidates
-    << all pairs)."""
+    << all pairs).
+
+    Caching: the shingle-array projection is persisted (feeds the
+    signature path and both verification joins). As with
+    ``jaccard_pairs``, the result is lazy — callers own cache cleanup
+    after materializing."""
     # tokenize once: the shingle-array projection feeds both the LSH
     # signature path and the verification joins
     sh = df.select(
@@ -273,7 +285,15 @@ def simhash_signatures(
     Docs with no tokens get signature 0.
     """
     tok = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("__t"))
-    hashed = tok.select(id_col, F.xxhash64("__t").alias("__h"))
+    # xxhash64(NULL) returns the SEED (42), never NULL — hash only
+    # real tokens so the null branch below actually fires and no-token
+    # docs (explode_outer's single NULL row) truly get signature 0
+    hashed = tok.select(
+        id_col,
+        F.when(F.col("__t").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.xxhash64("__t"))
+        .alias("__h"),
+    )
     votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(

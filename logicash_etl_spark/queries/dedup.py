@@ -57,10 +57,18 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w
     ), sizes AS (
       SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), idx AS (
+      SELECT doc_id, s FROM sh
+      WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > 100)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
     ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+      GROUP BY c.id_a, c.id_b
     )
     SELECT id_a, id_b,
            CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
@@ -72,9 +80,18 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 3-gram Jaccard near-dup pairs via inverted-index join —
-    the ground truth the approximate detectors are tested against."""
+    the ground truth the approximate detectors are tested against.
+
+    ``max_doc_freq=100`` caps inverted-index skew: a shingle appearing
+    in k docs otherwise fans out to k^2 join rows (one boilerplate
+    sentence at 100 TB = a stuck executor). Pruned shingles only shrink
+    CANDIDATE generation; surviving pairs are re-scored exactly against
+    the unfiltered index, and the oracle mirrors the same prune +
+    re-score so results hash-match."""
     docs = read_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.35)
+    return jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.35, max_doc_freq=100
+    )
 
 
 @query("minhash_lsh_dups")  # xxhash64 signatures: no SQL oracle; property-tested

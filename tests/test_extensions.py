@@ -124,7 +124,7 @@ def test_approx_sketch_accuracy(spark, sf_dir):
     for r in approx_sketches(spark, sf_dir).collect():
         rel_err = abs(r.approx_orders - exact[r.l_returnflag]) / exact[r.l_returnflag]
         assert rel_err < 0.1, f"{r.l_returnflag}: rel err {rel_err:.3f}"
-        assert r.price_q[0] < r.price_q[1]  # p50 < p95
+        assert r.price_p50 < r.price_p95
 
 
 def test_skew_salted_join_matches_plain(spark, sf_dir):
@@ -322,3 +322,59 @@ def test_fuzzy_self_join_blocking_bounded(spark):
         f"compound blocking produced {cand} candidates for {n_total} rows "
         f"(brand-only would be {brand_only_pairs})"
     )
+
+
+def test_jaccard_hot_shingle_skew_bounded(spark):
+    """Round-2 skew contract: a boilerplate sentence shared by 50% of
+    docs must not blow up the inverted-index join. With max_doc_freq
+    set, hot shingles leave candidate generation (k^2 -> ~0 rows for
+    the hot key) while planted near-dups are still found with EXACT
+    scores computed against the unfiltered index."""
+    from logicash_etl_spark.operators.dedup import jaccard_pairs
+    from logicash_etl_spark.operators.text import word_shingles
+
+    n = 200
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(n):
+        unique = f"unique content piece {i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+        rows.append((i, (hot + " " + unique) if i % 2 == 0 else unique))
+    # planted near-dup of doc 7 (one appended word)
+    rows.append((n, "unique content piece 7 alpha7 beta7 gamma7 delta7 epsilon7 zeta"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # candidate volume: replicate the operator's index join sizes
+    sh = (
+        df.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles("text", 3))).alias("s"),
+        )
+        .select("doc_id", F.xxhash64("s").alias("sh"))
+    )
+    full_cand = (
+        sh.alias("a")
+        .join(sh.alias("b"), on=[F.col("a.sh") == F.col("b.sh"),
+                                 F.col("a.doc_id") < F.col("b.doc_id")])
+        .count()
+    )
+    hot_keys = sh.groupBy("sh").count().filter(F.col("count") > 20).select("sh")
+    idx = sh.join(hot_keys, on="sh", how="left_anti")
+    capped_cand = (
+        idx.alias("a")
+        .join(idx.alias("b"), on=[F.col("a.sh") == F.col("b.sh"),
+                                  F.col("a.doc_id") < F.col("b.doc_id")])
+        .count()
+    )
+    assert full_cand > 10_000, f"skew not injected? full candidates={full_cand}"
+    assert capped_cand < 100, f"pruning failed to bound candidates: {capped_cand}"
+
+    # planted pair found, score exact vs unfiltered run
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in jaccard_pairs(df, "doc_id", threshold=0.35,
+                                     max_doc_freq=20).collect()}
+    assert (7, n) in capped
+    assert abs(capped[(7, n)] - 7.0 / 8.0) < 1e-12
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in jaccard_pairs(df, "doc_id", threshold=0.35).collect()}
+    for k, v in capped.items():
+        assert abs(v - full[k]) < 1e-12, f"{k}: capped {v} != exact {full[k]}"
