@@ -3,20 +3,23 @@
 Near-dup detection yields PAIRS; deduplication needs CLUSTERS (keep
 one canonical doc per component of the similarity graph). Spark has no
 recursive CTE, so this is the engine's representative *iterative*
-algorithm: driver-driven label propagation over DataFrames.
+algorithm, with two execution strategies picked adaptively:
 
-Algorithm: every vertex starts labeled with its own id; each round,
-every vertex takes the min label among itself and its neighbors;
-converged when no label changes. Rounds = graph diameter (dedup
-components are near-cliques, so 2-3 rounds in practice). Each round is
-one shuffle; frames are persisted and the loop checks convergence with
-a cheap count — the driver only ever sees ONE scalar per round, never
-data.
+- **driver union-find** when the edge list fits on the driver
+  (near-dup edge lists are orders of magnitude smaller than the corpus
+  that produced them) — one pass, zero shuffle rounds;
+- **large-star/small-star** (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC 2014) above the threshold: alternating
+  min-propagation rounds that contract every component to a star in
+  O(log n) rounds even on pathological chain graphs — unlike plain
+  label propagation, whose round count is the graph DIAMETER. Each
+  round is two shuffles over the (shrinking) edge set; the driver only
+  ever sees one checksum per round, never data.
 
-At 100 TB scale the same loop holds (labels are (long, long) pairs —
-the shuffle is tiny relative to the corpus); for adversarial
-long-chain graphs switch to the large-star/small-star variant
-(alternating min-propagation that converges in O(log n) rounds).
+Convergence is CHECKED, not assumed: the loop compares a per-round
+(count, hash-sum) checksum and raises if the cap is hit while the
+edge set is still moving — an unconverged result silently over-splits
+components, which for dedup means keeping near-duplicates.
 """
 
 from __future__ import annotations
@@ -25,80 +28,156 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edges -> canonical orientation (u > v), self-loops
+    dropped, deduped."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """large-star(u): connect every strictly-larger neighbor of u to
+    m = min(N(u) + {u}). Emits (v, m) for v in N(u), v > u."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mn = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mn, on="u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """small-star(u): orient edges toward the smaller endpoint, then
+    connect all of u's (smaller) neighbors and u itself to
+    m = min(N(u) + {u}). Output stays canonically oriented (u > v)."""
+    o = (
+        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    mn = o.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = (
+        o.join(mn, on="u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    centers = mn.select("u", F.col("m").alias("v"))
+    return (
+        nbrs.unionByName(centers)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple:
+    """Cheap fixpoint detector: (row count, sum of 64-bit row hashes).
+    Equality across a large-star+small-star round means the edge set
+    is a stable star forest (hash-collision probability negligible)."""
+    # decimal sum: a long sum of 64-bit hashes overflows under ANSI
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iterations: int = 20,
+    max_iterations: int = 30,
     num_partitions: int | None = None,
     driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(src, dst) undirected edges -> (id, component) with component =
     min vertex id in the component. Isolated vertices don't appear
-    (callers union them back with component = own id).
+    (callers union them back with component = own id); vertices seen
+    only in self-loops map to themselves.
 
     Adaptive execution, same principle as the broadcast-join
-    threshold: the edge list of a near-dup graph is orders of
-    magnitude smaller than the corpus that produced it, and when it
-    fits on the driver (<= ``driver_threshold`` edges, ~16 bytes
-    each -> ~32 MB at the default) a single-pass union-find beats
-    any number of distributed label-propagation rounds — each round
-    costs a shuffle + a convergence job regardless of data size.
-    Above the threshold, the distributed loop runs; the driver only
-    ever sees one scalar per round.
+    threshold: when the edge list fits on the driver
+    (<= ``driver_threshold`` edges, ~16 bytes each -> ~32 MB at the
+    default) a single-pass union-find beats any number of distributed
+    rounds. Above it, alternating large-star/small-star contracts
+    every component to a star in O(log n) rounds — including
+    adversarial long chains, where plain label propagation needs
+    diameter rounds.
 
-    ``num_partitions`` sizes the per-round shuffles of the
-    distributed path: size to ~edges/1e6 on a cluster.
+    ``num_partitions`` sizes the per-round shuffles of the distributed
+    path: size to ~edges/1e6 on a cluster.
+
+    Raises ``RuntimeError`` if ``max_iterations`` rounds pass without
+    reaching the fixpoint (an unconverged result would silently
+    over-split components).
     """
     # edges may be an expensive pipeline (e.g. MinHash-LSH): materialize
-    # once — the symmetrization below consumes it twice
+    # once — both strategies consume the frame more than once
     edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         out = _union_find_components(edges)
         edges.unpersist()
         return out
-    sym = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
-    if num_partitions:
-        sym = sym.repartition(num_partitions, "v")
-    sym = sym.persist()
-    labels = (
-        sym.select(F.col("u").alias("id"))
+
+    # vertex universe up front: star contraction drops self-loop-only
+    # vertices, and roots must label themselves. localCheckpoint (not
+    # persist): severs lineage so the loop below can't re-trigger the
+    # upstream pair pipeline, and lets us release `edges` immediately.
+    vertices = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
         .distinct()
-        .withColumn("component", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
-    # Convergence: labels only ever decrease (min-propagation), so the
-    # label sum strictly decreases until fixpoint — one cheap aggregate
-    # per round instead of a join-and-compare.
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.id)
-            .groupBy(F.col("u").alias("id"))
-            .agg(F.min("component").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, on="id", how="left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce("nmin", "component")).alias(
-                    "component"
-                ),
-            )
-            .persist()
-        )
-        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    sym.unpersist()
+
+    cur = _canonical(edges)
+    if num_partitions:
+        cur = cur.repartition(num_partitions, "u")
+    # ITERATION RULE: checkpoint every round. Each star references its
+    # input 2-3x, so a persist-only loop grows the logical plan
+    # exponentially and Catalyst analysis — not the data — becomes the
+    # bottleneck within ~10 rounds. localCheckpoint materializes to
+    # executor storage and truncates the plan to a leaf.
+    cur = cur.localCheckpoint()
     edges.unpersist()
-    return labels
+    chk = _checksum(cur)
+    converged = chk[0] == 0  # no non-self-loop edges: nothing to contract
+    for _ in range(max_iterations):
+        if converged:
+            break
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        nchk = _checksum(nxt)
+        cur = nxt
+        if nchk == chk:
+            converged = True
+        chk = nchk
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "large-star/small-star rounds — raise max_iterations "
+            f"(edge set still moving at checksum {chk})"
+        )
+
+    # fixpoint is a star forest: every non-root appears once as u with
+    # v = component root; roots and isolated/self-loop vertices label
+    # themselves via the left join
+    star = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (
+        vertices.join(star, on="id", how="left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
 
 
 def _union_find_components(edges: DataFrame) -> DataFrame:

@@ -378,3 +378,49 @@ def test_jaccard_hot_shingle_skew_bounded(spark):
             for r in jaccard_pairs(df, "doc_id", threshold=0.35).collect()}
     for k, v in capped.items():
         assert abs(v - full[k]) < 1e-12, f"{k}: capped {v} != exact {full[k]}"
+
+
+def test_large_star_small_star_path_graph(spark):
+    """Round-2 contract for the distributed CC path: a 10k-vertex PATH
+    graph (the adversarial case — diameter 10k) must converge in
+    O(log n) large-star/small-star rounds. max_iterations=18 ~
+    log2(10k)+slack; plain label propagation would need ~10k rounds
+    and the loop raises on non-convergence, so finishing AT ALL under
+    this cap is the O(log n) assertion."""
+    from logicash_etl_spark.operators.graph import connected_components
+
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = connected_components(
+        edges, driver_threshold=0, max_iterations=18, num_partitions=8
+    )
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r.component for r in rows} == {0}
+
+
+def test_large_star_small_star_random_vs_union_find(spark):
+    """Distributed LS/SS labels must equal driver union-find labels on
+    a mixed graph: several chains, a clique, singleton self-loop."""
+    import random
+
+    from logicash_etl_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = []
+    for chain in range(5):  # chains of length 50
+        base = chain * 1000
+        edges += [(base + i, base + i + 1) for i in range(50)]
+    clique = [9000 + i for i in range(10)]
+    edges += [(a, b) for a in clique for b in clique if a < b]
+    edges += [(7777, 7777)]  # self-loop-only vertex
+    rng.shuffle(edges)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    fast = {(r.id, r.component)
+            for r in connected_components(df).collect()}
+    dist = {(r.id, r.component)
+            for r in connected_components(df, driver_threshold=0).collect()}
+    assert fast == dist
