@@ -1,0 +1,52 @@
+"""Streaming queries exposed to the driver.
+
+Each query materializes a parquet lot from the fixture, runs a REAL
+Structured Streaming query over it under ``Trigger.AvailableNow``
+(fresh checkpoint, memory sink), and returns the drained result as a
+batch DataFrame — the batch==stream equivalence shape the streaming
+tests pin. Registered without oracles: watermark finalization is not
+SQL-expressible, so the driver records the rows-only check.
+
+Reference parity note: the reference's ingestion is event-driven batch
+(`_READY` flags + EventBridge, data_gen/generator.py:177-192); the
+sessionization here is the streaming extension SURVEY.md section 2.9 scopes.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from logicash_etl_spark import schemas as S
+from logicash_etl_spark.queries.registry import query
+from logicash_etl_spark.sources.readers import read_table
+from logicash_etl_spark.streaming.ops import session_windows
+from logicash_etl_spark.streaming.sources import (
+    run_available_now,
+    stream_parquet_dir,
+)
+
+
+@query("streaming_session_windows")  # watermark semantics: rows-only check
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization end-to-end: events lot -> file-source
+    readStream -> ``session_window`` gap-merge (30 min) with a 1 h
+    event-time watermark -> AvailableNow drain.
+
+    Append mode emits only watermark-finalized sessions — exactly the
+    state-bounding behavior that keeps this runnable forever at
+    100 TB/day; on a closed lot the emitted sessions agree with the
+    batch sessionize (tests/test_streaming.py pins both)."""
+    ev = read_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lq_stream_sess_")
+    lot = f"{root}/lot"
+    # write with micro-second timestamps: the streaming file source
+    # reads the declared schema directly (no nanos repair path there)
+    ev.write.mode("overwrite").parquet(lot)
+    stream = stream_parquet_dir(spark, lot, S.EVENTS)
+    sess = session_windows(stream, gap="30 minutes", key="user_id", watermark="1 hour")
+    sink = f"sess_drain_{uuid.uuid4().hex[:8]}"
+    run_available_now(sess, f"{root}/ckpt", sink)
+    return spark.sql(f"SELECT * FROM {sink}")

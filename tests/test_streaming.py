@@ -167,3 +167,43 @@ def test_foreach_batch_exactly_once(spark, events_lot, tmp_path_factory):
     stream2 = stream_parquet_dir(spark, lot, S.EVENTS)
     run_available_now_foreach_batch(stream2, ck, sink)
     assert sum(n for _, n in seen) == 0
+
+
+def test_streaming_session_query_matches_batch(spark, sf_smoke):
+    """The driver-visible streaming_session_windows query: every
+    emitted (watermark-finalized) session must exactly match the batch
+    sessionize on the same lot — same start, event count, and value sum
+    — and all sessions ending before the final watermark are emitted."""
+    from logicash_etl_spark.operators.windows import sessionize
+    from logicash_etl_spark.queries.streaming import streaming_session_windows
+
+    got = {
+        (r.user_id, r.session_start): (r.n_events, round(r.total_value, 2))
+        for r in streaming_session_windows(spark, sf_smoke).collect()
+    }
+    assert got, "no sessions emitted"
+
+    ev = read_table(spark, sf_smoke, "events")
+    batch = (
+        sessionize(ev, "user_id", "ts", gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("total_value"),
+        )
+    )
+    horizon = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+    closed_before = horizon - datetime.timedelta(hours=1)
+    want = {}
+    for r in batch.collect():
+        # streaming emits sessions whose (last_event + gap) end is past
+        # the final watermark; sessions near the horizon may be held
+        if r.session_last + datetime.timedelta(minutes=30) < closed_before:
+            want[(r.user_id, r.session_start)] = (r.n_events, round(r.total_value, 2))
+    missing = {k: v for k, v in want.items() if k not in got}
+    assert not missing, f"{len(missing)} closed sessions not emitted: {list(missing)[:3]}"
+    for k, v in want.items():
+        assert got[k] == v, f"session {k}: stream={got[k]} batch={v}"
