@@ -62,6 +62,14 @@ def scd2_apply(
         for c in updates.columns
         if c not in keys and c != effective_ts
     ]
+    if not tracked:
+        # a None changed-predicate would null out BOTH the keep-current
+        # and closed filters below and silently drop matched rows
+        raise ValueError(
+            "scd2_apply: no tracked columns (updates carry only keys + "
+            f"{effective_ts!r}) — nothing to version; pass tracked_cols "
+            "explicitly if attribute columns live outside `updates`"
+        )
     cur = dim.filter(F.col("is_current"))
     hist = dim.filter(~F.col("is_current"))
     dim_cols = dim.columns

@@ -9,11 +9,10 @@ asks. Decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` so bytes cross the Python boundary once
 per batch, not per row.
 
-The actual codecs (PIL/librosa/av) are NOT in this container, so the
-decode kernels are stubbed: a deterministic fake decoder behind
-``try: import``. The Spark-side plumbing — schema, batching,
-partition sizing, UDF signatures — is real and tested; swapping in a
-real codec changes one inner function.
+Decode kernels auto-select: PIL when importable, else a deterministic
+fake decoder (this container has no codecs). The Spark-side plumbing —
+schema, batching, partition sizing, UDF signatures — is identical for
+both and tested with an injected custom kernel as well.
 """
 
 from __future__ import annotations
@@ -57,45 +56,65 @@ def media_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
 
 def _fake_image_decode(data: bytes) -> tuple[int, int, str]:
     """Deterministic stand-in for a real decoder: derives (width,
-    height, format) from a content digest. Replace with PIL when the
-    codec is available."""
+    height, format) from a content digest. Used only when no real
+    codec is importable."""
     if data is None:
         raise ValueError("no bytes")
     h = hashlib.sha256(data).digest()
     return 16 + h[0] % 64, 16 + h[1] % 64, "png" if h[2] % 2 else "jpeg"
 
 
-try:  # real codec path, absent in this container
-    import PIL.Image  # noqa: F401
+def _pil_image_decode(data: bytes) -> tuple[int, int, str]:
+    """Real decode kernel: PIL header parse (lazy import so the probe
+    runs in the worker process that executes the batch)."""
+    import io
 
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(data)) as img:
+        return img.width, img.height, (img.format or "unknown").lower()
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _select_kernel():
+    """Real codec when importable, deterministic fake otherwise — the
+    fake is the fallback, never the override."""
+    return _pil_image_decode if _pil_available() else _fake_image_decode
 
 
 IMAGE_META_SCHEMA = "id long, width int, height int, format string, media_bytes long"
 
 
-def decode_image_meta(df: DataFrame, id_col: str = "id", media_col: str = "media") -> DataFrame:
+def decode_image_meta(
+    df: DataFrame,
+    id_col: str = "id",
+    media_col: str = "media",
+    kernel=None,
+) -> DataFrame:
     """Decode image dimensions via Arrow-batched mapInPandas.
 
     Plumbing is real: one Python roundtrip per Arrow batch, schema
-    declared, nulls preserved. The decode kernel is the stub above
-    unless PIL is importable (then it must be swapped in explicitly —
-    kept as NotImplementedError to keep this container deterministic).
+    declared, nulls preserved. The decode kernel auto-selects — PIL
+    when importable, else the deterministic stub — or inject one via
+    ``kernel`` (a ``bytes -> (width, height, format)`` callable; the
+    tests use this to drive the plumbing with a custom codec).
     """
-    if _HAVE_PIL:
-        raise NotImplementedError(
-            "real PIL decode not wired in this environment; replace "
-            "_fake_image_decode with PIL.Image.open(io.BytesIO(data)).size"
-        )
+    kernel = kernel or _select_kernel()
     cols = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.data").alias("data"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"id": [], "width": [], "height": [], "format": [], "media_bytes": []}
             for i, data in zip(pdf["id"], pdf["data"]):
-                w, h, fmt = _fake_image_decode(bytes(data))
+                w, h, fmt = kernel(bytes(data))
                 out["id"].append(i)
                 out["width"].append(w)
                 out["height"].append(h)

@@ -74,9 +74,12 @@ def cosine_topk(
     scored = scored.select(
         query_id,
         id_col,
-        (_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
-            "cosine_sim"
-        ),
+        # eps floor: see note in lsh_ann_topk — bitwise identical for
+        # nonzero norms, zero vectors score 0.0 instead of ANSI error
+        (
+            _dot(F.col("__qv"), F.col("__cv"))
+            / F.greatest(F.col("__qn") * F.col("__cn"), F.lit(1e-12))
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.col(id_col).asc())
     return (
@@ -226,9 +229,13 @@ def lsh_ann_topk(
         .select(
             query_id,
             F.col("cand_id").alias(id_col),
-            (_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
-                "cosine_sim"
-            ),
+            # eps floor on the norm product: zero vectors score 0.0
+            # instead of ANSI divide-by-zero; bitwise identical for all
+            # nonzero norms, so oracle parity is unaffected
+            (
+                _dot(F.col("__qv"), F.col("__cv"))
+                / F.greatest(F.col("__qn") * F.col("__cn"), F.lit(1e-12))
+            ).alias("cosine_sim"),
         )
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.col(id_col).asc())
@@ -280,11 +287,18 @@ def kmeans_lite(
         .collect()
     )
     rows.sort(key=lambda r: r.id)
+    if len(rows) < k:
+        raise ValueError(
+            f"kmeans_lite: training sample has {len(rows)} vectors < k={k} "
+            "— shrink k or widen train_sample"
+        )
     M = np.array([list(r.v) for r in rows])              # (n, d)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    # eps-guard: an all-zero embedding otherwise yields NaN rows that
+    # poison every cosine assignment they touch
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     C = M[:k].copy()                                     # k lowest-id init
     for _ in range(iterations):
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
         cell = np.argmax(Mn @ Cn.T, axis=1)              # cosine assignment
         for c in range(k):
             members = M[cell == c]
@@ -316,13 +330,15 @@ def ivf_ann_topk(
     """
     cent = [(int(r.centroid_id), np.array(r.centroid)) for r in centroids.collect()]
     C = np.array([c for _, c in cent])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     def cells_udf(top_n: int):
         @F.pandas_udf("array<int>")
         def cells(col: pd.Series) -> pd.Series:
             M = np.vstack(col.values)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            # zero vectors: eps keeps them finite (deterministic cell 0
+            # via argsort tie-break) instead of NaN similarities
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
             sims = Mn @ Cn.T
             order = np.argsort(-sims, axis=1)[:, :top_n].astype("int32")
             return pd.Series(list(order))
@@ -346,9 +362,13 @@ def ivf_ann_topk(
         .select(
             query_id,
             F.col("cand_id").alias(id_col),
-            (_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
-                "cosine_sim"
-            ),
+            # eps floor on the norm product: zero vectors score 0.0
+            # instead of ANSI divide-by-zero; bitwise identical for all
+            # nonzero norms, so oracle parity is unaffected
+            (
+                _dot(F.col("__qv"), F.col("__cv"))
+                / F.greatest(F.col("__qn") * F.col("__cn"), F.lit(1e-12))
+            ).alias("cosine_sim"),
         )
         # no dedup needed: every corpus vector lives in exactly ONE
         # cell and a query's probed cells are distinct, so each

@@ -9,9 +9,12 @@ known, else from parquet self-description / CSV inference.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+_LOG = logging.getLogger(__name__)
 
 from logicash_etl_spark import schemas as S
 from logicash_etl_spark.sources.readers import read_csv_dir, read_parquet
@@ -42,7 +45,8 @@ def register_sources(
                 df = read_csv_dir(spark, path, schema=S.LOGICASH_TABLES.get(name), infer=True)
             else:
                 continue
-        except Exception:  # noqa: BLE001 — crawler semantics: skip unreadable
+        except Exception as e:  # noqa: BLE001 — crawler semantics: skip unreadable
+            _LOG.warning("crawler skipping unreadable %s: %s", path, e)
             continue
         if persistent:
             df.write.mode("overwrite").saveAsTable(name)

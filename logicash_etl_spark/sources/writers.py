@@ -14,8 +14,12 @@ coalescing mostly handles it; on a cluster pair with
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def write_parquet_partitioned(
@@ -68,7 +72,13 @@ def lakehouse_format_available(spark: SparkSession, fmt: str) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(cls)  # type: ignore[union-attr]
         return True
-    except Exception:  # noqa: BLE001 — Py4J raises wrapped ClassNotFound
+    except Exception as e:  # noqa: BLE001 — Py4J raises wrapped ClassNotFound
+        # log the probe by name: silent catch-and-fallback otherwise
+        # leaves anonymous exception fragments in logs/bench tails
+        _LOG.info(
+            "lakehouse probe %r: %s not on classpath (%s)",
+            fmt, cls, type(e).__name__,
+        )
         return False
 
 

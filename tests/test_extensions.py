@@ -424,3 +424,23 @@ def test_large_star_small_star_random_vs_union_find(spark):
     dist = {(r.id, r.component)
             for r in connected_components(df, driver_threshold=0).collect()}
     assert fast == dist
+
+
+def test_kmeans_guards_zero_vectors_and_small_sample(spark):
+    """kmeans_lite: a zero embedding must not poison assignments with
+    NaN, and a training sample smaller than k must raise, not silently
+    return fewer centroids."""
+    from logicash_etl_spark.operators.similarity import ivf_ann_topk, kmeans_lite
+
+    rows = [(i, [float(i + 1), float(2 * i + 1), 1.0]) for i in range(20)]
+    rows.append((99, [0.0, 0.0, 0.0]))  # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    with pytest.raises(ValueError, match="< k"):
+        kmeans_lite(df, k=50)
+
+    cents = kmeans_lite(df, k=4)
+    vals = [x for r in cents.collect() for x in r.centroid]
+    assert all(x == x for x in vals), "NaN centroid"
+    out = ivf_ann_topk(df, df.filter("vec_id < 3"), cents, k=2).collect()
+    assert out and all(r.cosine_sim == r.cosine_sim for r in out)

@@ -66,3 +66,22 @@ def test_scd2_history(spark):
         & (F.col("valid_to") > "2026-02-15")
     ).collect()
     assert len(asof) == 1 and asof[0].estado == "MANTENIMIENTO"
+
+
+def test_scd2_empty_tracked_raises(spark):
+    """Updates carrying only keys + ts have nothing to version — a
+    None changed-predicate would silently drop matched current rows,
+    so the operator must refuse instead."""
+    import pytest
+
+    from logicash_etl_spark.operators.merge import scd2_apply, scd2_init
+
+    snap = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00")], "k int, attr string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    dim = scd2_init(snap, "ts")
+    upd = spark.createDataFrame(
+        [(1, "2024-02-01 00:00:00")], "k int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(ValueError, match="no tracked columns"):
+        scd2_apply(dim, upd, keys=["k"], effective_ts="ts")

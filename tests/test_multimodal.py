@@ -53,3 +53,61 @@ def test_frame_sample_plan(spark, sf_smoke):
     for r in agg.collect():
         assert r.n >= 1
         assert r.mx % 10 == 0
+
+
+def test_kernel_selection_both_branches(monkeypatch):
+    """Auto-selection: PIL kernel when importable, fake otherwise —
+    the fake must be the FALLBACK, never the override."""
+    import logicash_etl_spark.operators.multimodal as mm
+
+    monkeypatch.setattr(mm, "_pil_available", lambda: False)
+    assert mm._select_kernel() is mm._fake_image_decode
+    monkeypatch.setattr(mm, "_pil_available", lambda: True)
+    assert mm._select_kernel() is mm._pil_image_decode
+
+
+def test_pil_kernel_with_synthetic_pil(monkeypatch):
+    """Drive the real-codec kernel through a synthetic PIL module: the
+    kernel's contract (open bytes -> width/height/format, lowercase
+    format, context-managed) holds without the real library."""
+    import sys
+    import types
+
+    import logicash_etl_spark.operators.multimodal as mm
+
+    class _Img:
+        def __init__(self, data):
+            self.width, self.height = len(data) % 100 + 1, len(data) % 50 + 1
+            self.format = "PNG"
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda buf: _Img(buf.read())
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    w, h, fmt = mm._pil_image_decode(b"0123456789abc")
+    assert (w, h, fmt) == (14, 14, "png")
+    assert mm._pil_available()
+    assert mm._select_kernel() is mm._pil_image_decode
+
+
+def test_decode_with_injected_kernel(spark, sf_smoke):
+    """End-to-end plumbing with a CUSTOM kernel shipped to the workers:
+    proves the mapInPandas path is codec-agnostic (same path a real
+    PIL kernel takes on a cluster with codecs installed)."""
+    def kernel(data: bytes):
+        return len(data) % 7 + 1, len(data) % 11 + 1, "custom"
+
+    m = _media_df(spark, sf_smoke)
+    rows = decode_image_meta(m, id_col="doc_id", kernel=kernel).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.format == "custom"
+        assert r.width == r.media_bytes % 7 + 1
+        assert r.height == r.media_bytes % 11 + 1
