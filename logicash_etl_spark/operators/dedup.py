@@ -187,6 +187,7 @@ def jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
 
     index = sh
+    hot_idx = None
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("sh")
@@ -195,6 +196,7 @@ def jaccard_pairs(
             .select("sh")
         )
         index = sh.join(F.broadcast(hot), on="sh", how="left_anti")
+        hot_idx = sh.join(F.broadcast(hot), on="sh", how="left_semi")
 
     a, b = index.alias("a"), index.alias("b")
     inter = (
@@ -204,18 +206,26 @@ def jaccard_pairs(
     )
 
     if max_doc_freq is not None:
-        # filtered index undercounts intersections: re-score candidates
-        # exactly against the UNFILTERED index
-        full = sh
-        fa = full.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__sha"))
-        fb = full.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__shb"))
-        inter = (
+        # The rare index undercounts each candidate's intersection by
+        # exactly |hot(A) & hot(B)| (shingle sets partition into
+        # rare + hot), so correct with the TINY hot sub-index only —
+        # never re-score against the full index: that join scales with
+        # candidates x shingles-per-doc and triples the query at sf0.1
+        # even when zero shingles are actually hot.
+        inter = inter.persist()  # consumed twice below
+        hot_a = hot_idx.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__hsh"))
+        hot_b = hot_idx.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__hsh"))
+        hot_inter = (
             inter.select("id_a", "id_b")
-            .join(fa, "id_a")
-            .join(fb, "id_b")
-            .filter(F.col("__sha") == F.col("__shb"))
+            .join(hot_a, on="id_a")
+            .join(hot_b, on=["id_b", "__hsh"])
             .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("inter"))
+            .agg(F.count("*").alias("__hot_n"))
+        )
+        inter = (
+            inter.join(hot_inter, on=["id_a", "id_b"], how="left")
+            .withColumn("inter", F.col("inter") + F.coalesce("__hot_n", F.lit(0)))
+            .drop("__hot_n")
         )
 
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
