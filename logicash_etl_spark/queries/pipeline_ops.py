@@ -1,0 +1,216 @@
+"""Training-data pipeline queries — the curation ops an LLM data
+pipeline runs at 100 TB, each oracle-checked (or rows-only where
+stateful): repetition scoring, length histograms, stratified
+sampling, PII scrubbing accounting, CDC snapshot diff, and a stateful
+streaming counter.
+
+All batch ops are pure JVM (regexp / array / hash built-ins — no
+Python in the hot path); determinism comes from content hashes and
+decimal-exact aggregation, mirroring functions/money.py policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logicash_etl_spark.operators.sampling import stratified_sample
+from logicash_etl_spark.operators.text import word_shingles
+from logicash_etl_spark.queries.registry import query
+from logicash_etl_spark.sources.readers import read_table
+
+
+@query(
+    "doc_repetition_score",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(ws) >= 3
+                  THEN list_transform(generate_series(1, len(ws) - 2),
+                                      i -> array_to_string(ws[i:i+2], ' '))
+                  ELSE [] END AS g
+      FROM w
+    )
+    SELECT doc_id, source,
+           len(g) AS n_shingles,
+           len(list_distinct(g)) AS n_distinct,
+           round(CASE WHEN len(g) > 0
+                      THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                      ELSE 0.0 END, 6) AS dup_ratio,
+           CASE WHEN len(g) > 0
+                AND 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) > 0.2
+                THEN TRUE ELSE FALSE END AS is_repetitive
+    FROM sh
+    """,
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (the Gopher-rules quality signal):
+    fraction of duplicated 3-gram shingles inside each doc. Pure JVM
+    array ops — size/array_distinct on the shingle array, no shuffle
+    at all (row-local), which is exactly why this filter is cheap
+    enough to run over 100 TB before any dedup."""
+    docs = read_table(spark, sf_dir, "documents")
+    g = word_shingles("text", 3)
+    n = F.size(g)
+    nd = F.size(F.array_distinct(g))
+    dup = F.when(n > 0, 1.0 - nd.cast("double") / n).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id", "source",
+        n.alias("n_shingles"),
+        nd.alias("n_distinct"),
+        F.round(dup, 6).alias("dup_ratio"),
+        (dup > 0.2).alias("is_repetitive"),
+    )
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+    SELECT (n_chars // 100) * 100 AS bucket_lo,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY (n_chars // 100) * 100
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length histogram with fixed-width buckets — the profile that
+    drives truncation/packing decisions. Integer bucket arithmetic
+    (no float binning drift); single map-side-combinable aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (F.col("n_chars") / 100).cast("long") * 100
+    return (
+        docs.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "stratified_sample_counts",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT source, count(*) AS n_kept
+    FROM tagged
+    WHERE u < (CASE source WHEN 'src0' THEN 1.0
+                           WHEN 'src1' THEN 0.5
+                           WHEN 'src2' THEN 0.25
+                           ELSE 0.1 END)
+    GROUP BY source
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stratified downsampling (operators/sampling.py):
+    membership is a pure md5-content-hash function of the doc id, so
+    the SAME rows are kept on any cluster size, partitioning, engine,
+    or re-run — the reproducibility property df.sample() lacks. The
+    oracle reproduces the exact draw in SQL."""
+    docs = read_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, id_col="doc_id", stratum_col="source",
+        fractions={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1,
+    )
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+@query(
+    "pii_scrub_stats",
+    oracle=r"""
+    WITH scrubbed AS (
+      SELECT c_mktsegment,
+             len(regexp_extract_all(c_name, '[0-9]{6,}')) AS n_hits,
+             length(c_name)
+               - length(regexp_replace(c_name, '[0-9]{6,}', '', 'g')) AS chars_redacted
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(SUM(n_hits) AS BIGINT) AS n_redactions,
+           CAST(SUM(chars_redacted) AS BIGINT) AS chars_redacted,
+           count(*) AS n_rows
+    FROM scrubbed GROUP BY c_mktsegment
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction accounting for a scrub pass (long digit runs stand in
+    for account-number PII): hits and characters removed per segment.
+    regexp_extract_all/regexp_replace are JVM codegen — the scrub
+    itself never leaves the executor, and the audit is one aggregate.
+    Patterns are kept RE2-safe so external engines reproduce them."""
+    c = read_table(spark, sf_dir, "customer")
+    pat = "[0-9]{6,}"
+    scrubbed = c.select(
+        "c_mktsegment",
+        F.size(F.regexp_extract_all("c_name", F.lit(pat), F.lit(0))).alias("n_hits"),
+        (
+            F.length("c_name") - F.length(F.regexp_replace("c_name", pat, ""))
+        ).alias("chars_redacted"),
+    )
+    return scrubbed.groupBy("c_mktsegment").agg(
+        F.sum("n_hits").cast("bigint").alias("n_redactions"),
+        F.sum("chars_redacted").cast("bigint").alias("chars_redacted"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "snapshot_diff_cdc",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 3
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10 ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 5
+    )
+    SELECT CASE WHEN old.o_orderkey IS NULL THEN 'inserted'
+                WHEN new.o_orderkey IS NULL THEN 'deleted'
+                WHEN old.o_totalprice <> new.o_totalprice THEN 'updated'
+                ELSE 'unchanged' END AS change_type,
+           count(*) AS n_rows
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    GROUP BY 1
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff — the incremental-load primitive: classify
+    every key across two snapshot versions as inserted / deleted /
+    updated / unchanged via one full-outer join on the key. At 100 TB
+    both snapshots shuffle once on the join key; comparing a content
+    hash of tracked columns (here the single mutated column directly)
+    avoids carrying wide payloads through the join."""
+    o = read_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 3).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("old_p")
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 13 != 5)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10)
+            .otherwise(F.col("o_totalprice"))
+            .alias("new_p"),
+        )
+    )
+    j = old.join(new, on="k", how="full")
+    change = (
+        F.when(F.col("old_p").isNull(), "inserted")
+        .when(F.col("new_p").isNull(), "deleted")
+        .when(F.col("old_p") != F.col("new_p"), "updated")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(change.alias("change_type")).agg(F.count("*").alias("n_rows"))

@@ -18,6 +18,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from logicash_etl_spark import schemas as S
 from logicash_etl_spark.queries.registry import query
@@ -27,6 +28,47 @@ from logicash_etl_spark.streaming.sources import (
     run_available_now,
     stream_parquet_dir,
 )
+
+
+@query("streaming_stateful_counts")  # custom state machine: rows-only check
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end: per-user event
+    counter via ``applyInPandasWithState`` — the extension point for
+    operators streaming SQL can't express (arbitrary per-key state,
+    Arrow-batched). Drained with AvailableNow; final counts equal the
+    batch groupBy (pinned in tests/test_streaming.py), which is the
+    exactly-once evidence."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_fn(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    ev = read_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lq_stream_state_")
+    lot = f"{root}/lot"
+    ev.write.mode("overwrite").parquet(lot)
+    stream = stream_parquet_dir(spark, lot, S.EVENTS)
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_fn,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"state_drain_{uuid.uuid4().hex[:8]}"
+    run_available_now(counted, f"{root}/ckpt", sink, output_mode="update")
+    # update-mode memory sink may carry one row per state update:
+    # keep the final count per key (max = monotone counter)
+    return (
+        spark.sql(f"SELECT * FROM {sink}")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
 
 
 @query("streaming_session_windows")  # watermark semantics: rows-only check
