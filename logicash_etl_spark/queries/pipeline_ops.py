@@ -167,6 +167,39 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_inventory",
+    oracle="""
+    SELECT source,
+           count(*) AS n_media,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           count(DISTINCT sha256(text)) AS n_distinct_content
+    FROM documents
+    GROUP BY source
+    """,
+)
+def media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal inventory over the media-struct convention
+    (operators/multimodal.py): documents packed as opaque binary blobs
+    with typed metadata, profiled WITHOUT decoding — byte totals and
+    content-digest cardinality per source, all JVM-side (sha2 +
+    length; no Python, no codec). This is the profile a 100 TB media
+    lake runs before any decode fan-out."""
+    from logicash_etl_spark.operators.multimodal import media_stats, pack_media
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = pack_media(
+        docs.select("doc_id", "source", F.encode("text", "utf-8").alias("blob")),
+        "blob", "text/plain",
+    )
+    stats = media_stats(media)
+    return stats.groupBy("source").agg(
+        F.count("*").alias("n_media"),
+        F.sum("media_bytes").cast("bigint").alias("total_bytes"),
+        F.countDistinct("media_sha256").alias("n_distinct_content"),
+    )
+
+
+@query(
     "snapshot_diff_cdc",
     oracle="""
     WITH old AS (

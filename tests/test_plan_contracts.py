@@ -10,8 +10,10 @@ from pyspark.sql import functions as F
 from logicash_etl_spark.plans import (
     assert_plan,
     count_exchanges,
+    has_pushed_filter,
     has_take_ordered,
     join_strategies,
+    plan_string,
     scans,
 )
 from logicash_etl_spark.queries import QUERIES
@@ -152,3 +154,51 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in strategies
     assert "CartesianProduct" not in strategies
     assert len(strategies) == 2  # threshold join + part join
+
+
+def test_correlated_subquery_plans(spark, sf_dir):
+    """Round-2 subquery surface: the decorrelated shapes must keep
+    their 100 TB guarantees — semi joins for EXISTS/IN, broadcast for
+    dims and scalar thresholds, pushed date filters."""
+    # Q4 shape: date filter pushed to the orders scan, semi join only
+    df = QUERIES["priority_order_exists"](spark, sf_dir)
+    assert has_pushed_filter(df, "GreaterThanOrEqual(o_orderdate")
+    txt = plan_string(df)
+    assert "LeftSemi" in txt
+
+    # Q18 shape: customer dim broadcast, order filter is a semi join
+    df = QUERIES["big_ticket_orders"](spark, sf_dir)
+    assert "BroadcastHashJoin" in plan_string(df)
+    assert "LeftSemi" in plan_string(df)
+
+    # Q22 shape: scalar threshold broadcast, NOT EXISTS as left-anti
+    df = QUERIES["rich_idle_customers"](spark, sf_dir)
+    txt = plan_string(df)
+    assert "LeftAnti" in txt
+    assert "Broadcast" in txt
+
+
+def test_window_reuses_exchange_for_groupby(spark, sf_dir):
+    """Q2 shape: window min and the follow-up groupBy both hash on
+    l_partkey — at most two exchanges total (never one per op per
+    stage)."""
+    df = QUERIES["min_cost_supplier"](spark, sf_dir)
+    assert count_exchanges(df) <= 2
+
+
+def test_repetition_score_is_row_local(spark, sf_dir):
+    """The repetition quality filter must be shuffle-free: everything
+    computes per-row from the shingle array (the property that makes
+    it runnable as a pre-dedup pass over 100 TB)."""
+    df = QUERIES["doc_repetition_score"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert join_strategies(df) == []
+    assert len(scans(df)) == 1
+
+
+def test_cdc_diff_single_join(spark, sf_dir):
+    """Snapshot diff: one full-outer join, one aggregate — scans of
+    the same table feed both sides (no self-join blow-up)."""
+    df = QUERIES["snapshot_diff_cdc"](spark, sf_dir)
+    js = join_strategies(df)
+    assert len(js) == 1, js
