@@ -247,3 +247,124 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
     )
     return j.groupBy(change.alias("change_type")).agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "scd2_dimension_report",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END
+               AS c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(18,2))
+               + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END AS bal
+      FROM customer
+      WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 0 OR c_custkey % 7 = 0
+    ), changed AS (
+      SELECT u.c_custkey, u.c_mktsegment, u.bal
+      FROM upd u JOIN base b USING (c_custkey)
+      WHERE u.c_mktsegment <> b.c_mktsegment OR u.bal <> b.bal
+    )
+    SELECT is_current, count(*) AS n_rows,
+           CAST(SUM(bal) AS DOUBLE) AS total_bal
+    FROM (
+      SELECT FALSE AS is_current, b.bal
+      FROM base b WHERE c_custkey IN (SELECT c_custkey FROM changed)
+      UNION ALL
+      SELECT TRUE, bal FROM changed
+      UNION ALL
+      SELECT TRUE, b.bal
+      FROM base b WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+    ) GROUP BY is_current
+    """,
+)
+def scd2_dimension_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 apply, driver-visible (operators/merge.py): bootstrap
+    a customer dimension, apply a synthetic update batch (balance bump
+    for %3 keys, segment move for %5, a NO-OP update for %7 — the
+    no-op path must not create versions), then report the dimension by
+    currency flag. The oracle reconstructs the same apply in set
+    algebra: closed rows = old versions of changed keys, current =
+    changed new versions + untouched keys."""
+    from logicash_etl_spark.functions.money import money
+    from logicash_etl_spark.operators.merge import scd2_apply, scd2_init
+
+    c = read_table(spark, sf_dir, "customer")
+    snap = c.select(
+        "c_custkey", "c_mktsegment", money("c_acctbal").alias("bal")
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    dim = scd2_init(snap, "ts")
+    k = F.col("c_custkey")
+    upd = (
+        c.filter((k % 3 == 0) | (k % 5 == 0) | (k % 7 == 0))
+        .select(
+            "c_custkey",
+            F.when(k % 5 == 0, F.lit("MOVED")).otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            (money("c_acctbal") + F.when(k % 3 == 0, F.lit(100)).otherwise(F.lit(0)))
+            .cast("decimal(18,2)").alias("bal"),
+        )
+        .withColumn("ts", F.to_timestamp(F.lit("2024-06-01 00:00:00")))
+    )
+    out = scd2_apply(dim, upd, keys=["c_custkey"], effective_ts="ts",
+                     tracked_cols=["c_mktsegment", "bal"])
+    return out.groupBy("is_current").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("bal").cast("double").alias("total_bal"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT source, word, count(*) AS tf FROM tok GROUP BY source, word
+    ), df AS (
+      SELECT word, count(DISTINCT source) AS df FROM tok GROUP BY word
+    ), scored AS (
+      SELECT tf.source, tf.word,
+             round(tf * ln(20.0 / df), 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.source
+                                ORDER BY round(tf * ln(20.0 / df), 6) DESC,
+                                         tf.word) AS rk
+      FROM tf JOIN df USING (word)
+    )
+    SELECT source, word, tfidf FROM scored WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF top terms — the corpus-profiling signal for
+    source weighting/contamination checks. Two mergeable aggregates
+    (term frequency per source, document frequency per term) joined on
+    the term, then a per-source top-k window. The IDF join is
+    broadcast (|vocab| rows); ties break on the term so top-k is
+    deterministic."""
+    from logicash_etl_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    tf = tok.groupBy("source", "word").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("source").alias("df"))
+    n_sources = 20.0  # fixture source cardinality; a real pipeline derives it
+    scored = tf.join(F.broadcast(df), on="word").select(
+        "source", "word",
+        F.round(F.col("tf") * F.log(n_sources / F.col("df")), 6).alias("tfidf"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "word", "tfidf")
+    )
