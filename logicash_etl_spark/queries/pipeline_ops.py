@@ -368,3 +368,50 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("source", "word", "tfidf")
     )
+
+
+@query(
+    "hourly_ohlc_resample",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, hr,
+           CAST(max(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(max(value) AS DOUBLE) AS high,
+           CAST(min(value) AS DOUBLE) AS low,
+           CAST(max(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE) AS close,
+           count(*) AS n_events
+    FROM seq GROUP BY event_type, hr
+    """,
+)
+def hourly_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series OHLC downsampling: per (series, hour) the first /
+    max / min / last values. Open/close pick rows by position, which
+    min_by/max_by make NONDETERMINISTIC under timestamp ties — the
+    row_number + composite (ts, event_id) tie-break is the
+    deterministic form. One shuffle on the grouping key; window and
+    groupBy share the partitioning."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    hr = F.date_trunc("hour", "ts")
+    wa = W.partitionBy("event_type", hr).orderBy(F.asc("ts"), F.asc("event_id"))
+    wd = W.partitionBy("event_type", hr).orderBy(F.desc("ts"), F.desc("event_id"))
+    seq = ev.select(
+        "event_type", hr.alias("hr"), "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return seq.groupBy("event_type", "hr").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).cast("double").alias("open"),
+        F.max("value").cast("double").alias("high"),
+        F.min("value").cast("double").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).cast("double").alias("close"),
+        F.count("*").alias("n_events"),
+    )
