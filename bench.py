@@ -45,18 +45,60 @@ def main() -> None:
         # operators may persist intermediates; isolate measurements
         spark.catalog.clearCache()
     total = round(time.perf_counter() - t_all, 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
-    print(
-        json.dumps(
+    # Full per-query detail goes to a file; the stdout line must stay
+    # under the driver's 2000-char tail-capture window or the round's
+    # bench is recorded as unparsed (round-2 lesson). Keep the slowest
+    # queries (the ones perf regressions show up in) in the line and
+    # count the rest as omitted_fast.
+    full = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    budget = 1700
+    by_cost = sorted(timings, key=lambda k: (timings[k] >= 0, timings[k]), reverse=True)
+    # failed queries (-1.0) first so they are never silently dropped
+    by_cost = [k for k in timings if timings[k] < 0] + [
+        k for k in by_cost if timings[k] >= 0
+    ]
+    kept: dict[str, float] = {}
+    for k in by_cost:
+        kept[k] = round(timings[k], 2)
+        line = json.dumps(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": kept,
+                "n_queries": len(timings),
+                "omitted_fast": len(timings) - len(kept),
+                "detail": "BENCH_FULL.json",
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
-    )
+        if len(line) > budget:
+            del kept[k]
+            break
+    out = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": kept,
+        "n_queries": len(timings),
+        "omitted_fast": len(timings) - len(kept),
+        "detail": "BENCH_FULL.json",
+        "sf": sf_val,
+    }
+    sys.stdout.flush()
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from logicash_etl_spark.operators.partitioning import scale_out
 from logicash_etl_spark.operators.text import content_hash, tokens, word_shingles
 
 
@@ -65,7 +66,7 @@ def minhash_signatures(
     array recomputation). Shuffle carries k longs per doc. Docs with
     no shingles are dropped (nothing to near-dup on).
     """
-    sh = df.select(
+    sh = scale_out(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("__s"),
     )
@@ -105,25 +106,32 @@ def minhash_lsh_candidates(
         with_sig = _signatures_from_exploded(exploded, id_col, num_hashes)
     else:
         with_sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    banded = with_sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"__mh{i}")
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ]
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    banded = (
+        with_sig.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.col(f"__mh{i}")
+                                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                                ]
+                            ).alias("bhash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+        # persist: both self-join sides otherwise recompute the whole
+        # signature pipeline (explode + k-agg groupBy). bands rows x
+        # 20 bytes per doc; callers own cache cleanup.
+        .persist()
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -176,7 +184,10 @@ def jaccard_pairs(
     # shuffle rows, cheaper comparisons; P(collision) ~ n^2/2^64 is
     # negligible for intersection counting
     sh = (
-        df.select(
+        # scale_out first: tokenization is CPU-bound and must not be
+        # serialized onto the scan's (possibly single-split) layout
+        scale_out(df.select(id_col, text_col))
+        .select(
             F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("__s")
         )
         .select(id_col, F.xxhash64("__s").alias("sh"))
@@ -258,9 +269,11 @@ def minhash_dedup_pairs(
     after materializing."""
     # tokenize once: the shingle-array projection feeds both the LSH
     # signature path and the verification joins
-    sh = df.select(
-        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh")
-    ).persist()
+    sh = (
+        scale_out(df.select(id_col, text_col))
+        .select(F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"))
+        .persist()
+    )
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_n, shingles=sh
     )
@@ -294,7 +307,9 @@ def simhash_signatures(
     linearly in corpus token count; shuffle carries 64 ints per doc.
     Docs with no tokens get signature 0.
     """
-    tok = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("__t"))
+    tok = scale_out(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("__t")
+    )
     # xxhash64(NULL) returns the SEED (42), never NULL — hash only
     # real tokens so the null branch below actually fires and no-token
     # docs (explode_outer's single NULL row) truly get signature 0
@@ -339,7 +354,10 @@ def simhash_dup_pairs(
     bit_count(xor). For max_hamming=3, bands=4 gives exact recall.
     """
     chunk = 64 // bands
-    sig = simhash_signatures(df, id_col, text_col)
+    # persist: both sides of the block self-join consume the signature
+    # pipeline (explode + 64-agg groupBy) — without this it runs twice.
+    # (id, sim64) is 16 bytes/doc; callers own cache cleanup.
+    sig = simhash_signatures(df, id_col, text_col).persist()
     blocked = sig.select(
         id_col,
         "__sim",

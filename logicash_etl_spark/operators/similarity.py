@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from logicash_etl_spark.operators.partitioning import scale_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
@@ -63,7 +65,9 @@ def cosine_topk(
         as_double(vec_col).alias("__qv"),
         _norm(as_double(vec_col)).alias("__qn"),
     )
-    c = corpus.select(
+    # scale_out: the N x Q score loop is CPU-bound and must not run on
+    # the scan's (possibly single-split) layout
+    c = scale_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col),
         as_double(vec_col).alias("__cv"),
         _norm(as_double(vec_col)).alias("__cn"),
@@ -196,6 +200,8 @@ def lsh_ann_topk(
 
     def keyed(df: DataFrame, out: str, probes: int = 0) -> DataFrame:
         udf = _sigs_probed if probes else _sigs
+        if not probes:  # corpus side: parallelize the BLAS batches
+            df = scale_out(df.select(id_col, vec_col))
         keys = df.select(
             F.col(id_col).alias(out),
             F.posexplode(udf(as_double(vec_col))).alias("pos", "bucket"),
@@ -218,7 +224,7 @@ def lsh_ann_topk(
         as_double(vec_col).alias("__qv"),
         _norm(as_double(vec_col)).alias("__qn"),
     )
-    c_vec = corpus.select(
+    c_vec = scale_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("cand_id"),
         as_double(vec_col).alias("__cv"),
         _norm(as_double(vec_col)).alias("__cn"),
@@ -344,7 +350,7 @@ def ivf_ann_topk(
             return pd.Series(list(order))
         return cells
 
-    c_vec = corpus.select(
+    c_vec = scale_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("cand_id"),
         as_double(vec_col).alias("__cv"),
         _norm(as_double(vec_col)).alias("__cn"),

@@ -148,14 +148,26 @@ def content_hash(c: Column | str) -> Column:
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Array of n-word shingles (space-joined); the unit for Jaccard /
-    MinHash. Built with transform over a token-index sequence — pure
-    JVM, no explode until the caller wants one."""
-    toks = tokens(text)
-    k = F.size(toks)
-    return F.when(k >= n, F.transform(
-        F.sequence(F.lit(0), k - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )).otherwise(F.array().cast("array<string>"))
+    MinHash. Pure JVM, no explode until the caller wants one.
+
+    The token array is let-bound by transforming over a one-element
+    array: the lambda variable ``t`` holds the split result evaluated
+    ONCE per row. Referencing ``tokens(text)`` directly inside the
+    per-shingle lambda re-evaluates the regex split for every shingle
+    (O(words^2) text scanning per document — measured 2.2x slower on
+    the sf0.1 corpus)."""
+    return F.flatten(
+        F.transform(
+            F.array(tokens(text)),
+            lambda t: F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
 
 
 def min_shingle_sketch(text: Column | str, n: int = 3) -> Column:

@@ -1,0 +1,270 @@
+"""Training-data curation queries, round 3: chunking, lexical
+entropy, benchmark decontamination, sequence packing, and embedding
+quantization — the remaining ops a 100 TB LLM data pipeline runs
+between raw corpus and training shards.
+
+Design rules as elsewhere: JVM built-ins only in hot paths (let-bound
+token arrays, no Python), deterministic arithmetic (decimal-exact sums
+where cross-engine order could flip double bits), and every query
+paired with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from logicash_etl_spark.operators.partitioning import scale_out
+from logicash_etl_spark.operators.text import tokens
+from logicash_etl_spark.queries.registry import query
+from logicash_etl_spark.sources.readers import read_table
+
+_CHUNK = 128    # tokens per chunk
+_STRIDE = 112   # chunk start stride -> 16-token overlap
+
+
+@query(
+    "doc_chunking",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws), 1), {_STRIDE})) AS s
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+           least({_CHUNK}, len(ws) - s + 1) AS n_tokens,
+           md5(array_to_string(ws[s : s + {_CHUNK} - 1], ' ')) AS chunk_hash
+    FROM starts
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-budget chunking ({_CHUNK}-token windows,
+    {_STRIDE}-token stride): the doc -> training-sample expansion.
+    Row-local (no shuffle at all): a let-bound token array feeds a
+    transform over chunk starts, then one explode — at 100 TB this is
+    a map-only pass whose output is written straight to shards.
+    Chunk content is emitted as md5 so the row stays scalar-hashable.
+    """
+    docs = scale_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    chunks = F.flatten(
+        F.transform(
+            F.array(tokens("text")),
+            lambda t: F.transform(
+                # chunk starts 1, 1+stride, ... (1-based like slice());
+                # empty docs still emit one empty chunk (greatest(n,1))
+                F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(_STRIDE)),
+                lambda s: F.struct(
+                    ((s - 1) / _STRIDE).cast("bigint").alias("chunk_idx"),
+                    F.least(F.lit(_CHUNK), F.size(t) - s + 1).alias("n_tokens"),
+                    F.md5(F.array_join(F.slice(t, s, _CHUNK), " ")).alias("chunk_hash"),
+                ),
+            ),
+        )
+    )
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_hash"
+    )
+
+
+@query(
+    "unigram_entropy",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                        x -> x <> '')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           round(ln(CAST(SUM(c) AS DOUBLE)) - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 6)
+             AS entropy
+    FROM tf GROUP BY doc_id
+    """,
+)
+def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — the lexical-
+    diversity quality score (low entropy = boilerplate/spam). Uses the
+    aggregation identity H = ln(N) - sum(c*ln(c))/N so one (doc, word)
+    count pass and one (doc) pass suffice; both aggregates are
+    map-side combinable, shuffle rows are (doc_id, word-count) longs.
+    """
+    docs = scale_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    return tf.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.round(
+            F.log(n.cast("double")) - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n,
+            6,
+        ).alias("entropy"),
+    )
+
+
+@query(
+    "benchmark_contamination",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source, unnest(list_distinct(
+               CASE WHEN len(ws) >= 5
+                    THEN list_transform(generate_series(1, len(ws) - 4),
+                                        i -> array_to_string(ws[i:i+4], ' '))
+                    ELSE [] END)) AS s
+      FROM w
+    ), bench AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0
+    ), hits AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE doc_id % 100 <> 0 AND s IN (SELECT s FROM bench)
+    )
+    SELECT source,
+           count(*) AS n_train_docs,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
+    FROM documents WHERE doc_id % 100 <> 0
+    GROUP BY source
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: a training doc is contaminated
+    when it shares >= 1 distinct 5-gram with the benchmark set (here
+    every doc_id % 100 == 0 stands in for an eval suite). The check is
+    two semi-joins on 64-bit shingle hashes — the benchmark side is
+    tiny and broadcast, so at 100 TB the train corpus streams once and
+    nothing quadratic exists (vs. the pairwise overlap a naive
+    implementation would join)."""
+    from logicash_etl_spark.operators.text import word_shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = scale_out(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", 5))).alias("__s"),
+    ).select("doc_id", F.xxhash64("__s").alias("sh"))
+    bench = sh.filter(F.col("doc_id") % 100 == 0).select("sh").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(bench), on="sh", how="left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = docs.filter(F.col("doc_id") % 100 != 0).select("doc_id", "source")
+    return (
+        train.join(hits, on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias("n_contaminated"),
+        )
+    )
+
+
+@query(
+    "sequence_packing_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 2048 AS BIGINT) AS bin
+      FROM t
+    )
+    SELECT source, bin,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY source, bin
+    """,
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-stream sequence packing (GPT-style): per source,
+    docs concatenate in doc_id order into one token stream; a doc's
+    bin is its start offset / 2048 (context length). The running
+    offset is a window cumsum PARTITIONED BY SOURCE — packing within
+    shards keeps the window parallel (an unpartitioned global cumsum
+    would serialize the corpus through one task at 100 TB)."""
+    docs = scale_out(read_table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    t = docs.select("doc_id", "source", F.size(tokens("text")).alias("n_tokens"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = t.select(
+        "source",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("bigint").alias("bin"),
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+    )
+
+
+@query(
+    "embedding_quantization_error",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             CAST(embedding AS DOUBLE[]) AS e,
+             greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))),
+                      1e-12) AS amax
+      FROM embeddings
+    ), err AS (
+      SELECT label,
+             CAST(list_sum(list_transform(e,
+                    x -> pow(x - (floor(x * (127.0 / amax) + 0.5) * (amax / 127.0)), 2)))
+                  / len(e) AS DECIMAL(18,12)) AS mse
+      FROM q
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           CAST(SUM(mse) AS DOUBLE) AS total_mse
+    FROM err GROUP BY label
+    """,
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit: per vector, scale =
+    127/max|x|, q = floor(x*scale + 0.5) (explicit half-up — identical
+    across engines, unlike round()), reconstruction MSE per vector,
+    summed per label as DECIMAL so the cross-partition sum is
+    order-independent. This is the storage decision audit for an
+    embedding lake (4x smaller index vs recall loss)."""
+    emb = scale_out(read_table(spark, sf_dir, "embeddings").select("label", "embedding"))
+    e = F.col("embedding").cast("array<double>")
+    amax = F.greatest(
+        F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    q = emb.select("label", e.alias("e"), amax.alias("amax"))
+    scale = F.lit(127.0) / F.col("amax")
+    inv = F.col("amax") / F.lit(127.0)
+    sq_err = F.aggregate(
+        F.transform(
+            F.col("e"),
+            lambda x: F.pow(x - (F.floor(x * scale + F.lit(0.5)) * inv), F.lit(2)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    err = q.select(
+        "label", (sq_err / F.size("e")).cast("decimal(18,12)").alias("mse")
+    )
+    return err.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("mse").cast("double").alias("total_mse"),
+    )

@@ -101,11 +101,13 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to within-block pairs, the equi-join on the block key shuffles
     instead of cross-joining. At 100 TB the block key comes from LSH
     buckets or a k-means coarse quantizer; scoring is unchanged."""
+    from logicash_etl_spark.operators.partitioning import scale_out
     from logicash_etl_spark.operators.similarity import _dot, _norm, as_double
 
     emb = read_table(spark, sf_dir, "embeddings")
-    # norms once per vector (N folds), not once per pair (3x N^2 folds)
-    v = emb.select(
+    # norms once per vector (N folds), not once per pair (3x N^2 folds);
+    # scale_out so the folds don't run on the scan's single split
+    v = scale_out(emb.select("label", "vec_id", "embedding")).select(
         "label", "vec_id", as_double("embedding").alias("__v"),
         _norm(as_double("embedding")).alias("__n"),
     )

@@ -59,6 +59,10 @@ def session_config(cpus: str | int | None = None) -> dict[str, str]:
         # datetime64[ns]); Spark has no nanos timestamp — read as long
         # and convert at the reader layer (sources/readers.py).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Naive parquet timestamps (isAdjustedToUTC=false) read as LTZ,
+        # not TIMESTAMP_NTZ: one engine-wide timestamp type (UTC wall
+        # clock) keeps epoch casts and event-time frames valid.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.sql.files.maxPartitionBytes": "128m",
         # Broadcast threshold: dims < 200MB are broadcast in the
         # reference's heuristic; Spark's 10MB default is conservative —

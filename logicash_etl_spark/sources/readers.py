@@ -90,6 +90,13 @@ def read_parquet(
     # Engine timestamp semantics are UTC (to_date/date_trunc shift with
     # session TZ; oracles are UTC-naive) — pin on whatever session runs us.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet (e.g. pandas
+    # datetime64[us]) would read as TIMESTAMP_NTZ under Spark 4's
+    # default inference — NTZ rejects epoch casts (unix_micros, cast to
+    # long) that event-time operators rely on. Engine policy: one
+    # timestamp type, TIMESTAMP_LTZ with the session pinned to UTC, so
+    # wall-clock values match UTC-naive oracles exactly.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     if schema is not None:
         df = _validate(df, schema, path)
@@ -101,6 +108,11 @@ def read_parquet(
                 df = df.withColumn(
                     f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
                 )
+            elif isinstance(f.dataType, T.TimestampType) and isinstance(
+                df.schema[f.name].dataType, T.TimestampNTZType
+            ):
+                # sessions built elsewhere may have NTZ inference on
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
         df = df.select(*[f.name for f in schema.fields])
     return df
 
