@@ -179,10 +179,12 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_tokens
       FROM documents
     ), packed AS (
+      -- explicit floor: DuckDB CAST(double AS BIGINT) rounds to
+      -- nearest while Spark's cast truncates
       SELECT source, n_tokens,
-             CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   - n_tokens) / 2048 AS BIGINT) AS bin
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / 2048.0) AS BIGINT) AS bin
       FROM t
     )
     SELECT source, bin,
@@ -208,7 +210,7 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = t.select(
         "source",
         "n_tokens",
-        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("bigint").alias("bin"),
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("bigint").alias("bin"),
     )
     return packed.groupBy("source", "bin").agg(
         F.count("*").alias("n_docs"),
