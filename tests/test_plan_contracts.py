@@ -202,3 +202,46 @@ def test_cdc_diff_single_join(spark, sf_dir):
     df = QUERIES["snapshot_diff_cdc"](spark, sf_dir)
     js = join_strategies(df)
     assert len(js) == 1, js
+
+
+def test_scale_out_lifts_single_split_scans(spark, sf_dir):
+    """CPU-heavy narrow projections must not inherit a single-split
+    scan layout (one task = one core no matter the cluster); when the
+    scan already carries enough splits, scale_out must be a no-op."""
+    from logicash_etl_spark.operators.partitioning import scale_out
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    lifted = scale_out(docs)
+    assert lifted.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    wide = docs.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert scale_out(wide) is wide  # no extra exchange inserted
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    """doc_chunking must stay a map-only pass after the scale_out
+    exchange: no aggregation/join shuffles (the property that makes it
+    a single streaming pass over 100 TB)."""
+    df = QUERIES["doc_chunking"](spark, sf_dir)
+    assert join_strategies(df) == []
+    assert count_exchanges(df) <= 1  # only scale_out's round-robin
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set must broadcast: the training corpus
+    streams once; no shuffle keyed on shingle hash over the full
+    corpus."""
+    df = QUERIES["benchmark_contamination"](spark, sf_dir)
+    txt = plan_string(df)
+    assert "BroadcastHashJoin" in txt and "LeftSemi" in txt
+
+
+def test_sequence_packing_window_is_partitioned(spark, sf_dir):
+    """The packing cumsum must hash-partition by source — a global
+    (unpartitioned) window would serialize the corpus through one
+    task."""
+    df = QUERIES["sequence_packing_stats"](spark, sf_dir)
+    txt = plan_string(df)
+    assert "hashpartitioning(source" in txt
+    assert "SinglePartition" not in txt
