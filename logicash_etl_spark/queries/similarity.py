@@ -111,10 +111,15 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "vec_id", as_double("embedding").alias("__v"),
         _norm(as_double("embedding")).alias("__n"),
     )
-    a = v.select("label", F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
-    b = v.select("label", F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
-    pairs = a.join(b, on=[a.label == b.label, F.col("id_a") < F.col("id_b")]).select(
-        a.label, "id_a", "id_b",
+    # distinct alias per side: a.label == b.label on two selects of the
+    # SAME lineage resolves both to one attribute and Catalyst drops
+    # the equality as trivially true — turning the blocked join into a
+    # full cross join (the "Constructing trivially true equals
+    # predicate" warning)
+    a = v.select(F.col("label").alias("label"), F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    b = v.select(F.col("label").alias("__label_b"), F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    pairs = a.join(b, on=[F.col("label") == F.col("__label_b"), F.col("id_a") < F.col("id_b")]).select(
+        "label", "id_a", "id_b",
         (_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias("cosine_sim"),
     )
     return pairs.filter(F.col("cosine_sim") >= 0.4)
