@@ -270,3 +270,96 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         F.sum("mse").cast("double").alias("total_mse"),
     )
+
+
+@query(
+    "event_delivery_dedup",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type, value ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_total,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 300000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM seq GROUP BY event_type
+    """,
+)
+def event_delivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery dedup: a row is a redelivery when the
+    same (user, type, value) payload arrived within 5 minutes before
+    it. One lag window over the content key — a single shuffle on the
+    key, no self-join (the naive time-range self-join is quadratic per
+    key group). The streaming analog is dropDuplicatesWithinWatermark;
+    this is the batch/backfill form with identical keep semantics."""
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type", "value").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    seq = ev.select("event_type", gap.alias("gap_us"))
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when(F.col("gap_us").isNull() | (F.col("gap_us") > 300_000_000), 1).otherwise(0)
+        ).cast("bigint").alias("n_kept"),
+    )
+
+
+@query(
+    "sentence_explode_udtf",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             list_filter(list_transform(string_split(text, '.'), x -> trim(x)),
+                         x -> x <> '') AS sents
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(len(sents)) AS BIGINT) AS n_sentences,
+           CAST(SUM(list_sum(list_transform(sents, x -> length(x)))) AS BIGINT)
+             AS total_sentence_chars,
+           CAST(max(list_max(list_transform(sents, x -> length(x)))) AS BIGINT)
+             AS max_sentence_chars
+    FROM s GROUP BY source
+    """,
+)
+def sentence_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 table function + LATERAL join):
+    one input doc -> N (sentence_idx, sentence) rows, then a per-source
+    profile. UDTFs are the structured extension point for row-expanding
+    Python logic the built-ins can't express (real sentence splitters,
+    parsers); like all row-at-a-time Python they are the FLEXIBILITY
+    path — this profile's oracle-checked equivalent could run as pure
+    JVM split+explode, which is exactly what the hot path should do.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string, n_chars int")
+    class SentenceSplit:
+        def eval(self, text: str):  # noqa: D102 - UDTF contract
+            if text is None:
+                return
+            idx = 0
+            for raw in text.split("."):
+                s = raw.strip()
+                if s:
+                    yield idx, s, len(s)
+                    idx += 1
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs = scale_out(read_table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    docs.createOrReplaceTempView("__docs_for_udtf")
+    sents = spark.sql(
+        """
+        SELECT d.source, s.sentence_idx, s.n_chars
+        FROM __docs_for_udtf d, LATERAL sentence_split(d.text) s
+        """
+    )
+    return sents.groupBy("source").agg(
+        F.count("*").alias("n_sentences"),
+        F.sum("n_chars").cast("bigint").alias("total_sentence_chars"),
+        F.max("n_chars").cast("bigint").alias("max_sentence_chars"),
+    )
