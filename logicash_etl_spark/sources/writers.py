@@ -52,8 +52,23 @@ def write_parquet_partitioned(
     writer.partitionBy(*partition_cols).parquet(path)
 
 
-def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Unpartitioned idempotent parquet export (Gold UNLOAD analog)."""
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    cluster_by: list[str] | None = None,
+) -> None:
+    """Unpartitioned idempotent parquet export (Gold UNLOAD analog).
+
+    ``cluster_by`` sorts rows WITHIN each output task before writing
+    (no shuffle): parquet row-group min/max statistics on those columns
+    become tight, so later range/point filters skip whole row groups at
+    the footer — the zone-map pruning that makes a selective filter on
+    a 100 TB table read a fraction of it. Pair with a repartition on
+    the same columns when global clustering is worth one shuffle.
+    """
+    if cluster_by:
+        df = df.sortWithinPartitions(*cluster_by)
     df.write.mode(mode).parquet(path)
 
 

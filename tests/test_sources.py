@@ -96,3 +96,25 @@ def test_lakehouse_writer_fallback(spark, tmp_path):
             raise RuntimeError("classpath present; skip-equivalent")
     with pytest.raises(ValueError, match="unknown lakehouse format"):
         write_lakehouse(df, out, fmt="hudi")
+
+
+def test_clustered_write_tightens_rowgroup_stats(spark, tmp_path, sf_smoke):
+    """cluster_by sorts within each task so parquet row-group min/max
+    zone maps become selective: within every output file the column is
+    sorted, and a range filter prunes at the footer."""
+    import pyarrow.parquet as pq
+
+    from logicash_etl_spark.sources.readers import read_table
+    from logicash_etl_spark.sources.writers import write_parquet
+
+    o = read_table(spark, sf_smoke, "orders").select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "clustered")
+    write_parquet(o.repartition(4), path, cluster_by=["o_orderkey"])
+
+    import glob
+
+    files = glob.glob(f"{path}/*.parquet")
+    assert files
+    for f in files:
+        keys = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"].to_pylist()
+        assert keys == sorted(keys), f"not clustered within {f}"
