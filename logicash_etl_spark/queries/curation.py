@@ -363,3 +363,53 @@ def sentence_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_sentence_chars"),
         F.max("n_chars").cast("bigint").alias("max_sentence_chars"),
     )
+
+
+@query(
+    "media_decode_meta",
+    oracle="""
+    WITH h AS (
+      SELECT sha256(text) AS hx,
+             octet_length(CAST(text AS BLOB)) AS nb
+      FROM documents
+    ), meta AS (
+      SELECT CASE WHEN CAST(('0x' || substr(hx, 5, 2)) AS INT) % 2 = 1
+                  THEN 'png' ELSE 'jpeg' END AS format,
+             16 + CAST(('0x' || substr(hx, 1, 2)) AS INT) % 64 AS width,
+             16 + CAST(('0x' || substr(hx, 3, 2)) AS INT) % 64 AS height,
+             nb
+      FROM h
+    )
+    SELECT format,
+           count(*) AS n_media,
+           CAST(SUM(width) AS BIGINT) AS total_width,
+           CAST(SUM(height) AS BIGINT) AS total_height,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes
+    FROM meta GROUP BY format
+    """,
+)
+def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode fan-out, driver-visible: documents packed as media blobs
+    -> Arrow-batched ``mapInPandas`` decode -> per-format profile. The
+    injected kernel is the deterministic digest-based stub (this
+    container ships no media corpus), whose arithmetic the oracle
+    reproduces in SQL — so the correctness signal covers the REAL
+    plumbing: struct packing, Arrow batch transfer, schema contract,
+    and the aggregate over decoder output. The PIL kernel (same
+    signature, auto-selected when importable) is exercised on synthetic
+    images in tests/test_multimodal.py."""
+    from logicash_etl_spark.operators.multimodal import (
+        _fake_image_decode,
+        decode_image_meta,
+        pack_media,
+    )
+
+    docs = scale_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    media = pack_media(docs.withColumn("blob", F.encode("text", "utf-8")), "blob", "text/plain")
+    meta = decode_image_meta(media, id_col="doc_id", kernel=_fake_image_decode)
+    return meta.groupBy("format").agg(
+        F.count("*").alias("n_media"),
+        F.sum("width").cast("bigint").alias("total_width"),
+        F.sum("height").cast("bigint").alias("total_height"),
+        F.sum("media_bytes").cast("bigint").alias("total_bytes"),
+    )
