@@ -413,3 +413,35 @@ def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("height").cast("bigint").alias("total_height"),
         F.sum("media_bytes").cast("bigint").alias("total_bytes"),
     )
+
+
+@query(
+    "variant_json_surface",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN json_type(props) = 'OBJECT' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_objects,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7) AS BIGINT)
+             AS k_mod_total,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_json_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): ``parse_json`` into
+    an open-schema variant once, then typed ``variant_get`` paths —
+    the engine-native way to scan heterogeneous JSON at 100 TB (parse
+    once into a binary-encoded variant, prune fields at access time)
+    versus re-parsing strings per extraction. Missing paths yield NULL
+    (schema-on-read), checked alongside a typed projection."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    missing = F.variant_get("v", "$.missing", "string")
+    is_obj = F.schema_of_variant(F.col("v")).startswith("OBJECT")
+    return v.groupBy("event_type").agg(
+        F.sum(F.when(is_obj, 1).otherwise(0)).cast("bigint").alias("n_objects"),
+        F.sum(k % 7).cast("bigint").alias("k_mod_total"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0)).cast("bigint").alias("n_missing"),
+    )
