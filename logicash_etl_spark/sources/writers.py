@@ -57,6 +57,7 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     cluster_by: list[str] | None = None,
+    global_sort_by: list[str] | None = None,
 ) -> None:
     """Unpartitioned idempotent parquet export (Gold UNLOAD analog).
 
@@ -64,10 +65,19 @@ def write_parquet(
     (no shuffle): parquet row-group min/max statistics on those columns
     become tight, so later range/point filters skip whole row groups at
     the footer — the zone-map pruning that makes a selective filter on
-    a 100 TB table read a fraction of it. Pair with a repartition on
-    the same columns when global clustering is worth one shuffle.
+    a 100 TB table read a fraction of it.
+
+    ``global_sort_by`` additionally range-repartitions first
+    (sampled-boundary range exchange, one shuffle), yielding files with
+    DISJOINT key ranges in total order — zone maps prune to one file
+    per point lookup, and merge-sorted consumers stream without a
+    re-sort. The right layout for write-once/read-many sorted tables.
     """
-    if cluster_by:
+    if global_sort_by and cluster_by:
+        raise ValueError("pass either cluster_by or global_sort_by, not both")
+    if global_sort_by:
+        df = df.repartitionByRange(*global_sort_by).sortWithinPartitions(*global_sort_by)
+    elif cluster_by:
         df = df.sortWithinPartitions(*cluster_by)
     df.write.mode(mode).parquet(path)
 

@@ -118,3 +118,29 @@ def test_clustered_write_tightens_rowgroup_stats(spark, tmp_path, sf_smoke):
     for f in files:
         keys = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"].to_pylist()
         assert keys == sorted(keys), f"not clustered within {f}"
+
+
+def test_global_sort_write_disjoint_file_ranges(spark, tmp_path, sf_smoke):
+    """global_sort_by range-partitions then sorts: file key ranges must
+    be disjoint and each file internally sorted (total order across
+    the table — one-file point lookups, merge-sorted consumers)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from logicash_etl_spark.sources.readers import read_table
+    from logicash_etl_spark.sources.writers import write_parquet
+
+    o = read_table(spark, sf_smoke, "orders").select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "gsorted")
+    write_parquet(o.repartition(4), path, global_sort_by=["o_orderkey"])
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        keys = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"].to_pylist()
+        if keys:
+            assert keys == sorted(keys), f"not sorted within {f}"
+            ranges.append((keys[0], keys[-1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges overlap - not a total order"
