@@ -445,3 +445,42 @@ def variant_json_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k % 7).cast("bigint").alias("k_mod_total"),
         F.sum(F.when(missing.isNull(), 1).otherwise(0)).cast("bigint").alias("n_missing"),
     )
+
+
+@query(
+    "frame_sample_inventory",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id, source, octet_length(CAST(text AS BLOB)) AS nb
+      FROM documents
+    ), frames AS (
+      SELECT source, len(generate_series(0, CAST(floor(nb / 100.0) AS INT), 10))
+               AS n_sampled
+      FROM media
+    )
+    SELECT source,
+           count(*) AS n_videos,
+           CAST(SUM(n_sampled) AS BIGINT) AS n_frames_sampled
+    FROM frames GROUP BY source
+    """,
+)
+def frame_sample_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan, driver-visible: 1 media row ->
+    every-10th-frame rows via explode (the decode fan-out shape and
+    partition-size planning a video pipeline runs before spending
+    codec CPU). Frame counts derive deterministically from byte length
+    (no codec in this container), which the oracle reproduces — the
+    signal covers the expansion arithmetic and explode shape."""
+    from logicash_etl_spark.operators.multimodal import frame_sample_plan, pack_media
+
+    docs = scale_out(read_table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    media = pack_media(docs.withColumn("blob", F.encode("text", "utf-8")), "blob", "video/fake")
+    frames = frame_sample_plan(media, id_col="doc_id", every_n=10)
+    return (
+        frames.join(docs.select(F.col("doc_id").alias("id"), "source"), on="id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("id").alias("n_videos"),
+            F.count("*").cast("bigint").alias("n_frames_sampled"),
+        )
+    )

@@ -92,3 +92,41 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"sess_drain_{uuid.uuid4().hex[:8]}"
     run_available_now(sess, f"{root}/ckpt", sink)
     return spark.sql(f"SELECT * FROM {sink}")
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING window_end <= (SELECT w FROM wm)
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation end-to-end under a REAL
+    streaming drain — with an exact SQL oracle: on a closed lot the
+    final watermark is max(ts) - 30 min, and append mode emits exactly
+    the windows whose end <= that watermark. The oracle reproduces the
+    same cutoff, so watermark finalization itself gets a hard
+    correctness signal (not just rows-only)."""
+    from logicash_etl_spark.streaming.ops import windowed_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="lq_stream_tumble_")
+    lot = f"{root}/lot"
+    ev.write.mode("overwrite").parquet(lot)
+    stream = stream_parquet_dir(spark, lot, S.EVENTS)
+    agg = windowed_counts(
+        stream, window="1 hour", watermark="30 minutes", keys=["event_type"]
+    )
+    sink = f"tumble_drain_{uuid.uuid4().hex[:8]}"
+    run_available_now(agg, f"{root}/ckpt", sink)
+    return spark.sql(f"SELECT * FROM {sink}")
