@@ -484,3 +484,38 @@ def frame_sample_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_frames_sampled"),
         )
     )
+
+
+@query(
+    "skew_salted_supplier_revenue",
+    oracle="""
+    SELECT s_nationkey,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def skew_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted equi-join, driver-visible (operators/joins.py::
+    join_with_skew_salt): the big side salts its key, the small side
+    replicates across salts, the join runs on (key, salt). Results are
+    salt-invariant — the oracle is the PLAIN join — which is exactly
+    the contract: salting changes task distribution (one hot key
+    becomes salt_buckets tasks), never the answer. The fallback for
+    skew that AQE can't fix (broadcast-ineligible skewed dims)."""
+    from logicash_etl_spark.functions.money import money
+    from logicash_etl_spark.operators.joins import join_with_skew_salt
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", money("l_extendedprice").alias("price")
+    )
+    sup = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = join_with_skew_salt(li, sup, on="l_suppkey", salt_buckets=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum("price").cast("double").alias("revenue"),
+    )

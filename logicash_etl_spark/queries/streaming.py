@@ -30,6 +30,21 @@ from logicash_etl_spark.streaming.sources import (
 )
 
 
+# one parquet lot per (process, sf_dir): the three streaming queries
+# drain the same closed lot; re-writing it per query would triple the
+# fixture materialization cost without changing what is being tested
+_LOT_CACHE: dict[str, str] = {}
+
+
+def _events_lot(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _LOT_CACHE:
+        root = tempfile.mkdtemp(prefix="lq_stream_lot_")
+        lot = f"{root}/lot"
+        read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(lot)
+        _LOT_CACHE[sf_dir] = lot
+    return _LOT_CACHE[sf_dir]
+
+
 @query("streaming_stateful_counts")  # custom state machine: rows-only check
 def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator end-to-end: per-user event
@@ -48,10 +63,8 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.update((total,))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
 
-    ev = read_table(spark, sf_dir, "events")
+    lot = _events_lot(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="lq_stream_state_")
-    lot = f"{root}/lot"
-    ev.write.mode("overwrite").parquet(lot)
     stream = stream_parquet_dir(spark, lot, S.EVENTS)
     counted = stream.groupBy("user_id").applyInPandasWithState(
         count_fn,
@@ -81,12 +94,10 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     state-bounding behavior that keeps this runnable forever at
     100 TB/day; on a closed lot the emitted sessions agree with the
     batch sessionize (tests/test_streaming.py pins both)."""
-    ev = read_table(spark, sf_dir, "events")
+    # lot written with micro-second timestamps: the streaming file
+    # source reads the declared schema directly (no nanos repair there)
+    lot = _events_lot(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="lq_stream_sess_")
-    lot = f"{root}/lot"
-    # write with micro-second timestamps: the streaming file source
-    # reads the declared schema directly (no nanos repair path there)
-    ev.write.mode("overwrite").parquet(lot)
     stream = stream_parquet_dir(spark, lot, S.EVENTS)
     sess = session_windows(stream, gap="30 minutes", key="user_id", watermark="1 hour")
     sink = f"sess_drain_{uuid.uuid4().hex[:8]}"
@@ -119,10 +130,8 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness signal (not just rows-only)."""
     from logicash_etl_spark.streaming.ops import windowed_counts
 
-    ev = read_table(spark, sf_dir, "events")
+    lot = _events_lot(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="lq_stream_tumble_")
-    lot = f"{root}/lot"
-    ev.write.mode("overwrite").parquet(lot)
     stream = stream_parquet_dir(spark, lot, S.EVENTS)
     agg = windowed_counts(
         stream, window="1 hour", watermark="30 minutes", keys=["event_type"]
