@@ -122,3 +122,69 @@ def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dups within Hamming<=3 via pigeonhole banding."""
     docs = read_table(spark, sf_dir, "documents")
     return simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)
+
+
+@query(
+    "dedup_clusters_exact",
+    oracle=r"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 3
+                    THEN list_transform(generate_series(1, len(ws) - 2),
+                                        i -> array_to_string(ws[i:i+2], ' '))
+                    ELSE [] END)) AS s
+      FROM w
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), idx AS (
+      SELECT doc_id, s FROM sh
+      WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > 100)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+      GROUP BY c.id_a, c.id_b
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.35
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), closure AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a WHERE e.b <> c.a
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS cluster_id,
+           d.doc_id = least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS is_canonical
+    FROM documents d LEFT JOIN closure c ON c.a = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering with a FULL hash-exact oracle:
+    edges are the exact n-gram-Jaccard pairs (SQL-expressible, unlike
+    the xxhash64-seeded MinHash edges of `dedup_clusters`), and DuckDB
+    reproduces the clustering itself with a recursive-CTE transitive
+    closure — so the iterative algorithm's OUTPUT is hash-checked, not
+    just row-counted. Same operator either way: driver union-find
+    under the edge threshold, large-star/small-star above it."""
+    from logicash_etl_spark.operators.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.35, max_doc_freq=100
+    )
+    return dedup_clusters(pairs.select("id_a", "id_b"), docs, "doc_id")
