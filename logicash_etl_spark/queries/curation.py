@@ -519,3 +519,46 @@ def skew_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum("price").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "unigram_surprisal_score",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                        x -> x <> '')) AS word
+      FROM documents
+    ), vocab AS (
+      SELECT word, count(*) AS c FROM tok GROUP BY word
+    ), tot AS (
+      SELECT SUM(c) AS n FROM vocab
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(SUM(-ln(CAST(v.c AS DOUBLE) / (SELECT n FROM tot))) / count(*), 6)
+             AS mean_surprisal
+    FROM tok t JOIN vocab v USING (word)
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (the CCNet-style filter signal):
+    mean negative log-probability of a doc's tokens under the corpus
+    unigram distribution — low = templated/common text, high = rare or
+    noisy. Two mergeable aggregate passes (corpus vocab, per-doc
+    score); the vocab side of the scoring join is broadcast (it is
+    |vocab| rows, not corpus rows). At 100 TB the vocab itself comes
+    from a frequency cutoff or count-min sketch; the join shape is
+    unchanged."""
+    docs = scale_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+    vocab = tok.groupBy("word").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    v = vocab.crossJoin(F.broadcast(total)).select(
+        "word", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    scored = tok.join(F.broadcast(v), on="word")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum(-F.log("p")) / F.count("*"), 6).alias("mean_surprisal"),
+    )
