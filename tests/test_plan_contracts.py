@@ -245,3 +245,19 @@ def test_sequence_packing_window_is_partitioned(spark, sf_dir):
     txt = plan_string(df)
     assert "hashpartitioning(source" in txt
     assert "SinglePartition" not in txt
+
+
+def test_surprisal_broadcasts_vocab(spark, sf_dir):
+    """The scoring join must broadcast the vocabulary side — corpus
+    tokens stream; only |vocab| rows ship to executors."""
+    df = QUERIES["unigram_surprisal_score"](spark, sf_dir)
+    assert "BroadcastHashJoin" in plan_string(df)
+
+
+def test_delivery_dedup_single_window_shuffle(spark, sf_dir):
+    """Redelivery detection is one lag window + one aggregate: at most
+    2 exchanges, and no join anywhere (the naive time-range self-join
+    shape is quadratic per key)."""
+    df = QUERIES["event_delivery_dedup"](spark, sf_dir)
+    assert join_strategies(df) == []
+    assert count_exchanges(df) <= 2
