@@ -84,16 +84,42 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_session_windows")  # watermark semantics: rows-only check
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM seq
+    ), sess AS (
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT * FROM sess
+    WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization end-to-end: events lot -> file-source
     readStream -> ``session_window`` gap-merge (30 min) with a 1 h
-    event-time watermark -> AvailableNow drain.
-
-    Append mode emits only watermark-finalized sessions — exactly the
-    state-bounding behavior that keeps this runnable forever at
-    100 TB/day; on a closed lot the emitted sessions agree with the
-    batch sessionize (tests/test_streaming.py pins both)."""
+    event-time watermark -> AvailableNow drain — with an EXACT oracle:
+    on a closed lot append mode emits precisely the sessions whose end
+    (last event + gap) is <= the final watermark (max(ts) - 1 h), and
+    the oracle reproduces both the lag-gap sessionization and that
+    cutoff in SQL. Watermark finalization is the state-bounding
+    behavior that keeps this runnable forever at 100 TB/day."""
     # lot written with micro-second timestamps: the streaming file
     # source reads the declared schema directly (no nanos repair there)
     lot = _events_lot(spark, sf_dir)
