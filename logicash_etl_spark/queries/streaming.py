@@ -45,14 +45,19 @@ def _events_lot(spark: SparkSession, sf_dir: str) -> str:
     return _LOT_CACHE[sf_dir]
 
 
-@query("streaming_stateful_counts")  # custom state machine: rows-only check
+@query(
+    "streaming_stateful_counts",
+    oracle="""
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
 def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator end-to-end: per-user event
     counter via ``applyInPandasWithState`` — the extension point for
     operators streaming SQL can't express (arbitrary per-key state,
-    Arrow-batched). Drained with AvailableNow; final counts equal the
-    batch groupBy (pinned in tests/test_streaming.py), which is the
-    exactly-once evidence."""
+    Arrow-batched). Drained with AvailableNow; the final per-key state
+    must equal the plain batch groupBy count — which IS the oracle, so
+    exactly-once state accounting gets a hash-exact signal."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
