@@ -562,3 +562,71 @@ def unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.round(F.sum(-F.log("p")) / F.count("*"), 6).alias("mean_surprisal"),
     )
+
+
+@query(
+    "width_bucket_histogram",
+    oracle="""
+    WITH b AS (
+      -- DuckDB has no width_bucket: spell out the same semantics
+      -- (bucket i covers [lo + (i-1)*w, lo + i*w); 0/21 = under/overflow)
+      SELECT event_type, value,
+             CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0
+                  WHEN CAST(value AS DOUBLE) >= 1000.0 THEN 21
+                  ELSE CAST(floor(CAST(value AS DOUBLE) / 50.0) AS BIGINT) + 1 END AS bucket
+      FROM events
+    )
+    SELECT event_type, bucket,
+           count(*) AS n,
+           round(CAST(min(value) AS DOUBLE), 2) AS lo,
+           round(CAST(max(value) AS DOUBLE), 2) AS hi
+    FROM b
+    GROUP BY event_type, bucket
+    """,
+)
+def width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via the SQL-standard width_bucket (Spark 4
+    built-in): 20 buckets over [0, 1000) plus the under/overflow
+    buckets 0 and 21 — one map-side-combinable aggregate, the
+    profiling histogram shape for numeric columns at any scale."""
+    ev = read_table(spark, sf_dir, "events")
+    b = F.width_bucket(F.col("value").cast("double"), F.lit(0.0), F.lit(1000.0), F.lit(20))
+    return ev.groupBy("event_type", b.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value").cast("double"), 2).alias("lo"),
+        F.round(F.max("value").cast("double"), 2).alias("hi"),
+    )
+
+
+@query(
+    "map_function_surface",
+    oracle="""
+    WITH kv AS (
+      SELECT o_orderpriority AS k, count(*) AS c FROM orders GROUP BY o_orderpriority
+    )
+    SELECT CAST(count(*) AS INT) AS n_keys,
+           array_to_string(list_sort(list(k)), ',') AS keys_sorted,
+           CAST(SUM(CASE WHEN k = '1-URGENT' THEN c ELSE 0 END) AS BIGINT) AS urgent_n,
+           CAST(max(c) AS BIGINT) AS max_group
+    FROM kv
+    """,
+)
+def map_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build map<priority, count> with
+    map_from_entries, then interrogate it with map_keys /
+    element_at / map_filter / aggregate — the collection type the
+    relational surface otherwise never exercises. Output is serialized
+    to scalars (sorted key list, lookups) because map columns are not
+    canonicalizable by the driver; the oracle computes the same
+    scalars set-wise."""
+    o = read_table(spark, sf_dir, "orders")
+    kv = o.groupBy(F.col("o_orderpriority").alias("k")).agg(F.count("*").alias("c"))
+    m = kv.agg(
+        F.map_from_entries(F.collect_list(F.struct("k", "c"))).alias("m")
+    )
+    return m.select(
+        F.size("m").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
+        F.coalesce(F.element_at("m", "1-URGENT"), F.lit(0)).cast("bigint").alias("urgent_n"),
+        F.array_max(F.map_values("m")).cast("bigint").alias("max_group"),
+    )
