@@ -39,25 +39,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # of queries(), so not-yet-checked and newly added queries are ordered
 # first; long-green ones rotate to the back (their local parity tests
 # still run every session).
+#
+# Round-4 rotation: r03 checked 50/50 green, so every query now has a
+# driver row.  `per_group_trend_forecast` and `approx_sketches` gained
+# real SQL oracles this round (were rows-only) — they are NOT listed
+# here so they snapshot first and earn a hash-exact row in r04.
 _DRIVER_GREEN = {
-    "flagship_top_customers", "pricing_summary", "daily_order_summary",
-    "daily_balance_pivot", "distinct_catalog", "scd1_latest_event",
-    "customers_without_orders", "suppliers_with_returns",
-    "price_band_range_join", "asof_last_purchase", "null_audit_orders",
-    "quality_scan_lineitem", "dq_violation_report", "conditional_counts",
-    "supplier_ranking_report", "top3_orders_per_segment",
-    "event_value_deltas", "brand_set_ops", "rollup_returns",
-    "scalar_functions", "json_extraction", "value_percentiles",
-    "hourly_event_windows", "shipping_priority_top10",
-    "revenue_by_nation_region", "per_user_event_profile",
-    "null_safe_join_audit", "schema_evolution_union", "pivot_native_daily",
-    "ranking_function_surface", "calendar_gap_fill", "fuzzy_name_match",
-    "token_stats_by_source", "lang_id_confusion", "doc_quality_flags",
-    "doc_fingerprints", "word_count_top20", "exact_dedup_docs",
-    "ngram_jaccard_dups", "minhash_lsh_dups", "dedup_clusters",
-    "simhash_dups", "cosine_topk_bruteforce", "knn_label_vote",
-    "embedding_dup_pairs", "ann_lsh_topk", "ivf_ann_topk",
-    "cube_order_stats", "unpivot_daily_metrics",
+    'ann_lsh_topk', 'array_function_surface', 'asof_last_purchase',
+    'benchmark_contamination', 'big_ticket_orders', 'brand_set_ops',
+    'calendar_gap_fill', 'conditional_counts', 'cosine_topk_bruteforce',
+    'cube_order_stats', 'customer_order_distribution',
+    'customers_without_orders', 'daily_balance_pivot',
+    'daily_order_summary', 'date_function_surface', 'dedup_clusters',
+    'dedup_clusters_exact', 'distinct_catalog', 'doc_chunking',
+    'doc_fingerprints', 'doc_length_histogram', 'doc_quality_flags',
+    'doc_repetition_score', 'dq_violation_report', 'embedding_dup_pairs',
+    'embedding_norms_pandas_udf', 'embedding_quantization_error',
+    'event_delivery_dedup', 'event_value_deltas', 'exact_dedup_docs',
+    'flagship_top_customers', 'frame_navigation_surface',
+    'frame_sample_inventory', 'fuzzy_name_match', 'grouping_sets_report',
+    'hourly_event_windows', 'hourly_moving_value', 'hourly_ohlc_resample',
+    'ivf_ann_topk', 'json_extraction', 'knn_label_vote',
+    'lang_id_confusion', 'map_function_surface', 'media_decode_meta',
+    'media_inventory', 'min_cost_supplier', 'minhash_lsh_dups',
+    'ngram_jaccard_dups', 'ntile_distribution_surface', 'null_audit_orders',
+    'null_safe_join_audit', 'per_user_event_profile', 'pii_scrub_stats',
+    'pivot_native_daily', 'price_band_range_join', 'pricing_summary',
+    'priority_order_exists', 'quality_scan_lineitem',
+    'ranking_function_surface', 'revenue_by_nation_region',
+    'rich_idle_customers', 'rollup_returns', 'scalar_functions',
+    'scd1_latest_event', 'scd2_dimension_report', 'schema_evolution_union',
+    'segment_top_names_listagg', 'sentence_explode_udtf',
+    'sequence_packing_stats', 'shipping_priority_top10', 'simhash_dups',
+    'skew_salted_supplier_revenue', 'small_quantity_revenue',
+    'snapshot_diff_cdc', 'stat_moments_by_flag', 'stratified_sample_counts',
+    'streaming_session_windows', 'streaming_stateful_counts',
+    'streaming_tumbling_counts', 'string_function_surface',
+    'supplier_ranking_report', 'suppliers_with_returns', 'tfidf_top_terms',
+    'token_stats_by_source', 'top3_orders_per_segment',
+    'top_revenue_supplier', 'train_test_split_stats', 'unigram_entropy',
+    'unigram_surprisal_score', 'unpivot_daily_metrics', 'user_sessions',
+    'value_percentiles', 'value_trend_stats', 'variant_json_surface',
+    'width_bucket_histogram', 'word_count_top20',
 }
 
 

@@ -60,20 +60,63 @@ def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_sketches")  # sketch values are engine-specific: rows-only check
+@query(
+    "approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           true AS hll_within_3rsd,
+           true AS p50_within_rank_eps,
+           true AS p95_within_rank_eps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB substitutes for exact distinct/quantiles: HLL
     approx_count_distinct and percentile_approx — mergeable sketches,
-    bounded memory, no giant shuffle. Accuracy vs exact is bounded in
-    tests/test_extensions.py."""
+    bounded memory, no giant shuffle.
+
+    Sketch VALUES are engine-specific (xxhash64-seeded HLL,
+    KLL-style quantile digest), so the oracle checks BOUNDS instead:
+    the query computes exact and approx side by side and emits
+    booleans — HLL within 3x its configured rsd, each approx quantile
+    between the exact quantiles at p±eps (eps = 50x the sketch's 1e-4
+    rank guarantee, so the check is loose enough to be deterministic
+    and tight enough to catch a broken sketch). DuckDB's twin emits
+    the exact counts plus constant-true booleans; a sketch regression
+    flips a boolean and the hash catches it. Point accuracy is further
+    bounded in tests/test_extensions.py."""
     li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    price = F.col("l_extendedprice").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         # split the quantile sketch into scalar columns: the driver
         # canonicalizer cannot hash array-typed output
         F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("price_p50"),
         F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("price_p95"),
-        F.count("*").alias("n"),
+        F.percentile(price, 0.495).alias("p50_lo"),
+        F.percentile(price, 0.505).alias("p50_hi"),
+        F.percentile(price, 0.945).alias("p95_lo"),
+        F.percentile(price, 0.955).alias("p95_hi"),
+    )
+    rel_err = (
+        F.abs(F.col("approx_orders") - F.col("exact_orders"))
+        / F.col("exact_orders")
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "exact_orders",
+        (rel_err <= 0.06).alias("hll_within_3rsd"),
+        F.col("price_p50").between(F.col("p50_lo"), F.col("p50_hi")).alias(
+            "p50_within_rank_eps"
+        ),
+        F.col("price_p95").between(F.col("p95_lo"), F.col("p95_hi")).alias(
+            "p95_within_rank_eps"
+        ),
     )
 
 
@@ -403,19 +446,37 @@ def value_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("per_group_trend_forecast")  # grouped-map pandas: rows-only; slope
-# cross-checked against the SQL-exact value_trend_stats in tests
+@query(
+    "per_group_trend_forecast",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(regr_slope(value, epoch(ts)) * 86400, 6) AS slope_per_day,
+           round(regr_intercept(value, epoch(ts))
+                 + regr_slope(value, epoch(ts)) * (max(epoch(ts)) + 86400),
+                 4) AS forecast_next_day
+    FROM events GROUP BY event_type
+    """,
+)
 def per_group_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per event_type, fit value ~ time by
     OLS and forecast one day past the group's last event — the
     engine's batch custom-operator extension point (each group arrives
     as ONE pandas DataFrame; Arrow both ways). Use when per-group
     logic genuinely needs imperative code; everything SQL-expressible
-    stays JVM-side (cf. value_trend_stats, same slope in pure SQL)."""
+    stays JVM-side (cf. value_trend_stats, same slope in pure SQL).
+
+    Oracle: DuckDB regr_slope/regr_intercept on epoch seconds. The
+    pandas fit shifts x to the group min before polyfit (the regression
+    line is shift-invariant; the shift keeps the SVD well-conditioned),
+    so both sides agree to ~1e-9 — far inside the 6dp/4dp rounding that
+    makes the comparison hash-stable. Slope is reported per DAY so the
+    rounded value keeps ~6 significant digits (per-second slopes are
+    ~1e-5 and would round to noise)."""
     import numpy as np
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["ts"].astype("int64").to_numpy() / 1e9  # seconds
+        # datetime64[ns] regardless of Arrow's wire unit, then seconds
+        x = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
         y = pdf["value"].to_numpy()
         if len(pdf) < 2 or np.ptp(x) == 0.0:
             # degenerate group: no trend is fittable (polyfit SVD fails)
@@ -423,18 +484,18 @@ def per_group_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             x0 = x - x.min()
             slope_f, intercept = np.polyfit(x0, y, 1)
-            slope = float(slope_f)
-            forecast = float(intercept + slope_f * (x0.max() + 86_400.0))
+            slope = round(float(slope_f) * 86_400.0, 6)
+            forecast = round(float(intercept + slope_f * (x0.max() + 86_400.0)), 4)
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n": [len(pdf)],
-                "slope_per_sec": [slope],
+                "slope_per_day": [slope],
                 "forecast_next_day": [forecast],
             }
         )
 
     ev = read_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     return ev.groupBy("event_type").applyInPandas(
-        fit, schema="event_type string, n long, slope_per_sec double, forecast_next_day double"
+        fit, schema="event_type string, n long, slope_per_day double, forecast_next_day double"
     )
