@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from logicash_etl_spark.operators.caching import scoped_persist
 from logicash_etl_spark.operators.partitioning import scale_out
 from logicash_etl_spark.operators.text import content_hash, tokens, word_shingles
 
@@ -106,7 +107,7 @@ def minhash_lsh_candidates(
         with_sig = _signatures_from_exploded(exploded, id_col, num_hashes)
     else:
         with_sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    banded = (
+    banded = scoped_persist(
         with_sig.select(
             id_col,
             F.explode(
@@ -129,8 +130,8 @@ def minhash_lsh_candidates(
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
         # persist: both self-join sides otherwise recompute the whole
         # signature pipeline (explode + k-agg groupBy). bands rows x
-        # 20 bytes per doc; callers own cache cleanup.
-        .persist()
+        # 20 bytes per doc; freed by the innermost cache_scope (callers
+        # without a scope own cleanup, as before).
     )
 
     a = banded.alias("a")
@@ -175,15 +176,16 @@ def jaccard_pairs(
 
     Caching: the (id, hash) projection is persisted because the plan
     consumes it up to 4x. The returned DataFrame is lazy, so the
-    cache must outlive this call — callers own cleanup
-    (``spark.catalog.clearCache()`` or ``.unpersist()`` on a handle)
-    once the result is materialized; bench.py does exactly that
-    between queries.
+    cache must outlive this call — materialize inside a
+    ``cache_scope()`` (operators/caching.py) to free it
+    deterministically; without a scope, callers own cleanup
+    (``spark.catalog.clearCache()``), as bench.py does between
+    queries.
     """
     # join/shuffle on the 64-bit shingle hash, not the string: smaller
     # shuffle rows, cheaper comparisons; P(collision) ~ n^2/2^64 is
     # negligible for intersection counting
-    sh = (
+    sh = scoped_persist(
         # scale_out first: tokenization is CPU-bound and must not be
         # serialized onto the scan's (possibly single-split) layout
         scale_out(df.select(id_col, text_col))
@@ -193,7 +195,6 @@ def jaccard_pairs(
         .select(id_col, F.xxhash64("__s").alias("sh"))
         # consumed 3x (sizes + both join sides): persist the tiny
         # (id, hash64) projection instead of re-tokenizing the corpus
-        .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
 
@@ -223,7 +224,7 @@ def jaccard_pairs(
         # never re-score against the full index: that join scales with
         # candidates x shingles-per-doc and triples the query at sf0.1
         # even when zero shingles are actually hot.
-        inter = inter.persist()  # consumed twice below
+        inter = scoped_persist(inter)  # consumed twice below
         hot_a = hot_idx.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__hsh"))
         hot_b = hot_idx.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__hsh"))
         hot_inter = (
@@ -265,14 +266,13 @@ def minhash_dedup_pairs(
 
     Caching: the shingle-array projection is persisted (feeds the
     signature path and both verification joins). As with
-    ``jaccard_pairs``, the result is lazy — callers own cache cleanup
-    after materializing."""
+    ``jaccard_pairs``, the result is lazy — materialize inside a
+    ``cache_scope()`` for deterministic cleanup."""
     # tokenize once: the shingle-array projection feeds both the LSH
     # signature path and the verification joins
-    sh = (
+    sh = scoped_persist(
         scale_out(df.select(id_col, text_col))
         .select(F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"))
-        .persist()
     )
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_n, shingles=sh
@@ -356,8 +356,8 @@ def simhash_dup_pairs(
     chunk = 64 // bands
     # persist: both sides of the block self-join consume the signature
     # pipeline (explode + 64-agg groupBy) — without this it runs twice.
-    # (id, sim64) is 16 bytes/doc; callers own cache cleanup.
-    sig = simhash_signatures(df, id_col, text_col).persist()
+    # (id, sim64) is 16 bytes/doc; freed by the innermost cache_scope.
+    sig = scoped_persist(simhash_signatures(df, id_col, text_col))
     blocked = sig.select(
         id_col,
         "__sim",

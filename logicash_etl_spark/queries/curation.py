@@ -43,8 +43,9 @@ _STRIDE = 112   # chunk start stride -> 16-token overlap
     """,
 )
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping fixed-budget chunking ({_CHUNK}-token windows,
-    {_STRIDE}-token stride): the doc -> training-sample expansion.
+    """Overlapping fixed-budget chunking (128-token windows,
+    112-token stride; see _CHUNK/_STRIDE): the doc -> training-sample
+    expansion.
     Row-local (no shuffle at all): a let-bound token array feeds a
     transform over chunk starts, then one explode — at 100 TB this is
     a map-only pass whose output is written straight to shards.

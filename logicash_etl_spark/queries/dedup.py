@@ -5,13 +5,30 @@ signatures are xxhash64-seeded (Spark-private hash), so those are
 registered without oracles (driver's rows-only check) and verified
 instead by property tests against the exact-Jaccard ground truth
 (tests/test_dedup.py).
+
+Work sharing: the expensive pair pipelines are materialized ONCE per
+(process, sf_dir) to a temp parquet lot and re-read by every query
+that needs them — ``ngram_jaccard_dups`` and ``dedup_clusters_exact``
+share the exact-Jaccard pairs; ``minhash_lsh_dups`` and
+``dedup_clusters`` share the MinHash-verified pairs. Results are
+identical to recomputing (the pipelines are deterministic and parquet
+round-trips longs/doubles bitwise); a driver running the full catalog
+just stops paying for the same inverted-index join twice. Each build
+runs inside a ``cache_scope`` so operator-persisted intermediates are
+freed as soon as the lot is written; lots are removed at process exit
+(logicash_etl_spark/tmp.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+import json
+import os
+from collections.abc import Callable
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from logicash_etl_spark.operators.caching import cache_scope
 from logicash_etl_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -20,6 +37,64 @@ from logicash_etl_spark.operators.dedup import (
 )
 from logicash_etl_spark.queries.registry import query
 from logicash_etl_spark.sources.readers import read_table
+from logicash_etl_spark.tmp import session_tmpdir
+
+# (abspath(sf_dir), lot name) -> parquet path + schema DDL of the lot
+_LOTS: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _pair_lot(
+    spark: SparkSession, sf_dir: str, name: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Materialize ``build()`` once per (process, sf_dir) and read it
+    back; subsequent calls — including from OTHER queries — reuse the
+    lot. The explicit read schema keeps zero-row lots readable."""
+    key = (os.path.abspath(sf_dir), name)
+    if key not in _LOTS:
+        path = os.path.join(session_tmpdir("lq_dedup_lot_"), name)
+        with cache_scope():
+            df = build()
+            df.write.mode("overwrite").parquet(path)
+        _LOTS[key] = (path, df.schema.json())
+    path, schema_json = _LOTS[key]
+    schema = StructType.fromJson(json.loads(schema_json))
+    return spark.read.schema(schema).parquet(path)
+
+
+def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs at threshold 0.35 (the shared ground
+    truth for `ngram_jaccard_dups` and `dedup_clusters_exact`)."""
+    return _pair_lot(
+        spark,
+        sf_dir,
+        "exact_jaccard_pairs",
+        lambda: jaccard_pairs(
+            read_table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            shingle_n=3,
+            threshold=0.35,
+            max_doc_freq=100,
+        ),
+    )
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) candidates verified at exact Jaccard
+    0.35 (shared by `minhash_lsh_dups` and `dedup_clusters`)."""
+    return _pair_lot(
+        spark,
+        sf_dir,
+        "minhash_pairs",
+        lambda: minhash_dedup_pairs(
+            read_table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            threshold=0.35,
+            num_hashes=64,
+            bands=16,
+        ),
+    )
 
 
 @query(
@@ -88,10 +163,7 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     CANDIDATE generation; surviving pairs are re-scored exactly against
     the unfiltered index, and the oracle mirrors the same prune +
     re-score so results hash-match."""
-    docs = read_table(spark, sf_dir, "documents")
-    return jaccard_pairs(
-        docs, "doc_id", "text", shingle_n=3, threshold=0.35, max_doc_freq=100
-    )
+    return _exact_pairs(spark, sf_dir)
 
 
 @query("minhash_lsh_dups")  # xxhash64 signatures: no SQL oracle; property-tested
@@ -99,10 +171,7 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 perms) + banded LSH(16 bands) candidates, exact-
     Jaccard verified at 0.35 — the 100 TB near-dup path (candidates
     only, never all pairs)."""
-    docs = read_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(
-        docs, "doc_id", "text", threshold=0.35, num_hashes=64, bands=16
-    )
+    return _minhash_pairs(spark, sf_dir)
 
 
 @query("dedup_clusters")  # iterative algorithm: rows-only check; property-tested
@@ -113,7 +182,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logicash_etl_spark.operators.graph import dedup_clusters
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.35)
+    pairs = _minhash_pairs(spark, sf_dir)
     return dedup_clusters(pairs.select("id_a", "id_b"), docs, "doc_id", num_partitions=8)
 
 
@@ -121,7 +190,12 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dups within Hamming<=3 via pigeonhole banding."""
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)
+    return _pair_lot(
+        spark,
+        sf_dir,
+        "simhash_pairs",
+        lambda: simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3, bands=4),
+    )
 
 
 @query(
@@ -180,11 +254,11 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the clustering itself with a recursive-CTE transitive
     closure — so the iterative algorithm's OUTPUT is hash-checked, not
     just row-counted. Same operator either way: driver union-find
-    under the edge threshold, large-star/small-star above it."""
+    under the edge threshold, large-star/small-star above it. The pair
+    frame is the lot `ngram_jaccard_dups` materializes (computed once
+    whichever query runs first)."""
     from logicash_etl_spark.operators.graph import dedup_clusters
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(
-        docs, "doc_id", "text", shingle_n=3, threshold=0.35, max_doc_freq=100
-    )
+    pairs = _exact_pairs(spark, sf_dir)
     return dedup_clusters(pairs.select("id_a", "id_b"), docs, "doc_id")

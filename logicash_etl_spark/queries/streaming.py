@@ -4,8 +4,11 @@ Each query materializes a parquet lot from the fixture, runs a REAL
 Structured Streaming query over it under ``Trigger.AvailableNow``
 (fresh checkpoint, memory sink), and returns the drained result as a
 batch DataFrame — the batch==stream equivalence shape the streaming
-tests pin. Registered without oracles: watermark finalization is not
-SQL-expressible, so the driver records the rows-only check.
+tests pin. All three register EXACT SQL oracles: on a closed lot the
+final watermark is max(ts) - delay, and append mode emits exactly the
+windows/sessions whose end <= that watermark — the oracle reproduces
+the same sessionization/windowing AND that cutoff in plain SQL (the
+stateful query's final per-key state equals a batch groupBy).
 
 Reference parity note: the reference's ingestion is event-driven batch
 (`_READY` flags + EventBridge, data_gen/generator.py:177-192); the
@@ -14,7 +17,6 @@ sessionization here is the streaming extension SURVEY.md section 2.9 scopes.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +25,7 @@ from pyspark.sql import functions as F
 from logicash_etl_spark import schemas as S
 from logicash_etl_spark.queries.registry import query
 from logicash_etl_spark.sources.readers import read_table
+from logicash_etl_spark.tmp import session_tmpdir
 from logicash_etl_spark.streaming.ops import session_windows
 from logicash_etl_spark.streaming.sources import (
     run_available_now,
@@ -38,7 +41,7 @@ _LOT_CACHE: dict[str, str] = {}
 
 def _events_lot(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _LOT_CACHE:
-        root = tempfile.mkdtemp(prefix="lq_stream_lot_")
+        root = session_tmpdir("lq_stream_lot_")
         lot = f"{root}/lot"
         read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(lot)
         _LOT_CACHE[sf_dir] = lot
@@ -69,7 +72,7 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
 
     lot = _events_lot(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="lq_stream_state_")
+    root = session_tmpdir("lq_stream_state_")
     stream = stream_parquet_dir(spark, lot, S.EVENTS)
     counted = stream.groupBy("user_id").applyInPandasWithState(
         count_fn,
@@ -93,7 +96,7 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_windows",
     oracle="""
     WITH seq AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_s
@@ -101,7 +104,7 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts, value,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM seq
     ), sess AS (
@@ -128,7 +131,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lot written with micro-second timestamps: the streaming file
     # source reads the declared schema directly (no nanos repair there)
     lot = _events_lot(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="lq_stream_sess_")
+    root = session_tmpdir("lq_stream_sess_")
     stream = stream_parquet_dir(spark, lot, S.EVENTS)
     sess = session_windows(stream, gap="30 minutes", key="user_id", watermark="1 hour")
     sink = f"sess_drain_{uuid.uuid4().hex[:8]}"
@@ -162,7 +165,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logicash_etl_spark.streaming.ops import windowed_counts
 
     lot = _events_lot(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="lq_stream_tumble_")
+    root = session_tmpdir("lq_stream_tumble_")
     stream = stream_parquet_dir(spark, lot, S.EVENTS)
     agg = windowed_counts(
         stream, window="1 hour", watermark="30 minutes", keys=["event_type"]
