@@ -3,10 +3,14 @@
 The reference's warehouse leg is Redshift COPY/UNLOAD
 (sql/ddl_staging.sql:40-43, ddl_gold.sql:71-89); in-engine the gold
 path is Spark-native parquet/catalog, but deployments that DO front a
-warehouse or a Kafka bus use these wrappers. The local image carries
-neither a JDBC driver jar nor the Kafka connector, so availability is
-probed at call time and a clear error names the missing piece —
-the call shapes are the stable API.
+warehouse or a Kafka bus use these wrappers. Availability is probed at
+call time and a clear error names the missing piece.
+
+The JDBC path is exercised END-TO-END against embedded Derby (on
+Spark's own classpath) in tests/test_connectors.py: partitioned
+range-query reads, filter pushdown into the remote scan, and writes.
+Kafka has no broker in the image, so only its call shape and failure
+mode are pinned.
 """
 
 from __future__ import annotations
