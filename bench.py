@@ -31,7 +31,18 @@ def main() -> None:
     # one warmup action: JVM/codegen/parquet-footer caches
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    def run_one(name: str) -> float:
+    def run_one(name: str, cold: bool = False) -> float:
+        if cold:
+            # a timing RE-run must rebuild the shared pair/event lots,
+            # or min(orig, rerun) records a cached parquet read where
+            # the original did real work. First runs keep lots warm on
+            # purpose: cross-query sharing is part of the measured
+            # session cost (the lot builder pays, later queries reuse).
+            from logicash_etl_spark.queries import dedup as _dq
+            from logicash_etl_spark.queries import streaming as _sq
+
+            _dq.clear_lots()
+            _sq.clear_lots()
         t0 = time.perf_counter()
         try:
             QUERIES[name](spark, sf_dir).count()
@@ -59,7 +70,7 @@ def main() -> None:
         med = ok[len(ok) // 2]
         for name, t in list(timings.items()):
             if t > max(5 * med, 5.0):
-                timings[name] = min(t, run_one(name))
+                timings[name] = min(t, run_one(name, cold=True))
     # two totals so the noise correction is visible, not silent:
     # `value` = sum of per-query minima (comparable across rounds),
     # `raw_wall_clock` = actual elapsed time incl. outlier re-runs.
@@ -80,6 +91,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    # scaling evidence rides along: SCALING.json is produced by
+    # scaling_check.py (10 slowest queries at a replicated 10x scale)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            full["sf1_spot"] = json.load(fh)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 

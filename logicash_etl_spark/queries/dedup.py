@@ -43,6 +43,13 @@ from logicash_etl_spark.tmp import session_tmpdir
 _LOTS: dict[tuple[str, str], tuple[str, str]] = {}
 
 
+def clear_lots() -> None:
+    """Forget materialized pair lots (benchmarking hook: a timing
+    re-run must rebuild them or it measures a cached read). Dirs are
+    removed at process exit regardless."""
+    _LOTS.clear()
+
+
 def _pair_lot(
     spark: SparkSession, sf_dir: str, name: str, build: Callable[[], DataFrame]
 ) -> DataFrame:

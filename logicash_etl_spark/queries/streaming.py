@@ -39,6 +39,12 @@ from logicash_etl_spark.streaming.sources import (
 _LOT_CACHE: dict[str, str] = {}
 
 
+def clear_lots() -> None:
+    """Forget the shared events lots (benchmarking hook — see
+    queries/dedup.clear_lots)."""
+    _LOT_CACHE.clear()
+
+
 def _events_lot(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _LOT_CACHE:
         root = session_tmpdir("lq_stream_lot_")

@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Empirical scaling spot-check: sf0.1 -> sf1 (10x) on the slowest
+queries.
+
+SCALING.md argues structurally that every plan survives scale-up; this
+script is the empirical leg: it replicates the sf0.1 fixtures 10x into
+an sf1-sized working set (FK-consistent key shifting per copy), runs
+the slowest queries from BENCH_FULL.json at both scales, and writes
+per-query sec + ratio to SCALING.json. bench.py embeds that file into
+BENCH_FULL.json under "sf1_spot" so the scaling evidence rides along
+with the per-round bench.
+
+Replication, not re-generation, so the data distribution is held
+fixed while volume grows 10x:
+
+- fixed dims (region, nation) are TPC-H-style constant-size: copied
+  once, as at any real scale factor;
+- every entity key is shifted by copy_idx * 10^ceil(log10(max+1)),
+  and FK columns shift by the SAME offset as their parent key, so
+  each copy is a self-consistent universe (join fan-outs match the
+  base corpus, per-key group sizes stay constant — what a bigger
+  TPC-H actually looks like);
+- document text is token-tagged per copy (`c3y` prefix on every
+  token) so copies share NO shingles: near-dup structure stays
+  proportional instead of every doc gaining 9 cross-copy twins
+  (which would grow pair counts ~100x and measure an artifact);
+- embeddings are rotated by copy_idx positions — norm-preserving but
+  direction-distinct, so ANN/cosine workloads see 10x genuinely
+  different vectors;
+- events keep their timestamps: 10x events over the same horizon =
+  10x arrival rate, the realistic way an event stream grows.
+
+Usage: python scaling_check.py [n_queries]   (default 10 slowest)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logicash_etl_spark import get_spark
+from logicash_etl_spark.queries import QUERIES
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BIG_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/lq_scaling_sf1")
+COPIES = 10
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# FK-consistent shifting: each entity key gets one offset; FK columns
+# reuse the parent entity's offset.
+ENTITY_KEYS = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+TABLE_SHIFTS = {  # table -> {column: entity whose offset applies}
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events", "user_id": "user"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+STATIC_TABLES = ("region", "nation")
+
+
+def _offsets(spark: SparkSession) -> dict[str, int]:
+    offs: dict[str, int] = {}
+    for table, key in ENTITY_KEYS.items():
+        mx = (
+            spark.read.parquet(f"{BASE}/{table}.parquet")
+            .agg(F.max(key))
+            .collect()[0][0]
+        )
+        offs[table] = 10 ** math.ceil(math.log10(mx + 2))
+    # events.user_id is its own universe
+    mx = (
+        spark.read.parquet(f"{BASE}/events.parquet").agg(F.max("user_id")).collect()[0][0]
+    )
+    offs["user"] = 10 ** math.ceil(math.log10(mx + 2))
+    return offs
+
+
+def _one_copy(df: DataFrame, table: str, i: int, offs: dict[str, int]) -> DataFrame:
+    out = df
+    for col, entity in TABLE_SHIFTS[table].items():
+        out = out.withColumn(col, F.col(col) + F.lit(i * offs[entity]))
+    if table == "documents" and i > 0:
+        # disjoint shingle space per copy (see module docstring)
+        out = out.withColumn("text", F.regexp_replace("text", r"(\S+)", f"c{i}y$1"))
+    if table == "embeddings" and i > 0:
+        dim = 64
+        out = out.withColumn(
+            "embedding",
+            F.concat(
+                F.slice("embedding", i + 1, dim - i), F.slice("embedding", 1, i)
+            ),
+        )
+    return out
+
+
+def build_sf1(spark: SparkSession) -> None:
+    marker = os.path.join(BIG_DIR, "_BUILT")
+    if os.path.exists(marker):
+        return
+    os.makedirs(BIG_DIR, exist_ok=True)
+    offs = _offsets(spark)
+    for table in STATIC_TABLES:
+        spark.read.parquet(f"{BASE}/{table}.parquet").write.mode("overwrite").parquet(
+            f"{BIG_DIR}/{table}.parquet"
+        )
+    for table in TABLE_SHIFTS:
+        base = spark.read.parquet(f"{BASE}/{table}.parquet")
+        copies = _one_copy(base, table, 0, offs)
+        for i in range(1, COPIES):
+            copies = copies.unionByName(_one_copy(base, table, i, offs))
+        copies.write.mode("overwrite").parquet(f"{BIG_DIR}/{table}.parquet")
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
+
+def main() -> None:
+    n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
+        bench = json.load(fh)
+    slowest = sorted(
+        (q for q, t in bench["queries"].items() if t >= 0),
+        key=lambda q: bench["queries"][q],
+        reverse=True,
+    )[:n_queries]
+
+    spark = get_spark(app_name="logicash-scaling")
+    t0 = time.perf_counter()
+    build_sf1(spark)
+    build_sec = round(time.perf_counter() - t0, 1)
+
+    def run(name: str, sf_dir: str) -> float:
+        t = time.perf_counter()
+        try:
+            QUERIES[name](spark, sf_dir).count()
+            sec = round(time.perf_counter() - t, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# {name} failed at {sf_dir}: {exc}", file=sys.stderr)
+            sec = -1.0
+        spark.catalog.clearCache()
+        return sec
+
+    results: dict[str, dict] = {}
+    for name in slowest:
+        small = run(name, BASE)
+        big = run(name, BIG_DIR)
+        ratio = round(big / small, 2) if small > 0 and big > 0 else None
+        results[name] = {"sf0.1_sec": small, "sf1_sec": big, "ratio_10x_data": ratio}
+        print(f"{name}: {small}s -> {big}s (x{ratio})")
+
+    out = {
+        "method": "sf0.1 replicated 10x, FK-consistent key shifts, "
+        "token-tagged docs, rotated embeddings (scaling_check.py)",
+        "build_sec": build_sec,
+        "queries": results,
+    }
+    with open(os.path.join(REPO, "SCALING.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({"wrote": "SCALING.json", "n": len(results)}))
+
+
+if __name__ == "__main__":
+    main()
