@@ -172,6 +172,7 @@ def fuzzy_self_join(
     block_cols: list[str] | None = None,
     prefix_len: int = 4,
     suffix_len: int = 4,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Entity-resolution fuzzy self-join: pairs of rows whose text is
     within ``max_dist`` edits, blocked so candidates never approach
@@ -194,6 +195,17 @@ def fuzzy_self_join(
     dist > t) and Spark's thresholded ``levenshtein(a, b, t)`` which
     early-exits rows whose distance exceeds t.
 
+    ``max_block_size`` is the guard for when the diversity assumption
+    FAILS — a corpus whose name vocabulary does not grow with volume
+    (boilerplate catalogs: the sf1 replication experiment measured
+    ~100x runtime from exactly this) concentrates rows into few
+    prefix/suffix blocks and candidates grow quadratically. Blocks
+    larger than the cap are purged from candidate generation (block
+    purging, Papadakis et al. CSUR 2020): a bounded, documented recall
+    trade — pairs found ONLY via a stop-block are missed — instead of
+    an unbounded k^2 blow-up. Purging is per-pass, so a pair sharing a
+    hot prefix but a rare suffix is still found.
+
     Returns (key_a, key_b, edit_dist) with key_a < key_b.
     """
     blocks = list(block_cols or [])
@@ -208,11 +220,24 @@ def fuzzy_self_join(
     )
 
     def one_pass(key: str) -> DataFrame:
-        a = keyed.select(
+        side = keyed
+        if max_block_size is not None:
+            hot = (
+                keyed.groupBy(*blocks, F.col(key).alias("__k"))
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") > max_block_size)
+                .select(*blocks, "__k")
+            )
+            side = keyed.join(
+                F.broadcast(hot.withColumnRenamed("__k", key)),
+                on=blocks + [key],
+                how="left_anti",
+            )
+        a = side.select(
             *blocks, F.col(key).alias("__k"),
             F.col("__id").alias("key_a"), F.col("__txt").alias("name_a"),
         )
-        b = keyed.select(
+        b = side.select(
             *blocks, F.col(key).alias("__k"),
             F.col("__id").alias("key_b"), F.col("__txt").alias("name_b"),
         )

@@ -106,6 +106,18 @@ def _one_copy(df: DataFrame, table: str, i: int, offs: dict[str, int]) -> DataFr
     if table == "documents" and i > 0:
         # disjoint shingle space per copy (see module docstring)
         out = out.withColumn("text", F.regexp_replace("text", r"(\S+)", f"c{i}y$1"))
+    if table == "part" and i > 0:
+        # disjoint name universe per copy via a per-copy character
+        # substitution cipher: a 10x catalog must grow name DIVERSITY,
+        # or every name gains 9 identical twins and fuzzy-match output
+        # grows quadratically (a replication artifact, not a property
+        # of scale). translate() is a bijection on letters, so edit
+        # distances WITHIN a copy are exactly preserved (the fuzzy
+        # workload's structure), while prefixes/suffixes — the
+        # blocking keys — differ across copies.
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        rot = alpha[i:] + alpha[:i]
+        out = out.withColumn("p_name", F.translate("p_name", alpha, rot))
     if table == "embeddings" and i > 0:
         dim = 64
         out = out.withColumn(
@@ -165,6 +177,9 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for name in slowest:
+        # warmup at sf0.001: JIT/codegen/streaming-machinery spin-up
+        # otherwise lands entirely on the first timed run
+        run(name, "/root/testdata/sf0.001")
         small = run(name, BASE)
         big = run(name, BIG_DIR)
         ratio = round(big / small, 2) if small > 0 and big > 0 else None

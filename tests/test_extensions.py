@@ -450,3 +450,43 @@ def test_kmeans_guards_zero_vectors_and_small_sample(spark):
     assert all(x == x for x in vals), "NaN centroid"
     out = ivf_ann_topk(df, df.filter("vec_id < 3"), cents, k=2).collect()
     assert out and all(r.cosine_sim == r.cosine_sim for r in out)
+
+
+def test_fuzzy_block_purging_caps_hot_blocks(spark):
+    """max_block_size guard: when the name vocabulary does NOT grow
+    with volume (every row shares one prefix+suffix block), purging
+    drops the hot block from candidate generation instead of going
+    quadratic — while pairs living in small blocks are still found."""
+    from logicash_etl_spark.operators.joins import fuzzy_self_join
+
+    rows = []
+    # hot block: 300 names sharing prefix 'aaaa' and suffix 'zzzz',
+    # all > 2 edits apart (distinct 6-char middles)
+    import hashlib
+    for i in range(300):
+        mid = hashlib.md5(f"m{i}".encode()).hexdigest()[:6]
+        rows.append((i, f"aaaa-{mid}-zzzz", "Brand#1"))
+    # small block: a planted near-dup pair with its own rare ends
+    rows.append((1000, "qrst-hello-wxyz", "Brand#1"))
+    rows.append((1001, "qrst-hellp-wxyz", "Brand#1"))
+    df = spark.createDataFrame(rows, ["id", "name", "brand"])
+
+    capped = fuzzy_self_join(
+        df, id_col="id", text_col="name", max_dist=2,
+        block_cols=["brand"], prefix_len=4, suffix_len=4,
+        max_block_size=50,
+    )
+    pairs = {(r.key_a, r.key_b) for r in capped.collect()}
+    assert (1000, 1001) in pairs
+    # every surviving pair must avoid the purged hot block entirely
+    assert all(a >= 1000 for a, _ in pairs), pairs
+
+    # uncapped finds the same planted pair (sanity: purging only
+    # removes hot-block candidates, it does not add or alter scores)
+    uncapped = fuzzy_self_join(
+        df, id_col="id", text_col="name", max_dist=2,
+        block_cols=["brand"], prefix_len=4, suffix_len=4,
+    )
+    upairs = {(r.key_a, r.key_b) for r in uncapped.collect()}
+    assert (1000, 1001) in upairs
+    assert pairs <= upairs
