@@ -16,6 +16,7 @@ from logicash_etl_spark.queries import similarity  # noqa: F401
 from logicash_etl_spark.queries import advanced  # noqa: F401
 from logicash_etl_spark.queries import streaming  # noqa: F401
 from logicash_etl_spark.queries import subqueries  # noqa: F401
+from logicash_etl_spark.queries import analytics  # noqa: F401
 from logicash_etl_spark.queries import pipeline_ops  # noqa: F401
 from logicash_etl_spark.queries import windows_plus  # noqa: F401
 from logicash_etl_spark.queries import curation  # noqa: F401

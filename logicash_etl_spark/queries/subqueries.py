@@ -233,3 +233,96 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("n_customers"), dsum("c_acctbal", "total_bal"))
     )
+
+
+@query(
+    "waiting_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, count(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1
+      JOIN orders   ON o_orderkey = l1.l_orderkey
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS, doubly correlated),
+    adapted to the fixture schema (late = shipped >60 days after the
+    order date; the fixture has no commit/receipt dates).
+
+    Spark-first decorrelation: ONE pass builds per-(order, supplier)
+    late flags, ONE reuse of that frame aggregates per-order supplier
+    and late-supplier counts — the EXISTS ("some other supplier") and
+    NOT EXISTS ("no other late supplier") collapse to n_supp > 1 AND
+    n_late = 1 for a late supplier. Two shuffles total (orderkey x
+    suppkey, then orderkey), vs the naive plan's two extra correlated
+    rescans of lineitem. The supplier dim joins broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lo = (
+        li.join(o, on=[li.l_orderkey == o.o_orderkey])
+        .withColumn(
+            "late",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .cast("int"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    sup = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        lo.filter(F.col("late") == 1)
+        .join(per_order, on="l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(sup, on=[F.col("l_suppkey") == F.col("s_suppkey")])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "important_parts_value",
+    oracle="""
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 500 >
+           (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem)
+    """,
+)
+def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups filtered against a GLOBAL scalar
+    subquery (parts holding > 1/500 of total line value).
+
+    Spark-first: the global total is a one-row aggregate broadcast
+    into the HAVING filter (crossJoin of a single row — the sanctioned
+    broadcast-scalar idiom), so the fact table is scanned ONCE for the
+    groups and once for the scalar, never rescanned per group. The
+    threshold compare is decimal*integer on BOTH sides — exact, no
+    float boundary flips."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(money("l_extendedprice")).alias("__val")
+    )
+    total = li.agg(F.sum(money("l_extendedprice")).alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__val") * 500 > F.col("__total"))
+        .select("l_partkey", F.col("__val").cast("double").alias("part_value"))
+    )
