@@ -631,3 +631,187 @@ def map_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("m", "1-URGENT"), F.lit(0)).cast("bigint").alias("urgent_n"),
         F.array_max(F.map_values("m")).cast("bigint").alias("max_group"),
     )
+
+
+@query(
+    "domain_mixture_weights",
+    oracle=r"""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+           round(CAST(total_tokens AS DOUBLE)
+                 / CAST(SUM(total_tokens) OVER () AS DOUBLE), 6) AS token_share,
+           round(CAST(SUM(total_tokens) OVER () AS DOUBLE)
+                 / CAST(COUNT(*) OVER () * total_tokens AS DOUBLE), 6)
+             AS uniform_weight
+    FROM per
+    """,
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture arithmetic: per-source token share and the
+    per-source sampling weight that flattens the mixture to uniform
+    (weight = total / (n_sources * source_tokens); weight > 1 means
+    the source is upsampled / multi-epoched). The am-I-about-to-
+    5-epoch-this-source audit every pretraining data pipeline runs.
+
+    Plan: one groupBy(source) over the corpus (map-side combine), then
+    the totals join back as a broadcast single row — the corpus is
+    scanned once; the weights math runs on a #sources-row frame."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("total_tokens"),
+    )
+    totals = per.agg(
+        F.sum("total_tokens").alias("__total"), F.count("*").alias("__n")
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("__total").cast("double"), 6
+        ).alias("token_share"),
+        F.round(
+            F.col("__total").cast("double")
+            / (F.col("__n") * F.col("total_tokens")).cast("double"),
+            6,
+        ).alias("uniform_weight"),
+    )
+
+
+@query(
+    "ngram_diversity_by_source",
+    oracle=r"""
+    WITH w AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), g AS (
+      SELECT source,
+             unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(generate_series(1, len(ws) - 1),
+                                             i -> array_to_string(ws[i:i+1], ' '))
+                         ELSE [] END) AS bg
+      FROM w
+    )
+    SELECT source,
+           count(*) AS total_bigrams,
+           count(DISTINCT bg) AS distinct_bigrams,
+           round(CAST(count(DISTINCT bg) AS DOUBLE) / count(*), 6)
+             AS type_token_ratio
+    FROM g GROUP BY source
+    """,
+)
+def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity audit: bigram type-token ratio per source —
+    near-0 TTR flags template/boilerplate sources (the ones near-dup
+    detectors then drown in). One explode + one groupBy; the distinct
+    count is the only shuffle-heavy part and swaps for HLL at 100 TB
+    (cf. approx_sketches' bound-checked pattern)."""
+    from logicash_etl_spark.operators.text import word_shingles
+
+    docs = scale_out(read_table(spark, sf_dir, "documents").select("source", "text"))
+    g = docs.select("source", F.explode(word_shingles("text", 2)).alias("bg"))
+    return g.groupBy("source").agg(
+        F.count("*").alias("total_bigrams"),
+        F.count_distinct("bg").alias("distinct_bigrams"),
+        F.round(
+            F.count_distinct("bg").cast("double") / F.count("*"), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "exact_dup_rate_by_source",
+    oracle=r"""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+             AS n_unique,
+           round(1.0 - CAST(count(DISTINCT md5(trim(regexp_replace(lower(text),
+                 '\s+', ' ', 'g')))) AS DOUBLE) / count(*), 6) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def exact_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate on the normalized-content
+    fingerprint — the triage number that decides which source needs
+    the expensive near-dup pass. Shuffle carries (source, md5) only."""
+    from logicash_etl_spark.operators.text import content_hash
+
+    docs = read_table(spark, sf_dir, "documents")
+    h = docs.select("source", content_hash(F.col("text")).alias("__h"))
+    return h.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("__h").alias("n_unique"),
+        F.round(
+            1.0 - F.count_distinct("__h").cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+    )
+
+
+@query(
+    "jaccard_threshold_sweep",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 3
+                    THEN list_transform(generate_series(1, len(ws) - 2),
+                                        i -> array_to_string(ws[i:i+2], ' '))
+                    ELSE [] END)) AS s
+      FROM w
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), idx AS (
+      SELECT doc_id, s FROM sh
+      WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > 100)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+      GROUP BY c.id_a, c.id_b
+    ), scored AS (
+      SELECT CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS j
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.35
+    )
+    SELECT CASE WHEN j >= 0.7 THEN 'high(>=0.7)'
+                WHEN j >= 0.5 THEN 'mid(0.5-0.7)'
+                ELSE 'low(0.35-0.5)' END AS band,
+           count(*) AS n_pairs
+    FROM scored GROUP BY band
+    """,
+)
+def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold calibration: pair counts per similarity band
+    over the exact-Jaccard pairs — the evidence for choosing the dedup
+    cutoff (a cliff between bands = a safe threshold). Reuses the
+    materialized exact-pair lot (free when `ngram_jaccard_dups` or
+    `dedup_clusters_exact` already ran this session); band edges
+    compare the SAME double values on both engines, so banding cannot
+    disagree."""
+    from logicash_etl_spark.queries.dedup import _exact_pairs
+
+    pairs = _exact_pairs(spark, sf_dir)
+    band = (
+        F.when(F.col("jaccard") >= 0.7, "high(>=0.7)")
+        .when(F.col("jaccard") >= 0.5, "mid(0.5-0.7)")
+        .otherwise("low(0.35-0.5)")
+    )
+    return pairs.select(band.alias("band")).groupBy("band").agg(
+        F.count("*").alias("n_pairs")
+    )
