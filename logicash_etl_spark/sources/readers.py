@@ -152,3 +152,40 @@ def source_probe(
         except Exception as e:  # noqa: BLE001 — probe semantics
             errs.append((path, str(e)[:200]))
     raise FileNotFoundError(f"no readable source among {errs}")
+
+
+def read_json_lines(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Newline-delimited JSON scan with an explicit schema (inference
+    on JSON is a full extra pass AND type-unstable — a column that is
+    integer in one shard and float in another silently widens).
+
+    PERMISSIVE mode with a named corrupt-record column: malformed rows
+    land in ``corrupt_col`` instead of failing the job or silently
+    disappearing (DROPMALFORMED) — the caller decides whether to
+    quarantine or fail, matching the engine's count-don't-drop DQ
+    posture (dq/rules.py)."""
+    full = T.StructType(schema.fields + [T.StructField(corrupt_col, T.StringType())])
+    return (
+        spark.read.format("json")
+        .schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .load(path)
+    )
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan (self-describing, like parquet: validate after read,
+    never pre-impose a schema that would null-fill)."""
+    df = spark.read.orc(path)
+    if schema is not None:
+        df = _validate(df, schema, path)
+        df = df.select(*[f.name for f in schema.fields])
+    return df

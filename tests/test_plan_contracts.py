@@ -261,3 +261,63 @@ def test_delivery_dedup_single_window_shuffle(spark, sf_dir):
     df = QUERIES["event_delivery_dedup"](spark, sf_dir)
     assert join_strategies(df) == []
     assert count_exchanges(df) <= 2
+
+
+def test_waiting_suppliers_plan(spark, sf_dir):
+    """Q21 shape: no correlated rescans — the late-flag frame feeds
+    both the pair filter and the per-order counts (exchange reuse),
+    and the supplier dim broadcasts."""
+    df = QUERIES["waiting_suppliers"](spark, sf_dir)
+    js = join_strategies(df)
+    assert "BroadcastHashJoin" in js
+    # naive EXISTS + NOT EXISTS would add two more lineitem scans;
+    # the decorrelated plan scans lineitem at most twice (flag build
+    # may appear once reused or twice materialized, never 4x)
+    p = plan_string(df)
+    assert p.count("lineitem.parquet") <= 2, p.count("lineitem.parquet")
+
+
+def test_important_parts_value_plan(spark, sf_dir):
+    """Q11 shape: the global scalar joins as a broadcast single row
+    (BroadcastNestedLoopJoin of 1 row — the sanctioned idiom), and the
+    plan groups once."""
+    df = QUERIES["important_parts_value"](spark, sf_dir)
+    assert join_strategies(df) == ["BroadcastNestedLoopJoin"]
+    assert count_exchanges(df) <= 2
+
+
+def test_conversion_funnel_joins_stay_on_user(spark, sf_dir):
+    """Every hash join in the funnel is keyed on user_id: stages
+    share one partitioning at scale; the only nested-loop joins are
+    the single-row count crossJoins."""
+    df = QUERIES["conversion_funnel"](spark, sf_dir)
+    js = join_strategies(df)
+    assert js.count("BroadcastNestedLoopJoin") == 2  # 1-row count combine
+    p = plan_string(df)
+    # the event_type filters push to the scans
+    assert has_pushed_filter(df, "event_type,view")
+    assert has_pushed_filter(df, "event_type,click")
+    assert has_pushed_filter(df, "event_type,purchase")
+
+
+def test_order_price_consistency_plan(spark, sf_dir):
+    """Reconciliation: one shuffle for the per-order sum, one for the
+    status rollup; the orders side joins without a third exchange
+    (broadcast or same-key)."""
+    df = QUERIES["order_price_consistency"](spark, sf_dir)
+    assert count_exchanges(df) <= 3
+    li_scans = [s for s in scans(df) if "lineitem" in s["location"]]
+    assert li_scans and set(li_scans[0]["schema_cols"]) <= {
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    }
+
+
+def test_mixture_weights_single_corpus_scan_per_branch(spark, sf_dir):
+    """domain_mixture_weights: documents is read for the per-source
+    agg and the broadcast total — never more; only (source, text)
+    columns are read."""
+    df = QUERIES["domain_mixture_weights"](spark, sf_dir)
+    doc_scans = [s for s in scans(df) if "documents" in s["location"]]
+    assert 1 <= len(doc_scans) <= 2
+    for s in doc_scans:
+        assert set(s["schema_cols"]) <= {"source", "text"}

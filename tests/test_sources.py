@@ -144,3 +144,58 @@ def test_global_sort_write_disjoint_file_ranges(spark, tmp_path, sf_smoke):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, "file key ranges overlap - not a total order"
+
+
+def test_json_lines_roundtrip_and_quarantine(spark, tmp_path):
+    """read_json_lines: schema-first scan; malformed rows survive in
+    the corrupt column instead of dropping or failing."""
+    from pyspark.sql import types as T
+
+    from logicash_etl_spark.sources.readers import read_json_lines
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"id": 1, "v": 10.5}\n'
+        '{"id": 2, "v": 20.0}\n'
+        'THIS IS NOT JSON\n'
+        '{"id": 4, "v": null}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    df = read_json_lines(spark, str(p), schema)
+    rows = df.collect()
+    assert len(rows) == 4
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r.id for r in good} == {1, 2, 4}
+    assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt_record"]
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC write/read round-trip preserves the fixture rows; validated
+    reads reorder/select to the registered schema."""
+    from logicash_etl_spark import schemas as S
+    from logicash_etl_spark.sources.readers import read_orc, read_table
+
+    nation = read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation.orc")
+    nation.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path, S.FIXTURE_TABLES["nation"])
+    assert back.columns == nation.columns
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_orc_schema_mismatch_fails_loudly(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from logicash_etl_spark.sources.readers import SchemaMismatchError, read_orc
+
+    df = spark.range(3).select(F.col("id").alias("a"))
+    path = str(tmp_path / "t.orc")
+    df.write.mode("overwrite").orc(path)
+    want = T.StructType([T.StructField("nope", T.LongType())])
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaMismatchError, match="nope"):
+        read_orc(spark, path, want)
