@@ -22,12 +22,19 @@ from logicash_etl_spark.sources.readers import read_table
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return read_table(spark, sf_dir, "documents").cache()
+    df = read_table(spark, sf_dir, "documents").cache()
+    yield df
+    # Unpersist so the cached full-schema scan doesn't shadow later
+    # plan-contract tests (CacheManager matches the bare read_table
+    # fragment and would replace pruned scans with this cache).
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return read_table(spark, sf_dir, "embeddings").cache()
+    df = read_table(spark, sf_dir, "embeddings").cache()
+    yield df
+    df.unpersist()
 
 
 def test_minhash_verified_pairs_are_true_dups(docs):

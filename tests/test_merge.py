@@ -66,6 +66,7 @@ def test_scd2_history(spark):
         & (F.col("valid_to") > "2026-02-15")
     ).collect()
     assert len(asof) == 1 and asof[0].estado == "MANTENIMIENTO"
+    dim.unpersist()
 
 
 def test_scd2_empty_tracked_raises(spark):
