@@ -1,0 +1,474 @@
+"""Decision-support query shapes (TPC-H Q6/Q7/Q8/Q9/Q10/Q14/Q16/Q19/Q20
+adapted to the fixture's simplified star schema).
+
+These close out the classic ad-hoc analytics surface the reference's
+SQL-over-views entry point serves (SURVEY.md EP2; qa/run_quality_checks.py
+runs exactly this kind of multi-join aggregate over the gold views).
+Each shape stresses a distinct optimizer path:
+
+- Q6  : single-table scan with a tight conjunctive band predicate —
+        everything pushes to the parquet reader.
+- Q7  : bilateral fact-to-fact join (lineitem x orders) with two
+        independent dim legs — the one genuinely big-big shuffle here.
+- Q8  : share-of-total with a CASE numerator — one aggregate pass,
+        no self-join.
+- Q9  : multi-dim margin rollup — arithmetic over joined columns.
+- Q10 : group-by-customer + top-k — TakeOrderedAndProject, not a
+        global sort.
+- Q14 : conditional-share over a LIKE-free dim predicate.
+- Q16 : distinct-pair counting with an anti-joined exclusion list.
+- Q19 : disjunction-of-conjunctions predicate (tests that Catalyst
+        keeps the OR pushable / CNF-converts what it can).
+- Q20 : per-group share threshold feeding a semi-join chain.
+
+Determinism: money in DECIMAL(18,2) end-to-end (functions/money.py),
+ratios rounded to 6dp on both sides, every LIMIT carries a total
+tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from logicash_etl_spark.functions.money import money
+from logicash_etl_spark.queries.registry import query
+from logicash_etl_spark.sources.readers import read_table
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _rev() -> F.Column:
+    return money("l_extendedprice") * (1 - money("l_discount"))
+
+
+@query(
+    "discount_band_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue of dropping a discount band.
+    All four predicates are scan-pushable (shipdate range partition-
+    prunes on a date-partitioned 100 TB layout; the rest are row-group
+    min/max prunable) — the plan is scan -> partial agg -> single-row
+    exchange, no shuffle of data rows at all."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * money("l_discount"))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "bilateral_trade_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           year(l_shipdate) AS ship_year,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+    WHERE ns.n_nationkey <> nc.n_nationkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade flows by year. The only
+    big-big join is lineitem x orders on orderkey (both sides bucket
+    on orderkey at 100 TB so it co-locates); customer/supplier/nation
+    legs broadcast. The inequality ns<>nc is applied post-join on two
+    broadcast-resolved ints — free."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(ns), su.s_nationkey == ns.s_nk)
+        .join(F.broadcast(nc), cu.c_nationkey == nc.c_nk)
+        .filter(F.col("s_nk") != F.col("c_nk"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "nation_market_share",
+    oracle=f"""
+    WITH sales AS (
+      SELECT year(o_orderdate) AS order_year,
+             {_REV} AS rev,
+             ns.n_name AS supp_nation
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region    ON nc.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT order_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev END) AS DOUBLE)
+             AS nation_revenue,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev END) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS market_share
+    FROM sales GROUP BY order_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's import revenue
+    per year. Share-of-total via a CASE numerator inside ONE aggregate
+    pass (never a self-join against the denominator). Decimal sums ->
+    one double division -> round 6dp keeps both engines bit-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _rev()
+    nation_rev = F.sum(F.when(F.col("supp_nation") == "NATION_7", rev)).cast("double")
+    total_rev = F.sum(rev).cast("double")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(nc), cu.c_nationkey == nc.c_nk)
+        .join(F.broadcast(reg), nc.c_rk == reg.r_regionkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(ns), su.s_nationkey == ns.s_nk)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            nation_rev.alias("nation_revenue"),
+            total_rev.alias("total_revenue"),
+            F.round(nation_rev / total_rev, 6).alias("market_share"),
+        )
+    )
+
+
+@query(
+    "product_margin_by_nation_year",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, year(o_orderdate) AS order_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(0.5 AS DECIMAL(3,2))
+                      * CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS margin,
+           count(*) AS n_lines
+    FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY supp_nation, order_year
+    """,
+)
+def product_margin_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: margin (revenue minus a list-price cost proxy —
+    the fixture has no partsupp table) for one product family, rolled
+    up by supplier nation and order year. The part filter semi-reduces
+    the fact FIRST (broadcast join on the filtered ~1/12th of part),
+    so the expensive orders join only sees matching lines. Decimal
+    arithmetic keeps the mixed +/- sum order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    margin = _rev() - (
+        F.lit(0.5).cast("decimal(3,2)")
+        * money("p_retailprice")
+        * money("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(ns), su.s_nationkey == ns.s_nk)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(margin).cast("double").alias("margin"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "returned_item_report",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue from returns
+    in a half-year window. orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-20, heap-merged on the
+    driver — never a global sort); ties broken by custkey so the
+    LIMIT edge is deterministic on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    ).select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} END)
+                AS DOUBLE) AS promo_revenue,
+           CAST(SUM({_REV}) AS DOUBLE) AS total_revenue,
+           round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                       THEN {_REV} END) AS DOUBLE)
+                 / CAST(SUM({_REV}) AS DOUBLE), 6)
+             AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-06-01 00:00:00'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percent of a quarter's revenue attributable to
+    promo-class parts. One broadcast join + one aggregate pass with a
+    CASE numerator; the date band prunes the fact scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-06-01")
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = money("l_extendedprice") * (1 - money("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+    total = F.sum(rev).cast("double")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+            F.round(F.lit(100.0) * promo / total, 6).alias("promo_pct"),
+        )
+    )
+
+
+@query(
+    "supplier_count_by_part",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+      JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can serve each
+    (brand, type, size) bucket, excluding a complaint list (proxied by
+    negative account balance — the fixture has no comment column).
+    The NOT IN is an anti join against a broadcast-small exclusion
+    list; supplier pairs are DISTINCTed from lineitem (the fixture's
+    partsupp proxy) BEFORE the dim join so the distinct-agg input is
+    minimal."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    pt = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 9, 19, 23, 36, 45, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(pt), ps.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "disjunctive_predicate_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue, count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#9' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#14' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of three (brand, size, quantity)
+    conjuncts spanning both join sides. Catalyst CNF-extracts the
+    cross-side common factors: the quantity bound l_quantity<=30 is
+    derivable and pushable to the fact scan, and the brand/size
+    disjunction prunes part before the broadcast — worth pinning
+    because a naive engine evaluates the whole OR post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#9")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#14")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(cond).agg(
+        F.sum(_rev()).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "excess_share_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'green%')
+      GROUP BY l_partkey, l_suppkey
+    ), with_total AS (
+      SELECT l_suppkey, qty,
+             SUM(qty) OVER (PARTITION BY l_partkey) AS part_total
+      FROM shipped
+    )
+    SELECT DISTINCT s_suppkey, s_name, n_name
+    FROM with_total
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE qty > 0.3 * part_total
+    """,
+)
+def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding an outsized share (>30%) of
+    any green part's 1997 volume — the availability-threshold
+    semi-join chain. Per-(part,supp) sums and the per-part window
+    total share one shuffle on partkey; the qualifying suppkey set is
+    DISTINCTed small before the broadcast joins out to names. Decimal
+    qty sums make the share compare exact on both engines."""
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_name").like("green%")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    shipped = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(money("l_quantity")).cast("double").alias("qty"))
+    )
+    w = W.partitionBy("l_partkey")
+    qualifying = (
+        shipped.withColumn("part_total", F.sum("qty").over(w))
+        .filter(F.col("qty") > 0.3 * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        qualifying.join(F.broadcast(su), qualifying.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
