@@ -1,0 +1,184 @@
+"""Curation extensions: the decision layer on top of the dedup
+primitives — which doc do we KEEP, what happens when a new lot lands
+on an existing corpus, and how do we spend a token budget.
+
+These are the shapes a pretraining-data pipeline runs daily on top of
+the pair/fingerprint machinery (operators/dedup.py,
+queries/similarity.py): pairs are evidence; these queries are the
+verdicts. All three are pure DataFrame compositions with exact DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from logicash_etl_spark.operators.text import tokens
+from logicash_etl_spark.queries.registry import query
+from logicash_etl_spark.queries.similarity import embedding_dup_pairs
+from logicash_etl_spark.sources.readers import read_table
+
+_PAIRS_CTE = """
+    v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS n
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.4
+    )
+"""
+
+
+@query(
+    "near_dup_keep_decisions",
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    partners AS (
+      SELECT vec_id, CAST(count(*) AS BIGINT) AS n_partners FROM (
+        SELECT id_a AS vec_id FROM pairs
+        UNION ALL
+        SELECT id_b AS vec_id FROM pairs
+      ) GROUP BY vec_id
+    )
+    SELECT e.vec_id, e.label,
+           COALESCE(p.n_partners, 0) AS n_partners,
+           e.vec_id NOT IN (SELECT id_b FROM pairs) AS keep
+    FROM embeddings e LEFT JOIN partners p ON e.vec_id = p.vec_id
+    """,
+)
+def near_dup_keep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup VERDICT pass: given the near-dup pair evidence
+    (embedding_dup_pairs: label-blocked exact cosine >= 0.4), decide
+    keep/remove per item with the greedy lowest-id-keeps rule — an
+    item is removed iff some lower-id item is near-duplicate to it
+    (it appears as the larger side of any pair). Deterministic,
+    single-pass, and — unlike full connected-components — needs no
+    iteration: exactly the SemDeDup-style keep-one-per-neighborhood
+    policy. Pairs are ~corpus-sparse, so the partner counts and the
+    removal list are small aggregates joined back to the corpus; the
+    corpus itself is scanned once."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    pairs = embedding_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    partners = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_partners"))
+    )
+    removed = pairs.select(F.col("id_b").alias("__rm")).distinct()
+    return (
+        emb.join(partners, "vec_id", "left")
+        .join(removed, emb.vec_id == F.col("__rm"), "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("n_partners", F.lit(0)).alias("n_partners"),
+            F.col("__rm").isNull().alias("keep"),
+        )
+    )
+
+
+@query(
+    "incremental_lot_dedup",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 < 8
+    ), newlot AS (
+      SELECT doc_id, source, md5(text) AS fp
+      FROM documents WHERE doc_id % 10 >= 8
+    ), ranked AS (
+      SELECT doc_id, source, fp,
+             min(doc_id) OVER (PARTITION BY fp) AS first_id
+      FROM newlot
+    )
+    SELECT doc_id, source,
+           CASE WHEN fp IN (SELECT fp FROM hist) THEN 'dup_of_history'
+                WHEN doc_id > first_id THEN 'dup_in_lot'
+                ELSE 'new_unique' END AS status
+    FROM ranked
+    """,
+)
+def incremental_lot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a freshly landed lot (doc_id%10>=8 as
+    the arrival split) is checked against the historical fingerprint
+    store AND within itself in one pass — the every-night shape of a
+    growing corpus, where re-fingerprinting history would be O(corpus)
+    per lot. Status per new doc: dup_of_history (fingerprint already
+    stored), dup_in_lot (a lower-id lot-mate shares it), new_unique.
+
+    100 TB plan: history is touched only through its DISTINCT
+    fingerprint column (a compact store, bucketable by fp); the lot
+    shuffles once on fp for the within-lot window and joins the
+    history fingerprints on the same key. The corpus text is never
+    re-read."""
+    docs = read_table(spark, sf_dir, "documents")
+    hist_fp = (
+        docs.filter(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .withColumn("__in_hist", F.lit(True))
+    )
+    newlot = docs.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    first = F.min("doc_id").over(W.partitionBy("fp"))
+    return (
+        newlot.withColumn("first_id", first)
+        .join(hist_fp, "fp", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("__in_hist"), "dup_of_history")
+            .when(F.col("doc_id") > F.col("first_id"), "dup_in_lot")
+            .otherwise("new_unique")
+            .alias("status"),
+        )
+    )
+
+
+@query(
+    "token_budget_sample",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY n_tokens DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= 800
+    """,
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: per source, greedily admit documents
+    (longest-first, doc_id tie-break) until an 800-token budget is
+    spent — the how-much-of-each-domain-fits cut every mixture build
+    makes after the weights are chosen (cf. domain_mixture_weights).
+    One shuffle on source for the running-sum window; the token count
+    is computed in the same pass as the scan (no second read). Skewed
+    giant sources bound the window cost by their own row count only."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 800)
+    )
