@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from logicash_etl_spark.operators.text import tokens
+from logicash_etl_spark.queries.dedup import _pair_lot
 from logicash_etl_spark.queries.registry import query
 from logicash_etl_spark.queries.similarity import embedding_dup_pairs
 from logicash_etl_spark.sources.readers import read_table
@@ -63,7 +64,16 @@ def near_dup_keep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal list are small aggregates joined back to the corpus; the
     corpus itself is scanned once."""
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    pairs = embedding_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    # the pair evidence is the expensive part (blocked self-join);
+    # materialize it once per (process, sf_dir) — three downstream
+    # branches (partner counts, removal list) read the small lot
+    # instead of re-running the join per branch
+    pairs = _pair_lot(
+        spark,
+        sf_dir,
+        "embedding_cos_pairs",
+        lambda: embedding_dup_pairs(spark, sf_dir).select("id_a", "id_b"),
+    )
     partners = (
         pairs.select(F.col("id_a").alias("vec_id"))
         .unionAll(pairs.select(F.col("id_b").alias("vec_id")))

@@ -321,3 +321,119 @@ def test_mixture_weights_single_corpus_scan_per_branch(spark, sf_dir):
     assert 1 <= len(doc_scans) <= 2
     for s in doc_scans:
         assert set(s["schema_cols"]) <= {"source", "text"}
+
+
+def test_discount_band_revenue_all_predicates_pushed(spark, sf_dir):
+    """Q6 shape: every predicate reaches the parquet scan; only the
+    4 referenced columns are read; the single-row agg needs one
+    exchange."""
+    df = QUERIES["discount_band_revenue"](spark, sf_dir)
+    assert_plan(
+        df,
+        pushed=[
+            "GreaterThanOrEqual(l_shipdate",
+            "LessThan(l_shipdate",
+            "GreaterThanOrEqual(l_discount,0.05)",
+            "LessThanOrEqual(l_discount,0.07)",
+            "LessThan(l_quantity,24",
+        ],
+        read_cols_at_most={"lineitem": 4},
+        max_shuffles=1,
+    )
+
+
+def test_bilateral_trade_volume_plan(spark, sf_dir):
+    """Q7 shape: dims broadcast, the date band is pushed to the fact
+    scan, and only the final groupBy shuffles (at this sf even orders
+    broadcasts; at scale it degrades to ONE co-partitioned join)."""
+    df = QUERIES["bilateral_trade_volume"](spark, sf_dir)
+    assert_plan(
+        df,
+        pushed=["GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate"],
+        read_cols_at_most={"lineitem": 5, "nation": 2},
+        max_shuffles=2,
+    )
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_returned_item_report_plan(spark, sf_dir):
+    """Q10 shape: returnflag pushed on the fact, the date band pushed
+    on orders, and the LIMIT 20 runs as TakeOrderedAndProject — never
+    a global sort."""
+    df = QUERIES["returned_item_report"](spark, sf_dir)
+    assert_plan(
+        df,
+        pushed=["EqualTo(l_returnflag,R)", "GreaterThanOrEqual(o_orderdate"],
+        take_ordered=True,
+        max_shuffles=2,
+    )
+
+
+def test_promo_revenue_share_plan(spark, sf_dir):
+    """Q14 shape: broadcast dim join, date band pushed, part read as
+    exactly (partkey, type)."""
+    df = QUERIES["promo_revenue_share"](spark, sf_dir)
+    assert_plan(
+        df,
+        joins=["BroadcastHashJoin"],
+        pushed=["GreaterThanOrEqual(l_shipdate"],
+        read_cols_at_most={"part": 2, "lineitem": 4},
+        max_shuffles=1,
+    )
+
+
+def test_product_margin_filter_prunes_part_before_broadcast(spark, sf_dir):
+    """Q9 shape: the p_name LIKE filter is pushed into the part scan
+    (StringContains), so the broadcast ships ~1/12th of part."""
+    df = QUERIES["product_margin_by_nation_year"](spark, sf_dir)
+    assert has_pushed_filter(df, "StringContains(p_name,widget)")
+    assert count_exchanges(df) <= 2
+
+
+def test_supplier_count_by_part_plan(spark, sf_dir):
+    """Q16 shape: the exclusion list anti-joins as a broadcast, the
+    size IN-list is pushed into the part scan, and lineitem is read as
+    only the (partkey, suppkey) pair."""
+    df = QUERIES["supplier_count_by_part"](spark, sf_dir)
+    assert has_pushed_filter(df, "In(p_size")
+    assert "BroadcastHashJoin" in join_strategies(df)
+    s = [x for x in scans(df) if "lineitem" in x["location"]]
+    assert s and set(s[0]["schema_cols"]) == {"l_partkey", "l_suppkey"}
+
+
+def test_excess_share_suppliers_plan(spark, sf_dir):
+    """Q20 shape: the green-part prefix filter is pushed
+    (StringStartsWith), the part semi-join broadcasts, and the
+    groupBy + per-part window share one shuffle on partkey (3 total:
+    partkey, the distinct, none for the broadcast dim legs)."""
+    df = QUERIES["excess_share_suppliers"](spark, sf_dir)
+    assert has_pushed_filter(df, "StringStartsWith(p_name,green)")
+    assert count_exchanges(df) <= 3
+
+
+def test_near_dup_keep_reads_pair_lot_once(spark, sf_dir):
+    """The verdict pass must NOT re-run the blocked pair self-join per
+    branch: pairs come from the materialized lot (3 cheap lot reads),
+    embeddings is scanned once for the corpus frame."""
+    df = QUERIES["near_dup_keep_decisions"](spark, sf_dir)
+    emb_scans = [s for s in scans(df) if "embeddings.parquet" in s["location"]]
+    lot_scans = [s for s in scans(df) if "embedding_cos_pairs" in s["location"]]
+    assert len(emb_scans) == 1, [s["location"] for s in scans(df)]
+    assert len(lot_scans) >= 1
+
+
+def test_incremental_lot_dedup_reads_minimum(spark, sf_dir):
+    """History contributes only its fingerprint column; the doc_id
+    split predicate stays out of the scan (modulo isn't pushable) but
+    both scans read <= 3 columns."""
+    df = QUERIES["incremental_lot_dedup"](spark, sf_dir)
+    for s in scans(df):
+        assert len(s["schema_cols"]) <= 3, s
+    assert count_exchanges(df) <= 2
+
+
+def test_token_budget_sample_single_shuffle(spark, sf_dir):
+    """One shuffle (the per-source window); documents read as exactly
+    (doc_id, source, text)."""
+    df = QUERIES["token_budget_sample"](spark, sf_dir)
+    assert_plan(df, max_shuffles=1, read_cols_at_most={"documents": 3})
