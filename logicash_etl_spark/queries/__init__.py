@@ -22,5 +22,6 @@ from logicash_etl_spark.queries import windows_plus  # noqa: F401
 from logicash_etl_spark.queries import curation  # noqa: F401
 from logicash_etl_spark.queries import tpch_shapes  # noqa: F401
 from logicash_etl_spark.queries import curation_ext  # noqa: F401
+from logicash_etl_spark.queries import mergeable  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,135 @@
+"""Mergeable-aggregate surface — the two patterns that make 100 TB
+aggregation tractable:
+
+1. **Mergeable sketches** (`hll_partial_merge_counts`): per-group HLL
+   sketches built independently (per partition / per day / per
+   source) and UNIONED into exact-shaped global answers without
+   re-reading the data. The oracle trick from `approx_sketches`:
+   the query emits bound-check booleans (estimate within a tolerance
+   of the exact value computed in the same pass), so DuckDB — which
+   has no DataSketches — still hash-checks the result exactly.
+
+2. **Re-aggregation from partials** (`weekly_rollup_from_daily`):
+   daily partial (sum, count, min, max) rows merged into weekly
+   answers — sum-of-sums, min-of-mins — with avg reconstructed as
+   merged-sum / merged-count. The incremental-rollup contract: the
+   merged result must EQUAL the direct aggregate, which is exactly
+   what the oracle computes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logicash_etl_spark.queries.registry import query
+from logicash_etl_spark.sources.readers import read_table
+
+
+@query(
+    "hll_partial_merge_counts",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS exact_distinct
+      FROM documents GROUP BY source
+    )
+    SELECT source, exact_distinct, TRUE AS estimate_ok FROM per
+    UNION ALL
+    SELECT '__ALL__' AS source,
+           (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) FROM documents)
+             AS exact_distinct,
+           TRUE AS estimate_ok
+    """,
+)
+def hll_partial_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-sketch merge: build one HLL sketch per source, then
+    union the PARTIAL SKETCHES (hll_union_agg — never the raw rows)
+    into the corpus-wide distinct count. This is the pattern that
+    collapses a 100 TB count-distinct into kilobytes of mergeable
+    state per partition: sketches are built map-side, merged in a
+    #sources-row reduce, and the global row costs one more merge of
+    the same partials. `estimate_ok` pins estimate-vs-exact within
+    5% in-query (HLL lgConfigK=12 rsd ~1.6%), so the driver's hash
+    check covers the sketch path without a DuckDB sketch twin."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("fp")
+    )
+    per = docs.groupBy("source").agg(
+        F.hll_sketch_agg("fp").alias("sk"),
+        F.countDistinct("fp").alias("exact_distinct"),
+    )
+    per_rows = per.select(
+        "source",
+        "exact_distinct",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("estimate_ok"),
+    )
+    merged = per.agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.sum("exact_distinct").alias("__sum_parts"),
+    )
+    # exact global distinct: fingerprints may repeat ACROSS sources,
+    # so the check needs the true corpus-wide count, not the sum
+    global_exact = docs.agg(F.countDistinct("fp").alias("exact_distinct"))
+    all_row = merged.crossJoin(F.broadcast(global_exact)).select(
+        F.lit("__ALL__").alias("source"),
+        "exact_distinct",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("estimate_ok"),
+    )
+    return per_rows.unionAll(all_row)
+
+
+@query(
+    "weekly_rollup_from_daily",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_value
+    FROM events
+    GROUP BY week, event_type
+    """,
+)
+def weekly_rollup_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rollup merge: DAILY partials (decimal sum, count,
+    min, max per (day, event_type)) re-aggregated into WEEKLY rows —
+    sum-of-sums, sum-of-counts, min-of-mins, max-of-maxs, and avg
+    reconstructed from merged sum/count. The oracle aggregates the
+    raw events directly, so the hash check proves merge(partials) ==
+    direct — the invariant that lets a 100 TB pipeline maintain
+    rollups by touching only each day's slice once (the hypertable /
+    materialized-rollup pattern). Decimal partial sums make the merge
+    order-independent; a float sum would not survive the regrouping."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("p_sum"),
+        F.count("*").alias("p_cnt"),
+        F.min("value").alias("p_min"),
+        F.max("value").alias("p_max"),
+    )
+    return (
+        daily.groupBy(
+            F.date_trunc("week", "day").cast("date").alias("week"), "event_type"
+        )
+        .agg(
+            F.sum("p_sum").cast("double").alias("total_value"),
+            F.sum("p_cnt").alias("n_events"),
+            F.min("p_min").alias("min_value"),
+            F.max("p_max").alias("max_value"),
+            F.round(
+                F.sum("p_sum").cast("double") / F.sum("p_cnt"), 6
+            ).alias("avg_value"),
+        )
+    )

@@ -52,12 +52,64 @@ def write_parquet_partitioned(
     writer.partitionBy(*partition_cols).parquet(path)
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> F.Column:
+    """Morton (Z-order) key over 2+ numeric columns: each column is
+    equi-width bucketed into 2**bits cells between its global min/max
+    (ONE bounded single-row agg to the driver), then the bucket bits
+    are interleaved — entirely with JVM bit expressions, no UDF.
+
+    Sorting by this key gives MULTI-dimensional locality: a contiguous
+    key range maps to a small hyper-rectangle in every dimension, so
+    parquet row-group zone maps prune on ALL the z-columns at once —
+    where a single-column sort leaves the other columns' min/max
+    spanning the whole table. The layout for 100 TB tables filtered
+    by more than one dimension (e.g. user_id AND event day).
+
+    Equi-width cells keep the key computation stat-free and scan-only;
+    heavily skewed columns should be pre-transformed (log, rank) or
+    bucketed by quantile boundaries — the interleave below is
+    unchanged either way.
+    """
+    if len(cols) < 2:
+        raise ValueError("zorder needs >= 2 columns (use a plain sort for 1)")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must fit a signed 64-bit key")
+    n = 1 << bits
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn, mx = stats[f"__mn_{j}"], stats[f"__mx_{j}"]
+        if mn is None or mx is None or mx <= mn:
+            continue  # constant/empty column contributes no bits
+        bucket = F.least(
+            F.lit(n - 1),
+            F.greatest(
+                F.lit(0),
+                (
+                    F.width_bucket(
+                        F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(n)
+                    )
+                    - 1
+                ).cast("int"),
+            ),
+        )
+        for i in range(bits):
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1)).cast("long")
+            key = key + F.shiftleft(bit, i * len(cols) + j)
+    return key
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
     cluster_by: list[str] | None = None,
     global_sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    num_files: int | None = None,
 ) -> None:
     """Unpartitioned idempotent parquet export (Gold UNLOAD analog).
 
@@ -72,11 +124,34 @@ def write_parquet(
     DISJOINT key ranges in total order — zone maps prune to one file
     per point lookup, and merge-sorted consumers stream without a
     re-sort. The right layout for write-once/read-many sorted tables.
+
+    ``zorder_by`` range-repartitions and sorts on a Morton-interleaved
+    key over 2+ numeric columns (see ``zorder_key``): every output
+    file covers a tight range in EACH z-column simultaneously, so zone
+    maps prune multi-dimensional filters — the Z-ORDER BY of
+    lakehouse engines, expressed as one range exchange.
+
+    ``num_files`` fixes the range-exchange partition count for the
+    sorted/z-ordered layouts. An EXPLICIT count opts out of AQE
+    coalescing — on small inputs AQE otherwise merges the range
+    exchange down to one partition (one file), erasing the disjoint
+    layout the caller asked for. Leave None to let AQE size files.
     """
-    if global_sort_by and cluster_by:
-        raise ValueError("pass either cluster_by or global_sort_by, not both")
-    if global_sort_by:
-        df = df.repartitionByRange(*global_sort_by).sortWithinPartitions(*global_sort_by)
+    chosen = [x for x in (cluster_by, global_sort_by, zorder_by) if x]
+    if len(chosen) > 1:
+        raise ValueError("pass only one of cluster_by / global_sort_by / zorder_by")
+    if zorder_by:
+        zk = [F.col("__zkey")]
+        df = (
+            df.withColumn("__zkey", zorder_key(df, zorder_by))
+            .repartitionByRange(*([num_files] if num_files else []), *zk)
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    elif global_sort_by:
+        df = df.repartitionByRange(
+            *([num_files] if num_files else []), *global_sort_by
+        ).sortWithinPartitions(*global_sort_by)
     elif cluster_by:
         df = df.sortWithinPartitions(*cluster_by)
     df.write.mode(mode).parquet(path)

@@ -199,3 +199,63 @@ def test_orc_schema_mismatch_fails_loudly(spark, tmp_path):
 
     with _pytest.raises(SchemaMismatchError, match="nope"):
         read_orc(spark, path, want)
+
+
+def test_zorder_write_bounds_both_dimensions(spark, tmp_path, sf_smoke):
+    """zorder_by: every output file must cover a SMALL range of BOTH
+    z-columns (multi-dim zone-map pruning), where a single-column
+    global sort leaves the second column spanning ~the whole table.
+    Uses two uncorrelated uniform columns (user_id, value)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from logicash_etl_spark.sources.readers import read_table
+    from logicash_etl_spark.sources.writers import write_parquet
+
+    ev = read_table(spark, sf_smoke, "events").select("user_id", "value")
+    lo_u, hi_u, lo_v, hi_v = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    span_u, span_v = hi_u - lo_u, hi_v - lo_v
+
+    def file_spans(path):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            t = pq.read_table(f, columns=["user_id", "value"])
+            u, v = t["user_id"].to_pylist(), t["value"].to_pylist()
+            if u:
+                spans.append(
+                    ((max(u) - min(u)) / span_u, (max(v) - min(v)) / span_v)
+                )
+        return spans
+
+    zpath = str(tmp_path / "zordered")
+    write_parquet(ev, zpath, zorder_by=["user_id", "value"], num_files=16)
+    zspans = file_spans(zpath)
+    assert len(zspans) > 4
+    z_avg_u = sum(s[0] for s in zspans) / len(zspans)
+    z_avg_v = sum(s[1] for s in zspans) / len(zspans)
+
+    spath = str(tmp_path / "usorted")
+    write_parquet(ev, spath, global_sort_by=["user_id"])
+    sspans = file_spans(spath)
+    s_avg_v = sum(s[1] for s in sspans) / len(sspans)
+
+    # z-order: both dims bounded; single sort: second dim ~full span
+    assert z_avg_u <= 0.6, f"z-order user_id span {z_avg_u}"
+    assert z_avg_v <= 0.6, f"z-order value span {z_avg_v}"
+    assert s_avg_v >= 0.8, f"1-col sort should NOT bound value ({s_avg_v})"
+
+
+def test_zorder_key_validation(spark, sf_smoke):
+    import pytest as _pytest
+
+    from logicash_etl_spark.sources.readers import read_table
+    from logicash_etl_spark.sources.writers import zorder_key
+
+    ev = read_table(spark, sf_smoke, "events")
+    with _pytest.raises(ValueError, match=">= 2 columns"):
+        zorder_key(ev, ["user_id"])
+    with _pytest.raises(ValueError, match="64-bit"):
+        zorder_key(ev, ["user_id", "value"], bits=32)
