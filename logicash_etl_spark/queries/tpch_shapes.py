@@ -425,7 +425,7 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'green%')
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
       GROUP BY l_partkey, l_suppkey
     ), with_total AS (
       SELECT l_suppkey, qty,
@@ -441,12 +441,12 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers holding an outsized share (>30%) of
-    any green part's 1997 volume — the availability-threshold
+    any red part's 1997 volume — the availability-threshold
     semi-join chain. Per-(part,supp) sums and the per-part window
     total share one shuffle on partkey; the qualifying suppkey set is
     DISTINCTed small before the broadcast joins out to names. Decimal
     qty sums make the share compare exact on both engines."""
-    pt = _t(spark, sf_dir, "part").filter(F.col("p_name").like("green%")).select(
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
         "p_partkey"
     )
     li = _t(spark, sf_dir, "lineitem").filter(

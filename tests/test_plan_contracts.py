@@ -402,12 +402,12 @@ def test_supplier_count_by_part_plan(spark, sf_dir):
 
 
 def test_excess_share_suppliers_plan(spark, sf_dir):
-    """Q20 shape: the green-part prefix filter is pushed
+    """Q20 shape: the red-part prefix filter is pushed
     (StringStartsWith), the part semi-join broadcasts, and the
     groupBy + per-part window share one shuffle on partkey (3 total:
     partkey, the distinct, none for the broadcast dim legs)."""
     df = QUERIES["excess_share_suppliers"](spark, sf_dir)
-    assert has_pushed_filter(df, "StringStartsWith(p_name,green)")
+    assert has_pushed_filter(df, "StringStartsWith(p_name,red)")
     assert count_exchanges(df) <= 3
 
 
