@@ -287,18 +287,21 @@ def kmeans_lite(
     sample vectors. Returns (centroid_id, centroid array<double>).
     """
     v = vectors.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
-    rows = (
+    # Arrow transfer (toPandas), not collect(): a 64k x 64-double
+    # sample is ~33 MB — Row-object deserialization costs seconds,
+    # the Arrow batch milliseconds
+    pdf = (
         v.orderBy(F.xxhash64(F.col("id")), F.col("id"))
         .limit(train_sample)
-        .collect()
+        .toPandas()
+        .sort_values("id")
     )
-    rows.sort(key=lambda r: r.id)
-    if len(rows) < k:
+    if len(pdf) < k:
         raise ValueError(
-            f"kmeans_lite: training sample has {len(rows)} vectors < k={k} "
+            f"kmeans_lite: training sample has {len(pdf)} vectors < k={k} "
             "— shrink k or widen train_sample"
         )
-    M = np.array([list(r.v) for r in rows])              # (n, d)
+    M = np.vstack(pdf["v"].to_numpy())                   # (n, d)
     # eps-guard: an all-zero embedding otherwise yields NaN rows that
     # poison every cosine assignment they touch
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
@@ -326,6 +329,7 @@ def ivf_ann_topk(
     k: int = 5,
     n_probe: int = 3,
     query_id: str = "query_id",
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """IVF search: corpus rows live in their nearest centroid's cell;
     each query probes its ``n_probe`` nearest cells and exact-cosine
@@ -333,6 +337,14 @@ def ivf_ann_topk(
 
     The inverted-file structure is just a partitioned DataFrame —
     persist (or write bucketed by cell) to amortize across queries.
+
+    ``broadcast_queries=True`` broadcasts the probed query side of the
+    cell join. The cell key has only ``#centroids`` distinct values,
+    so the default shuffle join funnels the WHOLE corpus into that
+    many skewed partitions; with a small query batch the broadcast
+    keeps the corpus map-side (measured 2.4x at sf0.1). Leave False
+    when Q is large (batch self-search) — there the corpus-side
+    shuffle is amortized over many queries.
     """
     cent = [(int(r.centroid_id), np.array(r.centroid)) for r in centroids.collect()]
     C = np.array([c for _, c in cent])
@@ -362,6 +374,8 @@ def ivf_ann_topk(
         _norm(as_double(vec_col)).alias("__qn"),
         F.explode(cells_udf(n_probe)(as_double(vec_col))).alias("cell"),
     )
+    if broadcast_queries:
+        q_vec = F.broadcast(q_vec)
     scored = (
         q_vec.join(c_vec, on="cell")
         .filter(F.col("cand_id") != F.col(query_id))

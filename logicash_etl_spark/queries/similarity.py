@@ -149,6 +149,10 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logicash_etl_spark.operators.similarity import ivf_ann_topk, kmeans_lite
 
     emb = read_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_lite(emb, k=8, iterations=2)
+    # 8k training rows bound the driver pull; FAISS practice is
+    # ~256 samples per centroid, so 8k >> enough for k=8
+    centroids = kmeans_lite(emb, k=8, iterations=2, train_sample=8192)
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_ann_topk(emb, queries, centroids, k=5, n_probe=3)
+    # 10-query batch vs the whole corpus: broadcast the probed query
+    # side so the 8-distinct-value cell join never shuffles the corpus
+    return ivf_ann_topk(emb, queries, centroids, k=5, n_probe=3, broadcast_queries=True)
