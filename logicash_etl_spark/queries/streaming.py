@@ -179,3 +179,50 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"tumble_drain_{uuid.uuid4().hex[:8]}"
     run_available_now(agg, f"{root}/ckpt", sink)
     return spark.sql(f"SELECT * FROM {sink}")
+
+
+@query(
+    "streaming_dedup_counts",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_unique,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming dedup end-to-end: the fixture's events
+    are re-delivered (every 10th event duplicated into the lot — the
+    at-least-once delivery model), streamed through ``dropDuplicates``
+    on event_id with a 1 h watermark bounding the dedup state, drained
+    with AvailableNow, then rolled up per event_type from the sink.
+    Because duplicates are exact copies, the deduped stream must equal
+    the ORIGINAL events table — so the plain batch rollup IS the
+    oracle, giving the dedup state machine a hash-exact signal.
+    At 100 TB/day the watermark is the whole story: state holds only
+    the horizon's keys instead of forever-growing."""
+    from logicash_etl_spark.streaming.ops import dedup_stream
+
+    key = f"{sf_dir}::dup"
+    if key not in _LOT_CACHE:
+        root = session_tmpdir("lq_stream_duplot_")
+        lot = f"{root}/lot"
+        ev = read_table(spark, sf_dir, "events")
+        dup = ev.filter(F.col("event_id") % 10 == 0)
+        ev.unionAll(dup).write.mode("overwrite").parquet(lot)
+        _LOT_CACHE[key] = lot
+    root = session_tmpdir("lq_stream_dedup_")
+    stream = stream_parquet_dir(spark, _LOT_CACHE[key], S.EVENTS)
+    deduped = dedup_stream(stream, keys=["event_id"], watermark="1 hour")
+    sink = f"dedup_drain_{uuid.uuid4().hex[:8]}"
+    run_available_now(deduped, f"{root}/ckpt", sink)
+    return (
+        spark.sql(f"SELECT * FROM {sink}")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

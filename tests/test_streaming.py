@@ -207,3 +207,22 @@ def test_streaming_session_query_matches_batch(spark, sf_smoke):
     assert not missing, f"{len(missing)} closed sessions not emitted: {list(missing)[:3]}"
     for k, v in want.items():
         assert got[k] == v, f"session {k}: stream={got[k]} batch={v}"
+
+
+def test_streaming_dedup_lot_really_contains_duplicates(spark, sf_dir):
+    """Guard the fixture: the synthesized at-least-once lot must hold
+    MORE rows than the source table (a filter that matches nothing
+    would make the dedup query pass trivially), and the deduped result
+    must remove exactly the surplus."""
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.queries.streaming import _LOT_CACHE
+    from logicash_etl_spark.sources.readers import read_table
+
+    n_dedup = sum(
+        r.n_unique for r in QUERIES["streaming_dedup_counts"](spark, sf_dir).collect()
+    )
+    ev_rows = read_table(spark, sf_dir, "events").count()
+    lot = _LOT_CACHE[f"{sf_dir}::dup"]
+    lot_rows = spark.read.parquet(lot).count()
+    assert lot_rows > ev_rows, "duplicate synthesis selected nothing"
+    assert n_dedup == ev_rows
