@@ -226,3 +226,65 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           CAST(p.value AS DOUBLE) AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join end-to-end: the click stream joined
+    to the purchase stream of the same user within 1 hour — the
+    attribution shape — with watermarks on BOTH sides so join state is
+    evicted past the horizon. Drained with AvailableNow; on a closed
+    lot processed as one batch, append mode emits every match, so the
+    plain SQL time-range join over the same table IS the oracle.
+    Both sides are derived from one lot by a pushed-down event_type
+    filter — at scale these are two topics, same join."""
+    from logicash_etl_spark.streaming.ops import interval_join
+
+    lot = _events_lot(spark, sf_dir)
+    root = session_tmpdir("lq_stream_ij_")
+    clicks = (
+        stream_parquet_dir(spark, lot, S.EVENTS)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        stream_parquet_dir(spark, lot, S.EVENTS)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").cast("double").alias("purchase_value"),
+        )
+    )
+    joined = interval_join(
+        clicks.withColumnRenamed("user_id", "j_user").withColumnRenamed("click_ts", "l_ts"),
+        purchases.withColumnRenamed("p_user", "j_user").withColumnRenamed("purchase_ts", "r_ts"),
+        on="j_user",
+        left_ts="l_ts",
+        right_ts="r_ts",
+        within="1 hour",
+        watermark="1 hour",
+    )
+    sink = f"ij_drain_{uuid.uuid4().hex[:8]}"
+    run_available_now(joined, f"{root}/ckpt", sink)
+    return spark.sql(f"SELECT * FROM {sink}").select(
+        F.col("j_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("r_ts").alias("purchase_ts"),
+        "purchase_value",
+    )

@@ -75,3 +75,35 @@ def dedup_stream(
     the state grows unboundedly; with it, memory is bounded by
     arrival-rate x horizon)."""
     return events.withWatermark(ts, watermark).dropDuplicates([*keys, ts])
+
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: rows match when ``on`` keys are equal
+    and the right event lands in ``[left_ts, left_ts + within]`` — the
+    click-to-conversion attribution shape. BOTH sides carry event-time
+    watermarks and the join condition bounds the time range in both
+    directions; together they let the engine evict join state older
+    than the horizon — the difference between a join that runs forever
+    at 100 TB/day and one whose state grows without bound.
+
+    ``left_ts`` / ``right_ts`` (and every other column) must already
+    be distinctly named across the two sides — rename before calling.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        f"{on} = __r_{on} AND {right_ts} >= {left_ts} "
+        f"AND {right_ts} <= {left_ts} + INTERVAL {within}"
+    )
+    return lw.join(rw.withColumnRenamed(on, f"__r_{on}"), cond, "inner").drop(
+        f"__r_{on}"
+    )
