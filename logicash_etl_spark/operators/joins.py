@@ -173,6 +173,7 @@ def fuzzy_self_join(
     prefix_len: int = 4,
     suffix_len: int = 4,
     max_block_size: int | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Entity-resolution fuzzy self-join: pairs of rows whose text is
     within ``max_dist`` edits, blocked so candidates never approach
@@ -206,9 +207,63 @@ def fuzzy_self_join(
     an unbounded k^2 blow-up. Purging is per-pass, so a pair sharing a
     hot prefix but a rare suffix is still found.
 
+    ``collapse_exact=True`` adds an exact-collapse pre-pass: rows are
+    grouped by (blocks, text), the block/verify pipeline runs on the
+    DISTINCT texts only, and id pairs are expanded afterwards by
+    joining each text pair back to its member ids (same-text groups
+    expand directly to dist-0 pairs). Output is identical when
+    ``max_block_size`` is None; with purging, block sizes are counted
+    in distinct texts instead of rows. The win is corpora with heavy
+    text repetition — the verify cost drops from O(row pairs) to
+    O(distinct-text pairs) (sf0.1 parts: 20k rows but 64 names — the
+    DP work shrinks 150x while the output, which is genuinely
+    quadratic in the copies, is produced by a cheap equi-join).
+
     Returns (key_a, key_b, edit_dist) with key_a < key_b.
     """
     blocks = list(block_cols or [])
+    if collapse_exact:
+        # unit = one distinct (blocks, text) combination; the unit key
+        # embeds the block values so identical texts under DIFFERENT
+        # blocks stay distinct units and never cross-expand
+        ukey = F.concat_ws("\x1f", *blocks, F.col(text_col))
+        ids = df.select(
+            ukey.alias("__ukey"), F.col(id_col).alias("__id")
+        )
+        units = df.select(
+            *blocks, ukey.alias("__ukey"), F.col(text_col).alias("__utxt")
+        ).dropDuplicates(["__ukey"])
+        tpairs = fuzzy_self_join(
+            units,
+            id_col="__ukey",
+            text_col="__utxt",
+            max_dist=max_dist,
+            block_cols=blocks,
+            prefix_len=prefix_len,
+            suffix_len=suffix_len,
+            max_block_size=max_block_size,
+        )
+        a = ids.select(F.col("__ukey").alias("key_a"), F.col("__id").alias("__ida"))
+        b = ids.select(F.col("__ukey").alias("key_b"), F.col("__id").alias("__idb"))
+        cross = (
+            tpairs.join(a, "key_a")
+            .join(b, "key_b")
+            .select(
+                F.least("__ida", "__idb").alias("key_a"),
+                F.greatest("__ida", "__idb").alias("key_b"),
+                "edit_dist",
+            )
+        )
+        same = (
+            a.join(b.withColumnRenamed("key_b", "key_a"), "key_a")
+            .filter(F.col("__ida") < F.col("__idb"))
+            .select(
+                F.col("__ida").alias("key_a"),
+                F.col("__idb").alias("key_b"),
+                F.lit(0).cast("int").alias("edit_dist"),
+            )
+        )
+        return cross.unionByName(same)
     keyed = df.select(
         *blocks,
         F.col(id_col).alias("__id"),

@@ -958,7 +958,12 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logicash_etl_spark.operators.joins import fuzzy_self_join
 
     part = _t(spark, sf_dir, "part")
+    # collapse_exact: the fixture's name vocabulary is tiny (64 names
+    # x 25 brands vs 20k rows at sf0.1), so the edit-distance DP runs
+    # once per distinct (brand, name) pair and the quadratic-in-copies
+    # output is produced by a cheap equi-join expansion
     return fuzzy_self_join(
         part, id_col="p_partkey", text_col="p_name",
         max_dist=2, block_cols=["p_brand"], prefix_len=4, suffix_len=4,
+        collapse_exact=True,
     )

@@ -497,3 +497,20 @@ def test_fuzzy_block_purging_caps_hot_blocks(spark):
     upairs = {(r.key_a, r.key_b) for r in uncapped.collect()}
     assert (1000, 1001) in upairs
     assert pairs <= upairs
+
+
+def test_fuzzy_collapse_exact_matches_default(spark, sf_smoke):
+    """collapse_exact is a pure execution strategy: the id-pair set
+    and distances must be identical to the row-level path."""
+    from logicash_etl_spark.operators.joins import fuzzy_self_join
+    from logicash_etl_spark.sources.readers import read_table
+
+    part = read_table(spark, sf_smoke, "part")
+    kw = dict(
+        id_col="p_partkey", text_col="p_name", max_dist=2,
+        block_cols=["p_brand"], prefix_len=4, suffix_len=4,
+    )
+    base = fuzzy_self_join(part, **kw)
+    fast = fuzzy_self_join(part, collapse_exact=True, **kw)
+    assert base.exceptAll(fast).count() == 0
+    assert fast.exceptAll(base).count() == 0
