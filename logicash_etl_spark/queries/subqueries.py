@@ -107,25 +107,31 @@ def priority_order_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: grouped HAVING inside an IN subquery == an
-    aggregate feeding a semi join. The heavy lineitem aggregation runs
-    once; only qualifying orderkeys (rare) reach the 3-way join, and
-    the customer dim broadcasts."""
+    """TPC-H Q18 shape: grouped HAVING inside an IN subquery. The
+    decorrelation here goes one step past semi-join form: the HAVING
+    aggregate already computes the per-order quantity the output
+    reports, so qualifying (orderkey, sum_qty) rows join orders
+    directly — lineitem is scanned and shuffled ONCE (the naive
+    semi-join-then-rejoin shape scans it twice), and the rare
+    qualifying set arrives pre-shrunk at the joins. Customer dim
+    broadcasts."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
-        li.groupBy("l_orderkey")
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(F.sum(money("l_quantity")).alias("__q"))
         .filter(F.col("__q") > 250)
-        .select(F.col("l_orderkey").alias("o_orderkey"))
     )
-    o = _t(spark, sf_dir, "orders").join(big, on="o_orderkey", how="left_semi")
-    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(li.withColumnRenamed("l_orderkey", "o_orderkey"), on="o_orderkey")
-        .groupBy("c_name", "o_orderkey",
-                 money("o_totalprice").cast("double").alias("total_price"))
-        .agg(dsum("l_quantity", "sum_qty"))
+        big.join(o, on="o_orderkey")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            money("o_totalprice").cast("double").alias("total_price"),
+            F.col("__q").cast("double").alias("sum_qty"),
+        )
     )
 
 
