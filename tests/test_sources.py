@@ -259,3 +259,39 @@ def test_zorder_key_validation(spark, sf_smoke):
         zorder_key(ev, ["user_id"])
     with _pytest.raises(ValueError, match="64-bit"):
         zorder_key(ev, ["user_id", "value"], bits=32)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_smoke, tmp_path):
+    """The co-located-join contract: two tables bucketed (and sorted)
+    on the join key must SortMergeJoin with ZERO exchanges before the
+    join — the layout that turns the daily fact x fact join at 100 TB
+    from a full shuffle into a local merge. Bucket counts must match;
+    the only exchange left in the plan is the final aggregate's."""
+    from logicash_etl_spark.plans import plan_string
+    from logicash_etl_spark.sources.readers import read_table
+    from logicash_etl_spark.sources.writers import create_table_as
+
+    o = read_table(spark, sf_smoke, "orders").select("o_orderkey", "o_totalprice")
+    li = read_table(spark, sf_smoke, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        create_table_as(spark, "bk_orders", o, bucket=(8, "o_orderkey"))
+        create_table_as(spark, "bk_lineitem", li, bucket=(8, "o_orderkey"))
+        # at fixture size the planner would rightly broadcast; force
+        # the big-big path the contract is about
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bo = spark.table("bk_orders")
+        bl = spark.table("bk_lineitem")
+        joined = bo.join(bl, "o_orderkey")
+        p = plan_string(joined)
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+        assert "Exchange" not in p, f"bucketed join still shuffles:\n{p}"
+        assert "Bucketed: true" in p, p
+        # and the result is right
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+        spark.sql("DROP TABLE IF EXISTS bk_lineitem")
