@@ -38,6 +38,13 @@ from logicash_etl_spark.streaming.sources import (
 # fixture materialization cost without changing what is being tested
 _LOT_CACHE: dict[str, str] = {}
 
+# State partitions for the fixture-lot drains: every partition carries
+# its own state store instance(s) per stateful operator, so a local
+# drain with kilobytes of state under the 32-partition batch default
+# pays pure bookkeeping (4x measured on the stream-stream join).
+# A production deployment sizes this to state volume instead.
+_STATE_PARTS = 8
+
 
 def clear_lots() -> None:
     """Forget the shared events lots (benchmarking hook — see
@@ -88,7 +95,7 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"state_drain_{uuid.uuid4().hex[:8]}"
-    run_available_now(counted, f"{root}/ckpt", sink, output_mode="update")
+    run_available_now(counted, f"{root}/ckpt", sink, output_mode="update", state_partitions=_STATE_PARTS)
     # update-mode memory sink may carry one row per state update:
     # keep the final count per key (max = monotone counter)
     return (
@@ -141,7 +148,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_parquet_dir(spark, lot, S.EVENTS)
     sess = session_windows(stream, gap="30 minutes", key="user_id", watermark="1 hour")
     sink = f"sess_drain_{uuid.uuid4().hex[:8]}"
-    run_available_now(sess, f"{root}/ckpt", sink)
+    run_available_now(sess, f"{root}/ckpt", sink, state_partitions=_STATE_PARTS)
     return spark.sql(f"SELECT * FROM {sink}")
 
 
@@ -177,7 +184,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, window="1 hour", watermark="30 minutes", keys=["event_type"]
     )
     sink = f"tumble_drain_{uuid.uuid4().hex[:8]}"
-    run_available_now(agg, f"{root}/ckpt", sink)
+    run_available_now(agg, f"{root}/ckpt", sink, state_partitions=_STATE_PARTS)
     return spark.sql(f"SELECT * FROM {sink}")
 
 
@@ -215,7 +222,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_parquet_dir(spark, _LOT_CACHE[key], S.EVENTS)
     deduped = dedup_stream(stream, keys=["event_id"], watermark="1 hour")
     sink = f"dedup_drain_{uuid.uuid4().hex[:8]}"
-    run_available_now(deduped, f"{root}/ckpt", sink)
+    run_available_now(deduped, f"{root}/ckpt", sink, state_partitions=_STATE_PARTS)
     return (
         spark.sql(f"SELECT * FROM {sink}")
         .groupBy("event_type")
@@ -280,7 +287,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
     )
     sink = f"ij_drain_{uuid.uuid4().hex[:8]}"
-    run_available_now(joined, f"{root}/ckpt", sink)
+    run_available_now(joined, f"{root}/ckpt", sink, state_partitions=_STATE_PARTS)
     return spark.sql(f"SELECT * FROM {sink}").select(
         F.col("j_user").alias("user_id"),
         "click_id",
