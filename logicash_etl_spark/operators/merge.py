@@ -40,6 +40,25 @@ def upsert(
     return kept.unionByName(updates)
 
 
+def upsert_if_newer(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_by: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Conditional upsert: an update replaces the target row only when
+    it is NEWER (``MERGE ... WHEN MATCHED AND s.ts > t.ts``). Plain
+    :func:`upsert` is last-writer-wins, which regresses state when
+    batches arrive out of event-time order (a replayed Kafka topic, a
+    file stream whose listing order is not time order). Emulated as
+    union + latest-wins window — one shuffle on the key, same plan
+    Delta generates for the conditional MERGE."""
+    return scd1_latest(
+        target.unionByName(updates), pk=keys, order_by=order_by, tiebreak=tiebreak
+    )
+
+
 def scd2_apply(
     dim: DataFrame,
     updates: DataFrame,

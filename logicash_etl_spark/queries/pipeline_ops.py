@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logicash_etl_spark.operators.sampling import stratified_sample
-from logicash_etl_spark.operators.text import word_shingles
+from logicash_etl_spark.operators.text import tokens, word_shingles
 from logicash_etl_spark.queries.registry import query
 from logicash_etl_spark.sources.readers import read_table
 
@@ -414,4 +414,116 @@ def hourly_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").cast("double").alias("low"),
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).cast("double").alias("close"),
         F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "gopher_quality_suite",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source, ws,
+             len(ws) AS n_words,
+             CASE WHEN len(ws) > 0
+                  THEN CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+                       / len(ws)
+                  ELSE 0.0 END AS mean_wl,
+             len(list_filter(ws, x -> x IN ('the', 'a'))) AS n_stop,
+             CASE WHEN len(ws) >= 3
+                  THEN list_transform(generate_series(1, len(ws) - 2),
+                                      i -> array_to_string(ws[i:i+2], ' '))
+                  ELSE [] END AS g
+      FROM w
+    ), t AS (
+      SELECT doc_id, source, n_words, mean_wl, n_stop,
+             CASE WHEN len(g) > 0
+                  THEN CAST(list_max(list_transform(list_distinct(g),
+                                x -> len(list_filter(g, y -> y = x)))) AS DOUBLE)
+                       / len(g)
+                  ELSE 0.0 END AS top3_frac
+      FROM m
+    )
+    SELECT doc_id, source, n_words,
+           round(mean_wl, 6) AS mean_word_len,
+           round(top3_frac, 6) AS top_trigram_frac,
+           (n_words >= 30 AND n_words <= 100000) AS pass_word_count,
+           (mean_wl >= 3.0 AND mean_wl <= 10.0) AS pass_mean_word_len,
+           (n_stop >= 2) AS pass_stopwords,
+           (top3_frac <= 0.10) AS pass_repetition,
+           (n_words >= 30 AND n_words <= 100000
+            AND mean_wl >= 3.0 AND mean_wl <= 10.0
+            AND n_stop >= 2 AND top3_frac <= 0.10) AS keep
+    FROM t
+    """,
+)
+def gopher_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality gate (Rae et al. 2021, section A1.1), the
+    filters an LLM pipeline runs on every document before any dedup:
+    word-count bounds, mean-word-length bounds, a minimum stopword
+    count, and the top-repeated-trigram fraction (the most-frequent
+    3-gram may cover at most 10% of the doc's trigrams). All metrics
+    are row-local JVM array ops — token array let-bound once per row
+    (the O(words^2) trap word_shingles documents), the trigram mode
+    count O(distinct * n) inside the row, ZERO shuffle in the whole
+    plan — which is why this gate is cheap enough for 100 TB ingest.
+    Emits per-doc metrics plus per-rule verdicts so downstream
+    triage can aggregate pass rates by source."""
+    docs = read_table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    g = word_shingles("text", 3)
+    # let-bind both arrays via a one-element struct array: each is
+    # evaluated once per row, not once per lambda reference
+    bound = F.transform(
+        F.array(F.struct(ws.alias("ws"), g.alias("g"))),
+        lambda s: F.struct(
+            F.size(s["ws"]).alias("n_words"),
+            F.when(
+                F.size(s["ws"]) > 0,
+                F.aggregate(
+                    s["ws"], F.lit(0), lambda acc, x: acc + F.length(x)
+                ).cast("double")
+                / F.size(s["ws"]),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_wl"),
+            F.size(F.filter(s["ws"], lambda x: x.isin("the", "a"))).alias(
+                "n_stop"
+            ),
+            F.when(
+                F.size(s["g"]) > 0,
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(s["g"]),
+                        lambda x: F.size(F.filter(s["g"], lambda y: y == x)),
+                    )
+                ).cast("double")
+                / F.size(s["g"]),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top3_frac"),
+        ),
+    )[0]
+    m = docs.select("doc_id", "source", bound.alias("m"))
+    n_words = F.col("m.n_words")
+    mean_wl = F.col("m.mean_wl")
+    n_stop = F.col("m.n_stop")
+    top3 = F.col("m.top3_frac")
+    pass_wc = (n_words >= 30) & (n_words <= 100000)
+    pass_mwl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    pass_stop = n_stop >= 2
+    pass_rep = top3 <= 0.10
+    return m.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(top3, 6).alias("top_trigram_frac"),
+        pass_wc.alias("pass_word_count"),
+        pass_mwl.alias("pass_mean_word_len"),
+        pass_stop.alias("pass_stopwords"),
+        pass_rep.alias("pass_repetition"),
+        (pass_wc & pass_mwl & pass_stop & pass_rep).alias("keep"),
     )

@@ -295,3 +295,135 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_ts").alias("purchase_ts"),
         "purchase_value",
     )
+
+
+@query(
+    "streaming_upsert_scd1",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_type,
+           ts AS last_ts,
+           CAST(value AS DOUBLE) AS last_value
+    FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events e) t
+    WHERE rn = 1
+    """,
+)
+def streaming_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink end-to-end: the events lot is split
+    into several micro-batches (maxFilesPerTrigger over a multi-file
+    lot) and each epoch conditionally MERGEs its rows into a parquet
+    SCD1 target via :func:`upsert_if_newer` — newest (ts, event_id)
+    per user wins regardless of arrival order, which is exactly why
+    the final state is deterministic even though file-listing order is
+    not event-time order. Epoch id versions the target path, so a
+    replayed batch rewrites the same version (idempotent per epoch —
+    the exactly-once contract foreachBatch requires of its sink).
+    The oracle is the plain latest-event-per-user window: cross-batch
+    merge accounting gets a hash-exact signal. At 100 TB the target is
+    Delta/Iceberg MERGE INTO; the per-epoch plan is identical."""
+    from logicash_etl_spark.operators.aggregates import scd1_latest
+    from logicash_etl_spark.operators.merge import upsert_if_newer
+    from logicash_etl_spark.streaming.sources import (
+        run_available_now_foreach_batch,
+    )
+
+    key = f"{sf_dir}::upsert"
+    if key not in _LOT_CACHE:
+        root = session_tmpdir("lq_stream_upslot_")
+        lot = f"{root}/lot"
+        # 6 files -> 3 epochs at maxFilesPerTrigger=2; range-split on
+        # event_id so the file contents (not just the final state) are
+        # reproducible run to run
+        read_table(spark, sf_dir, "events").repartitionByRange(
+            6, "event_id"
+        ).write.mode("overwrite").parquet(lot)
+        _LOT_CACHE[key] = lot
+    root = session_tmpdir("lq_stream_upsert_")
+    state: dict[str, str] = {}
+
+    def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
+        latest = scd1_latest(
+            bdf, pk=["user_id"], order_by="ts", tiebreak=["event_id"]
+        )
+        prev = state.get("path")
+        if prev is None:
+            merged = latest
+        else:
+            merged = upsert_if_newer(
+                spark.read.parquet(prev),
+                latest,
+                keys=["user_id"],
+                order_by="ts",
+                tiebreak=["event_id"],
+            )
+        out = f"{root}/target_v{epoch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        state["path"] = out
+
+    stream = stream_parquet_dir(
+        spark, _LOT_CACHE[key], S.EVENTS, max_files_per_trigger=2
+    )
+    run_available_now_foreach_batch(stream, f"{root}/ckpt", apply_batch)
+    final = spark.read.parquet(state["path"])
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").cast("double").alias("last_value"),
+    )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    WITH tier AS (
+      SELECT * FROM (VALUES ('click', 'engagement'), ('view', 'engagement'),
+                            ('purchase', 'conversion'), ('signup', 'conversion'),
+                            ('error', 'ops')) AS t(event_type, tier)
+    )
+    SELECT tier,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events JOIN tier USING (event_type)
+    GROUP BY tier
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join end-to-end: the event stream enriched with a
+    broadcast dimension (event_type -> tier) — the stateless lookup
+    every streaming pipeline runs before aggregating. The static side
+    is planned per micro-batch (a Delta dim table would be re-read and
+    so picks up slowly-changing rows); no watermark is needed because
+    a stream-static join keeps NO state. Drained with AvailableNow,
+    then rolled up per tier from the sink; the oracle is the same
+    VALUES join in SQL, so the enrich path gets a hash-exact signal."""
+    tiers = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        ["event_type", "tier"],
+    )
+    lot = _events_lot(spark, sf_dir)
+    root = session_tmpdir("lq_stream_enrich_")
+    stream = stream_parquet_dir(spark, lot, S.EVENTS)
+    enriched = stream.join(F.broadcast(tiers), on="event_type")
+    sink = f"enrich_drain_{uuid.uuid4().hex[:8]}"
+    run_available_now(enriched, f"{root}/ckpt", sink)
+    return (
+        spark.sql(f"SELECT * FROM {sink}")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -17,11 +17,20 @@ from pyspark.sql import types as T
 
 
 def stream_parquet_dir(
-    spark: SparkSession, path: str, schema: T.StructType
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over a directory (schema required: streaming
-    reads never infer)."""
-    return spark.readStream.format("parquet").schema(schema).load(path)
+    reads never infer). ``max_files_per_trigger`` bounds each
+    micro-batch — under AvailableNow the drain still processes every
+    file, but in several epochs instead of one (the shape that
+    exercises cross-batch state: upserts, watermark advances)."""
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
 
 
 def run_available_now(
