@@ -396,3 +396,106 @@ def ivf_ann_topk(
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid (cosine) cell assignment with ZERO shuffle:
+    the k centroids are inlined as a literal array of structs and the
+    argmax runs as a row-local JVM fold (``array_max`` over
+    struct<sim, cell> — struct ordering picks max sim, largest cell id
+    on exact ties). The distributed alternative (explode k rows per
+    vector + window) shuffles n*k rows on the vector id; at 100 TB the
+    literal-broadcast fold is a map-only pass over the scan.
+
+    Returns the input columns plus ``cell``. Centroid count is
+    bounded by what fits in a plan literal (~thousands) — IVF/SemDeDup
+    coarse quantizers are exactly that size.
+    """
+    cent = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
+    ]
+    v = as_double(vec_col)
+    vn = _norm(v)
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(v, F.array(*[F.lit(x) for x in cv]))
+                    / (vn * F.lit(float(np.linalg.norm(cv)) or 1e-12))
+                ).alias("sim"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, cv in cent
+        ]
+    )
+    return vectors.withColumn("cell", F.array_max(scored)["cell"])
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cells
+    as the blocking key, exact cosine within each cell, and a greedy
+    keep-lowest-id policy — a vector is removed iff some SMALLER-id
+    vector in its cell is within ``threshold`` cosine. Cross-cell
+    near-dups are invisible by design (the paper's recall trade);
+    raise k to bound cell sizes, since within-cell scoring is
+    quadratic in the cell population.
+
+    Returns one row per vector: (id, cell, removed). The pair join
+    shuffles on the cell id only; at 100 TB the quantizer k is sized
+    so n/k rows fit a partition (FAISS sizing practice), and skewed
+    cells fall to AQE skew-join splitting.
+    """
+    assigned = assign_cells(
+        scale_out(vectors.select(id_col, vec_col)), centroids, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("__v"),
+        _norm(as_double(vec_col)).alias("__n"),
+        "cell",
+    )
+    # distinct alias per side (same-lineage equality would collapse to
+    # a trivially-true predicate and cross-join — see
+    # queries/similarity.embedding_dup_pairs)
+    a = assigned.select(
+        F.col("cell").alias("cell"), F.col("id").alias("id_a"),
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("__cell_b"), F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    dup_of = (
+        a.join(
+            b,
+            on=[F.col("cell") == F.col("__cell_b"), F.col("id_a") < F.col("id_b")],
+        )
+        .filter(
+            _dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("removed", F.lit(True))
+    )
+    return (
+        assigned.select("id", "cell")
+        .join(dup_of, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.coalesce("removed", F.lit(False)).alias("removed"),
+        )
+    )

@@ -156,3 +156,32 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10-query batch vs the whole corpus: broadcast the probed query
     # side so the 8-distinct-value cell join never shuffles the corpus
     return ivf_ann_topk(emb, queries, centroids, k=5, n_probe=3, broadcast_queries=True)
+
+
+@query("semantic_dedup_stats")  # k-means quantizer: rows-only; exact-twin tested
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end (Abbas et al. 2023): deterministic k-means
+    cells as the semantic blocking key, exact cosine within cells,
+    greedy keep-lowest-id removal, rolled up per cell. The embedding
+    near-dup pruning a 100 TB pretraining corpus runs AFTER exact/
+    MinHash text dedup — catches paraphrases exact hashing can't.
+    No SQL oracle (iterative quantizer); tests/test_similarity.py
+    re-derives assignment, pairs, and removals in numpy and asserts
+    equality, and the property tests pin the keep-policy invariants."""
+    from logicash_etl_spark.operators.similarity import kmeans_lite, semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_lite(emb, k=8, iterations=2, train_sample=8192)
+    marked = semantic_dedup(emb, centroids, threshold=0.4)
+    return (
+        marked.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("removed").cast("long")).alias("n_removed"),
+            F.sum((~F.col("removed")).cast("long")).alias("n_kept"),
+        )
+        .withColumn(
+            "retention",
+            F.round(F.col("n_kept").cast("double") / F.col("n_vecs"), 6),
+        )
+    )

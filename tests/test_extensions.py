@@ -514,3 +514,50 @@ def test_fuzzy_collapse_exact_matches_default(spark, sf_smoke):
     fast = fuzzy_self_join(part, collapse_exact=True, **kw)
     assert base.exceptAll(fast).count() == 0
     assert fast.exceptAll(base).count() == 0
+
+
+def test_semantic_dedup_matches_numpy_twin(spark, emb):
+    """SemDeDup: assignment, within-cell pairs, and the greedy
+    keep-lowest-id removals re-derived in numpy from the SAME
+    centroids must match the distributed pipeline exactly."""
+    import numpy as np
+
+    from logicash_etl_spark.operators.similarity import (
+        assign_cells,
+        kmeans_lite,
+        semantic_dedup,
+    )
+
+    centroids = kmeans_lite(emb, k=8, iterations=2, train_sample=8192)
+    marked = semantic_dedup(emb, centroids, threshold=0.4)
+    got = {r.vec_id: (r.cell, r.removed) for r in marked.collect()}
+
+    cent = {int(r.centroid_id): np.array(r.centroid) for r in centroids.collect()}
+    C = np.vstack([cent[i] for i in sorted(cent)])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.vstack([np.array(r.embedding, dtype="float64") for r in rows])
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    sims = Mn @ Cn.T
+    # argmax with largest-cell-id tie-break, matching array_max struct order
+    cells = (sims.shape[1] - 1) - np.argmax(sims[:, ::-1], axis=1)
+
+    assert {i: c for i, c in zip(ids, cells)} == {i: c for i, (c, _) in got.items()}
+
+    removed = set()
+    for c in np.unique(cells):
+        member_idx = np.where(cells == c)[0]
+        order = member_idx[np.argsort(ids[member_idx])]
+        for pos, j in enumerate(order):
+            for i in order[:pos]:
+                s = float(M[i] @ M[j]) / (
+                    float(np.linalg.norm(M[i])) * float(np.linalg.norm(M[j]))
+                )
+                if s >= 0.4:
+                    removed.add(ids[j])
+                    break
+    assert removed == {i for i, (_, r) in got.items() if r}
+    # the policy must actually drop something on this fixture, and keep most
+    n_removed = sum(1 for _, r in got.values() if r)
+    assert 0 < n_removed < len(got)
