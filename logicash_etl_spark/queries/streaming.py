@@ -334,11 +334,11 @@ def streaming_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _LOT_CACHE:
         root = session_tmpdir("lq_stream_upslot_")
         lot = f"{root}/lot"
-        # 6 files -> 3 epochs at maxFilesPerTrigger=2; range-split on
+        # 4 files -> 2 epochs at maxFilesPerTrigger=2; range-split on
         # event_id so the file contents (not just the final state) are
         # reproducible run to run
         read_table(spark, sf_dir, "events").repartitionByRange(
-            6, "event_id"
+            4, "event_id"
         ).write.mode("overwrite").parquet(lot)
         _LOT_CACHE[key] = lot
     root = session_tmpdir("lq_stream_upsert_")
@@ -366,7 +366,9 @@ def streaming_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_parquet_dir(
         spark, _LOT_CACHE[key], S.EVENTS, max_files_per_trigger=2
     )
-    run_available_now_foreach_batch(stream, f"{root}/ckpt", apply_batch)
+    run_available_now_foreach_batch(
+        stream, f"{root}/ckpt", apply_batch, state_partitions=_STATE_PARTS
+    )
     final = spark.read.parquet(state["path"])
     return final.select(
         "user_id",
@@ -414,16 +416,32 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     lot = _events_lot(spark, sf_dir)
     root = session_tmpdir("lq_stream_enrich_")
     stream = stream_parquet_dir(spark, lot, S.EVENTS)
-    enriched = stream.join(F.broadcast(tiers), on="event_type")
-    sink = f"enrich_drain_{uuid.uuid4().hex[:8]}"
-    run_available_now(enriched, f"{root}/ckpt", sink)
-    return (
-        spark.sql(f"SELECT * FROM {sink}")
+    # aggregate INSIDE the stream (update mode, no watermark needed for
+    # a global running agg): the sink then carries one row per tier per
+    # emission instead of the whole enriched stream — the production
+    # enrich -> aggregate -> sink shape, and the drain cost stops
+    # scaling with stream volume
+    enriched = (
+        stream.join(F.broadcast(tiers), on="event_type")
         .groupBy("tier")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
         )
+    )
+    sink = f"enrich_drain_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        enriched, f"{root}/ckpt", sink,
+        output_mode="update", state_partitions=_STATE_PARTS,
+    )
+    # update mode re-emits a tier's row per epoch; the final state is
+    # the emission with the highest running count
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("tier").orderBy(F.col("n_events").desc())
+    return (
+        spark.sql(f"SELECT * FROM {sink}")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("tier", "n_events", F.col("total_value").cast("double"))
     )

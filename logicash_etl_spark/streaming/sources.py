@@ -101,17 +101,32 @@ def run_available_now_foreach_batch(
     stream_df: DataFrame,
     checkpoint_dir: str,
     batch_fn,
+    state_partitions: int | None = None,
 ) -> None:
     """Drain via foreachBatch: each micro-batch arrives as a normal
     batch DataFrame with an epoch id — the exactly-once custom-sink
     hook (idempotent upserts, multi-table writes, JDBC). The
     checkpoint records committed epochs, so a re-run after a crash
     re-delivers only uncommitted batches; batch_fn must be idempotent
-    per (epoch_id, data)."""
-    q = (
-        stream_df.writeStream.foreachBatch(batch_fn)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    per (epoch_id, data).
+
+    ``state_partitions`` sizes shuffles PLANNED INSIDE batch_fn (each
+    epoch plans its batch jobs under the session conf): a per-epoch
+    merge window over kilobytes of state pays 32 shuffle files per
+    epoch under the batch default — same sizing rationale as
+    :func:`run_available_now`."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
