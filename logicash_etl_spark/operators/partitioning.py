@@ -30,3 +30,70 @@ def scale_out(df: DataFrame, target: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < want:
         return df.repartition(want)
     return df
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    buckets: int = 32,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in global ``order_col``
+    order, WITHOUT a global single-partition window — the classic
+    two-pass distributed scan:
+
+      1. rows land in ``buckets`` deterministic, order-preserving
+         ranges of ``order_col`` (fixed arithmetic split of
+         [min, max] — NOT RangePartitioner, whose sampled bounds
+         change run to run);
+      2. a per-bucket window computes the local exclusive cumsum
+         (each bucket's rows stay on one reducer — bounded, parallel);
+      3. bucket totals (``buckets`` rows) come to the driver, their
+         running sum re-enters as a broadcast offset join.
+
+    At 100 TB the only full-data movement is the one shuffle into
+    range buckets; the driver handles ``buckets`` numbers. The result
+    is bitwise-deterministic for integer/decimal values (ties in
+    ``order_col`` must not exist — pass a unique key)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lo, hi = df.agg(
+        F.min(order_col).cast("double"), F.max(order_col).cast("double")
+    ).first()
+    span = max((hi - lo) / buckets, 1e-9)
+    b = F.least(
+        F.lit(buckets - 1),
+        F.floor((F.col(order_col).cast("double") - F.lit(lo)) / F.lit(span)),
+    ).cast("int")
+    # no explicit repartition: the window's own hash-partitioning on
+    # __b is the single full-data shuffle
+    bucketed = df.withColumn("__b", b)
+    w = Window.partitionBy("__b").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = bucketed.withColumn(
+        "__local", F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    )
+    totals = (
+        bucketed.groupBy("__b")
+        .agg(F.sum(value_col).alias("__t"))
+        .orderBy("__b")
+        .collect()
+    )
+    offsets, run = {}, 0
+    for r in totals:
+        offsets[r["__b"]] = run
+        run += r["__t"]
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(
+            [(k, v) for k, v in offsets.items()], "__b int, __off bigint"
+        )
+    )
+    return (
+        local.join(off, on="__b")
+        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("bigint"))
+        .drop("__b", "__local", "__off")
+    )

@@ -192,3 +192,142 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= 800)
     )
+
+
+@query(
+    "token_balanced_shards",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS start_tok
+      FROM toks
+    )
+    SELECT CAST(start_tok // 2000 AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           SUM(n_tokens) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM cum
+    GROUP BY 1
+    """,
+)
+def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training-shard assignment: docs in stable
+    doc_id order are cut into ~2000-token shards by each doc's
+    STARTING token offset — the writer layout step before
+    ``write.partitionBy(shard)``, sized so every output file carries
+    the same token load (sequence-packing's file-level sibling).
+
+    The global running offset comes from
+    :func:`~logicash_etl_spark.operators.partitioning.global_prefix_sum`
+    — a two-pass bucketed scan, NOT a single-partition global window:
+    the only full-data shuffle is into deterministic doc_id range
+    buckets; bucket totals (32 numbers) prefix-sum on the driver and
+    re-enter as a broadcast offset join. The oracle is the plain SQL
+    cumsum window, so the distributed prefix sum gets a hash-exact
+    signal."""
+    from logicash_etl_spark.operators.partitioning import global_prefix_sum
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
+    )
+    cum = global_prefix_sum(
+        toks, order_col="doc_id", value_col="n_tokens", out_col="start_tok"
+    )
+    return (
+        cum.withColumn("shard_id", (F.col("start_tok") / 2000).cast("bigint"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "temperature_resample_counts",
+    oracle="""
+    WITH stats AS (
+      SELECT lang, count(*) AS n_total,
+             CAST(round(sqrt(count(*)), 9) AS DECIMAL(18,9)) AS s_dec
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT SUM(n_total) AS n_all, SUM(s_dec) AS s_all FROM stats
+    ), p AS (
+      SELECT lang, n_total,
+             least(1.0, ((0.5 * n_all) * (CAST(s_dec AS DOUBLE)
+                         / CAST(s_all AS DOUBLE))) / n_total) AS pk
+      FROM stats, tot
+    ), tagged AS (
+      SELECT lang,
+             CAST(CAST(('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+      FROM documents
+    ), kept AS (
+      SELECT t.lang, count(*) AS n_kept
+      FROM tagged t JOIN p USING (lang)
+      WHERE u < pk GROUP BY t.lang
+    )
+    SELECT p.lang, n_total, round(pk, 6) AS p_keep,
+           COALESCE(n_kept, 0) AS n_kept
+    FROM p LEFT JOIN kept USING (lang)
+    """,
+)
+def temperature_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (the UniMax / data-mixture
+    primitive): per-language keep probability proportional to
+    n_lang^0.5 — alpha=0.5 flattens the head (en) and upweights the
+    tail — scaled to a half-corpus token budget and capped at 1.
+    Membership is the md5 content-hash draw (operators/sampling.py),
+    so the SAME docs are kept on any cluster size or engine.
+
+    Bitwise-reproducible across engines by construction: sqrt is
+    IEEE-exact, the cross-language normalizer sums DECIMAL(18,9)
+    (order-free), and the probability formula is parenthesized
+    identically here and in the oracle — the draw comparison then has
+    one well-defined double on each side."""
+    from logicash_etl_spark.operators.sampling import _u
+
+    docs = read_table(spark, sf_dir, "documents")
+    stats = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_total"))
+        .withColumn("s_dec", F.round(F.sqrt("n_total"), 9).cast("decimal(18,9)"))
+    )
+    tot = stats.agg(
+        F.sum("n_total").alias("n_all"), F.sum("s_dec").alias("s_all")
+    )
+    p = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_total",
+        F.least(
+            F.lit(1.0),
+            (
+                (F.lit(0.5) * F.col("n_all"))
+                * (F.col("s_dec").cast("double") / F.col("s_all").cast("double"))
+            )
+            / F.col("n_total"),
+        ).alias("pk"),
+    )
+    kept = (
+        docs.join(F.broadcast(p), on="lang")
+        .filter(_u(F.col("doc_id"), "temp") < F.col("pk"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return p.join(kept, on="lang", how="left").select(
+        "lang",
+        "n_total",
+        F.round("pk", 6).alias("p_keep"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
