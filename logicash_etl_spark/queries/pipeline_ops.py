@@ -527,3 +527,72 @@ def gopher_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_rep.alias("pass_repetition"),
         (pass_wc & pass_mwl & pass_stop & pass_rep).alias("keep"),
     )
+
+
+@query(
+    "repeated_passage_report",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, source, h
+      FROM w, UNNEST(CASE WHEN len(ws) >= 8
+                          THEN list_transform(generate_series(1, len(ws) - 7),
+                                              i -> md5(array_to_string(ws[i:i+7], ' ')))
+                          ELSE [] END) AS t(h)
+    ), freq AS (
+      SELECT h, count(DISTINCT doc_id) AS df FROM sh GROUP BY h
+    )
+    SELECT source,
+           count(DISTINCT sh.h) AS n_distinct_passages,
+           count(DISTINCT CASE WHEN df >= 2 THEN sh.h END) AS n_shared_passages,
+           round(CAST(count(DISTINCT CASE WHEN df >= 2 THEN sh.h END) AS DOUBLE)
+                 / count(DISTINCT sh.h), 6) AS shared_ratio
+    FROM sh JOIN freq USING (h)
+    GROUP BY source
+    """,
+)
+def repeated_passage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection (the Lee et al. 2022
+    substring-dedup signal, passage-granular): 8-word passages hashed
+    per doc, document frequency per passage from an inverted index,
+    then per-source counts of passages that also appear in ANOTHER
+    document — boilerplate and template text show up here before any
+    pairwise dedup runs. Unlike pairwise Jaccard there is NO pair
+    join anywhere: a passage in k docs costs k index rows (linear),
+    so the plan survives hot boilerplate passages that would k^2 a
+    pair generator. Two shuffles total (index groupBy, source
+    rollup), all JVM built-ins."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(word_shingles("text", 8), lambda s: F.md5(s))
+                )
+            ).alias("h"),
+        )
+    )
+    freq = sh.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        sh.join(freq, on="h")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("h").alias("n_distinct_passages"),
+            F.countDistinct(F.when(F.col("df") >= 2, F.col("h"))).alias(
+                "n_shared_passages"
+            ),
+        )
+        .withColumn(
+            "shared_ratio",
+            F.round(
+                F.col("n_shared_passages").cast("double")
+                / F.col("n_distinct_passages"),
+                6,
+            ),
+        )
+    )
