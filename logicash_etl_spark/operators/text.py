@@ -174,3 +174,85 @@ def min_shingle_sketch(text: Column | str, n: int = 3) -> Column:
     """Cheap 1-perm document sketch: lexicographic min of md5(shingle).
     Reproducible anywhere md5 exists (rolling-hash fingerprint analog)."""
     return F.array_min(F.transform(word_shingles(text, n), F.md5))
+
+
+def bpe_train(
+    word_counts: DataFrame,
+    n_merges: int = 8,
+    word_col: str = "word",
+    count_col: str = "n",
+) -> list[tuple[str, str, str, int]]:
+    """Byte-pair-encoding merge training, Spark-first: the corpus is
+    touched ONCE (the ``word_counts`` aggregate the caller builds);
+    every merge iteration then runs on the VOCABULARY frame — pair
+    counts are weighted by word frequency, so at 100 TB the iteration
+    cost is bounded by distinct words, not corpus bytes (the shape
+    real tokenizer training uses).
+
+    Per round: adjacent symbol pairs via ``zip_with`` on the symbol
+    array and its shifted self (row-local), one map-side-combinable
+    groupBy(pair) weighted sum, a deterministic top-1
+    (count desc, pair asc — TakeOrderedAndProject, never a sort), and
+    a greedy left-to-right fold (``aggregate``) that rewrites each
+    word's symbols under the new merge — all JVM expressions, the
+    driver sees ONE row per round.
+
+    Returns [(left, right, merged, weighted_count)] in merge order.
+    """
+    syms = word_counts.select(
+        F.col(count_col).alias("__n"),
+        F.split(F.col(word_col), "").alias("__s"),
+    ).persist()
+    merges: list[tuple[str, str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = syms.select(
+                "__n",
+                F.explode(
+                    F.when(
+                        F.size("__s") >= 2,
+                        F.zip_with(
+                            F.slice("__s", 1, F.size("__s") - 1),
+                            F.slice("__s", 2, F.size("__s") - 1),
+                            lambda a, b: F.struct(
+                                a.alias("l"), b.alias("r")
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+                ).alias("p"),
+            )
+            top = (
+                pairs.groupBy("p")
+                .agg(F.sum("__n").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("p.l"), F.col("p.r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, cnt = top[0]["p"]["l"], top[0]["p"]["r"], int(top[0]["cnt"])
+            merged = l + r
+            merges.append((l, r, merged, cnt))
+            # greedy left-to-right rewrite: fold each symbol into the
+            # accumulator, merging when the tail matches (l, r); a
+            # merged token is not re-merged in the same round (BPE
+            # contract for runs like "aaa")
+            new_s = F.aggregate(
+                "__s",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(l))
+                    & (x == F.lit(r)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+            nxt = syms.select("__n", new_s.alias("__s")).persist()
+            nxt.count()  # materialize before dropping the parent
+            syms.unpersist()
+            syms = nxt
+    finally:
+        syms.unpersist()
+    return merges

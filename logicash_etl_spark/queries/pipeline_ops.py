@@ -596,3 +596,117 @@ def repeated_passage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("bpe_merges_report")  # iterative argmax loop: rows-only; python exact twin
+def bpe_merges_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training surface: the first 8 merge rules learned
+    from the corpus's frequency-weighted vocabulary
+    (operators/text.bpe_train). The corpus is scanned once for word
+    counts; every merge round then runs on the distinct-word frame —
+    vocabulary-bounded, the property that makes tokenizer training
+    feasible at 100 TB. Deterministic (count desc, pair asc
+    tie-break); no SQL oracle (8-round iterative argmax + rewrite);
+    tests/test_extensions.py re-derives the merges with a pure-python
+    BPE and asserts rule-for-rule equality."""
+    from logicash_etl_spark.operators.text import bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = bpe_train(wc, n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, l, r, m, c) for i, (l, r, m, c) in enumerate(merges)],
+        "merge_rank int, left_sym string, right_sym string, merged string, weighted_count bigint",
+    )
+
+
+@query(
+    "collocation_lift_top20",
+    oracle=r"""
+    WITH w AS (
+      SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), uni AS (
+      SELECT t.x AS word, count(*) AS c FROM w, UNNEST(ws) AS t(x) GROUP BY t.x
+    ), bi AS (
+      SELECT b.l AS w1, b.r AS w2, count(*) AS c_ab
+      FROM w, UNNEST(CASE WHEN len(ws) >= 2
+                          THEN list_transform(generate_series(1, len(ws) - 1),
+                                              i -> {'l': ws[i], 'r': ws[i+1]})
+                          ELSE [] END) AS t(b)
+      GROUP BY b.l, b.r
+    ), tot AS (
+      SELECT (SELECT SUM(c) FROM uni) AS t_u, (SELECT SUM(c_ab) FROM bi) AS t_b
+    )
+    SELECT w1, w2, c_ab,
+           round(((CAST(c_ab AS DOUBLE) * t_u) * t_u)
+                 / ((CAST(t_b AS DOUBLE) * a.c) * b.c), 6) AS lift
+    FROM bi JOIN uni a ON w1 = a.word JOIN uni b ON w2 = b.word, tot
+    WHERE c_ab >= 5
+    ORDER BY ((CAST(c_ab AS DOUBLE) * t_u) * t_u)
+             / ((CAST(t_b AS DOUBLE) * a.c) * b.c) DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def collocation_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (the PMI shape, log-free): observed/expected
+    lift of adjacent word pairs — the phrase-detection pass word2vec /
+    phrase-vocab builders run over a corpus. Lift keeps the exact
+    PMI ranking while staying in +,*,/ (IEEE exact-rounded, identical
+    op order in the oracle -> bitwise-comparable doubles; ln is only
+    ~1-ulp reproducible across engines).
+
+    Plan: one corpus scan feeds both the unigram and bigram counts
+    (let-bound token arrays, row-local pair zip), two
+    map-side-combinable groupBys, unigram side broadcast back onto
+    bigrams (vocabulary-bounded), totals as a broadcast single row,
+    top-20 via TakeOrderedAndProject with a (w1, w2) tie-break."""
+    from logicash_etl_spark.operators.aggregates import top_k
+
+    docs = read_table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    toks = docs.select(ws.alias("ws")).persist()
+    uni = (
+        toks.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    bigram = F.when(
+        F.size("ws") >= 2,
+        F.zip_with(
+            F.slice("ws", 1, F.size("ws") - 1),
+            F.slice("ws", 2, F.size("ws") - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    bi_all = (
+        toks.select(F.explode(bigram).alias("b"))
+        .groupBy(F.col("b.l").alias("w1"), F.col("b.r").alias("w2"))
+        .agg(F.count("*").alias("c_ab"))
+    )
+    # totals over the UNFILTERED distributions (probabilities are
+    # corpus-wide; the min-count cut only gates which pairs report)
+    tot = uni.agg(F.sum("c").alias("t_u")).crossJoin(
+        bi_all.agg(F.sum("c_ab").alias("t_b"))
+    )
+    bi = bi_all.filter(F.col("c_ab") >= 5)
+    a = uni.select(F.col("word").alias("__wa"), F.col("c").alias("__ca"))
+    b = uni.select(F.col("word").alias("__wb"), F.col("c").alias("__cb"))
+    lift = (
+        (F.col("c_ab").cast("double") * F.col("t_u")) * F.col("t_u")
+    ) / ((F.col("t_b").cast("double") * F.col("__ca")) * F.col("__cb"))
+    scored = (
+        bi.join(F.broadcast(a), F.col("w1") == F.col("__wa"))
+        .join(F.broadcast(b), F.col("w2") == F.col("__wb"))
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_ab", lift.alias("__lift"))
+    )
+    out = top_k(scored, F.col("__lift"), 20, tiebreak=["w1", "w2"])
+    toks.unpersist()
+    return out.select(
+        "w1", "w2", "c_ab", F.round("__lift", 6).alias("lift")
+    )

@@ -561,3 +561,47 @@ def test_semantic_dedup_matches_numpy_twin(spark, emb):
     # the policy must actually drop something on this fixture, and keep most
     n_removed = sum(1 for _, r in got.values() if r)
     assert 0 < n_removed < len(got)
+
+
+def test_bpe_train_matches_python_twin(spark, sf_smoke):
+    """bpe_train: merge rules must equal a pure-python reference BPE
+    (frequency-weighted pair counts, greedy left-to-right rewrite,
+    count-desc / pair-asc tie-break)."""
+    from collections import Counter
+
+    from logicash_etl_spark.operators.text import bpe_train, tokens
+    from logicash_etl_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_smoke, "documents")
+    wc_df = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    got = bpe_train(wc_df, n_merges=8)
+
+    wc = {r.word: r.n for r in wc_df.collect()}
+    vocab = {w: list(w) for w in wc}
+    want = []
+    for _ in range(8):
+        counts = Counter()
+        for w, s in vocab.items():
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += wc[w]
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((l, r, l + r, cnt))
+        for w, s in vocab.items():
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            vocab[w] = out
+    assert got == want
+    assert len(got) == 8
