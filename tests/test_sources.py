@@ -295,3 +295,45 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_smoke, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_orders")
         spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+
+
+def test_token_balanced_shard_writer_end_to_end(spark, sf_smoke, tmp_path):
+    """The full shard-writer path: global_prefix_sum assigns ~2000-token
+    shards, write_parquet_partitioned lays them out one directory per
+    shard — and every shard directory (except the tail) must land
+    within a 2x token band of the budget, with no doc split across
+    shards and none lost."""
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.partitioning import global_prefix_sum
+    from logicash_etl_spark.operators.text import tokens
+    from logicash_etl_spark.sources.readers import read_table
+    from logicash_etl_spark.sources.writers import write_parquet_partitioned
+
+    docs = read_table(spark, sf_smoke, "documents")
+    toks = docs.select("doc_id", "text", F.size(tokens("text")).alias("n_tokens"))
+    cum = global_prefix_sum(toks, "doc_id", "n_tokens", out_col="start_tok")
+    sharded = cum.withColumn("shard", (F.col("start_tok") / 2000).cast("int"))
+    out = str(tmp_path / "shards")
+    write_parquet_partitioned(sharded, out, ["shard"])
+
+    back = spark.read.parquet(out)
+    # no doc lost or duplicated
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    per = {
+        r.shard: r.t
+        for r in back.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    last = max(per)
+    for shard, t in per.items():
+        if shard != last:
+            # a shard's token load is the budget +- one boundary doc
+            # (docs are never split), so non-tail shards sit in a
+            # max-doc-sized band around 2000
+            assert 2000 - 600 < t < 2000 + 600, (shard, t)
+    # physical layout: one directory per shard, one compacted file each
+    import os
+
+    dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert len(dirs) == len(per)
