@@ -710,3 +710,90 @@ def collocation_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "w1", "w2", "c_ab", F.round("__lift", 6).alias("lift")
     )
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), h AS (
+      SELECT doc_id, source,
+             CASE WHEN len(ws) >= 4
+                  THEN list_transform(generate_series(1, len(ws) - 3),
+                         i -> CAST(('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 8))
+                                   AS BIGINT))
+                  ELSE [] END AS hs
+      FROM w
+    ), sel AS (
+      SELECT doc_id, source, hs,
+             CASE WHEN len(hs) >= 5
+                  THEN list_distinct(list_transform(generate_series(1, len(hs) - 4),
+                         i -> i + 5 - list_position(list_reverse(hs[i:i+4]),
+                                                    list_min(hs[i:i+4]))))
+                  ELSE [] END AS pos
+      FROM h
+    )
+    SELECT doc_id, source,
+           len(hs) AS n_grams,
+           len(pos) AS n_fingerprints,
+           len(list_distinct(list_transform(pos, p -> hs[p]))) AS n_distinct_fp,
+           CASE WHEN len(pos) > 0
+                THEN list_min(list_transform(pos, p -> hs[p])) END AS min_fp
+    FROM sel
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): 4-gram hashes, window w=5, keep the RIGHTMOST
+    minimal hash per window — guarantees every match of length
+    >= w+k-1 shares a fingerprint while selecting ~2/(w+1) of the
+    hashes. The rightmost-min is array_position on the REVERSED
+    window (first hit in reverse = rightmost in order) — the same
+    builtin exists in DuckDB, so the whole selection is oracle-exact.
+    Row-local array ops only; zero shuffle before the (absent)
+    rollup — the fingerprint extraction pass of a plagiarism/overlap
+    index at 100 TB."""
+    docs = read_table(spark, sf_dir, "documents")
+    W = 5
+    hs_expr = F.transform(
+        word_shingles("text", 4),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+    bound = F.transform(
+        F.array(hs_expr),
+        lambda hs: F.struct(
+            F.size(hs).alias("n_grams"),
+            F.when(
+                F.size(hs) >= W,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(hs) - (W - 1)),
+                        lambda i: i
+                        + W
+                        - F.array_position(
+                            F.reverse(F.slice(hs, i, W)),
+                            F.array_min(F.slice(hs, i, W)),
+                        ).cast("int"),
+                    )
+                ),
+            )
+            .otherwise(F.array().cast("array<int>"))
+            .alias("pos"),
+            hs.alias("hs"),
+        ),
+    )[0]
+    m = docs.select("doc_id", "source", bound.alias("m"))
+    fps = F.transform(
+        F.col("m.pos"), lambda p: F.element_at(F.col("m.hs"), p)
+    )
+    return m.select(
+        "doc_id",
+        "source",
+        F.col("m.n_grams").alias("n_grams"),
+        F.size("m.pos").alias("n_fingerprints"),
+        F.size(F.array_distinct(fps)).alias("n_distinct_fp"),
+        F.when(F.size("m.pos") > 0, F.array_min(fps)).alias("min_fp"),
+    )
