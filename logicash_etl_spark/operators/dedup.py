@@ -353,20 +353,41 @@ def simhash_dup_pairs(
     on (chunk_idx, chunk_value), verify Hamming on candidates via
     bit_count(xor). For max_hamming=3, bands=4 gives exact recall.
     """
-    chunk = 64 // bands
     # persist: both sides of the block self-join consume the signature
     # pipeline (explode + 64-agg groupBy) — without this it runs twice.
     # (id, sim64) is 16 bytes/doc; freed by the innermost cache_scope.
     sig = scoped_persist(simhash_signatures(df, id_col, text_col))
+    return banded_hamming_pairs(
+        sig, id_col=id_col, sig_col="__sim", max_hamming=max_hamming, bands=bands
+    )
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Pairs with Hamming(sig_a, sig_b) <= max_hamming over ANY 64-bit
+    signature frame (SimHash, perceptual image hash, audio hash...).
+
+    Pigeonhole LSH: split 64 bits into ``bands`` chunks; any pair
+    within Hamming <= bands-1 must agree exactly on >=1 chunk -> block
+    on (chunk_idx, chunk_value), verify Hamming on candidates via
+    bit_count(xor). For max_hamming=3, bands=4 gives exact recall.
+    Callers own persisting ``sig`` (both join sides consume it).
+    """
+    chunk = 64 // bands
     blocked = sig.select(
         id_col,
-        "__sim",
+        F.col(sig_col).alias("__sim"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("blk"),
-                        F.shiftrightunsigned("__sim", b * chunk)
+                        F.shiftrightunsigned(F.col(sig_col), b * chunk)
                         .bitwiseAND(F.lit((1 << chunk) - 1))
                         .alias("val"),
                     )

@@ -137,3 +137,72 @@ def frame_sample_plan(
         F.col(id_col).alias("id"),
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+def _fake_pixel_grid(data: bytes, w: int = 9, h: int = 8) -> list[int]:
+    """Deterministic stand-in for decode+resize: w*h grayscale pixels
+    derived from a counter-mode sha256 stream of the content — byte-
+    identical media always produce the same grid (so dHash finds true
+    content dups), distinct media get ~independent grids. Used only
+    when no real codec is importable."""
+    out: list[int] = []
+    i = 0
+    while len(out) < w * h:
+        out.extend(hashlib.sha256(data + i.to_bytes(4, "big")).digest())
+        i += 1
+    return out[: w * h]
+
+
+def _pil_pixel_grid(data: bytes, w: int = 9, h: int = 8) -> list[int]:
+    """Real kernel: decode, resize to (w, h), grayscale pixel list."""
+    import io
+
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(data)) as img:
+        return list(img.convert("L").resize((w, h)).getdata())
+
+
+def _dhash64(grid: list[int], w: int = 9, h: int = 8) -> int:
+    """Difference hash: bit (r*8 + c) = 1 iff pixel(r,c) < pixel(r,c+1)
+    — 8 rows x 8 horizontal gradients = 64 bits, robust to global
+    brightness/scale changes on real images."""
+    v = 0
+    for r in range(h):
+        for c in range(w - 1):
+            if grid[r * w + c] < grid[r * w + c + 1]:
+                v |= 1 << (r * (w - 1) + c)
+    # two's-complement into a signed 64-bit long for the JVM
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def phash_image(
+    df: DataFrame,
+    id_col: str = "id",
+    media_col: str = "media",
+    pixel_kernel=None,
+) -> DataFrame:
+    """Perceptual (difference) hash per media row -> (id, phash long),
+    via Arrow-batched mapInPandas — bytes cross the Python boundary
+    once per batch. Kernel auto-selects (PIL resize when importable,
+    deterministic fake grid otherwise) or inject via ``pixel_kernel``
+    (``bytes -> list[int]`` of 72 grayscale values).
+
+    Feed the result to
+    :func:`~logicash_etl_spark.operators.dedup.banded_hamming_pairs`
+    for near-dup pairs — the image-side twin of SimHash text dedup.
+    """
+    if pixel_kernel is None:
+        pixel_kernel = _pil_pixel_grid if _pil_available() else _fake_pixel_grid
+
+    cols = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.data").alias("data"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for i, data in zip(pdf["id"], pdf["data"]):
+                ids.append(i)
+                hashes.append(_dhash64(pixel_kernel(bytes(data))))
+            yield pd.DataFrame({"id": ids, "phash": hashes})
+
+    return cols.mapInPandas(batches, schema="id long, phash long")

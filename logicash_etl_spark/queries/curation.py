@@ -815,3 +815,57 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(band.alias("band")).groupBy("band").agg(
         F.count("*").alias("n_pairs")
     )
+
+
+@query(
+    "media_phash_dups",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+    FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
+)
+def media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media near-dup end-to-end: a lot with planted
+    byte-identical re-uploads (every 25th doc re-packed under a new
+    id — the at-least-once ingest model for media), dHash-64 per blob
+    via Arrow-batched mapInPandas (operators/multimodal.phash_image),
+    then pigeonhole-banded Hamming pairs — the SAME
+    banded_hamming_pairs machinery SimHash text dedup uses, applied to
+    the image modality. With the deterministic fake-decode kernel (no
+    codec in this image) only byte-identical media collide, so the
+    equal-bytes self-join IS the oracle (hamming 0; a random
+    distinct-content pair lands within Hamming<=2 with p ~ 1e-16).
+    With PIL installed the same query finds resized/re-encoded dups —
+    the plumbing, banding, and verify are identical."""
+    from logicash_etl_spark.operators.caching import scoped_persist
+    from logicash_etl_spark.operators.dedup import banded_hamming_pairs
+    from logicash_etl_spark.operators.multimodal import (
+        _fake_pixel_grid,
+        pack_media,
+        phash_image,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    replay = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    lot = docs.unionByName(replay)
+    media = pack_media(
+        lot.select("doc_id", F.encode("text", "utf-8").alias("blob")),
+        "blob",
+        "image/png",
+    )
+    # pin the deterministic kernel: the oracle models byte-identity,
+    # which only the fake grid guarantees (PIL would also match true
+    # visual dups — correct behavior, different oracle)
+    sig = scoped_persist(
+        phash_image(media, id_col="doc_id", pixel_kernel=_fake_pixel_grid)
+    )
+    return banded_hamming_pairs(
+        sig, id_col="id", sig_col="phash", max_hamming=2, bands=4
+    )

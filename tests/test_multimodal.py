@@ -111,3 +111,29 @@ def test_decode_with_injected_kernel(spark, sf_smoke):
         assert r.format == "custom"
         assert r.width == r.media_bytes % 7 + 1
         assert r.height == r.media_bytes % 11 + 1
+
+
+def test_phash_brightness_invariance_and_determinism(spark):
+    """dHash contract: a global brightness shift flips no gradient, so
+    the hash is identical; byte-identical media always hash equal."""
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.multimodal import (
+        _dhash64,
+        _fake_pixel_grid,
+        pack_media,
+        phash_image,
+    )
+
+    grid = _fake_pixel_grid(b"some-media-bytes")
+    assert _dhash64(grid) == _dhash64([min(p + 10, 255 + 10) for p in grid])
+
+    rows = [(1, b"alpha"), (2, b"beta"), (3, b"alpha")]
+    df = pack_media(
+        spark.createDataFrame(rows, "id long, blob binary"), "blob", "image/png"
+    )
+    got = {
+        r.id: r.phash
+        for r in phash_image(df, pixel_kernel=_fake_pixel_grid).collect()
+    }
+    assert got[1] == got[3] != got[2]
