@@ -181,6 +181,7 @@ def bpe_train(
     n_merges: int = 8,
     word_col: str = "word",
     count_col: str = "n",
+    driver_vocab_threshold: int = 2_000_000,
 ) -> list[tuple[str, str, str, int]]:
     """Byte-pair-encoding merge training, Spark-first: the corpus is
     touched ONCE (the ``word_counts`` aggregate the caller builds);
@@ -198,7 +199,44 @@ def bpe_train(
     driver sees ONE row per round.
 
     Returns [(left, right, merged, weighted_count)] in merge order.
+
+    Adaptive (the union-find / k-means driver-sample pattern): when
+    the vocabulary fits ``driver_vocab_threshold`` rows it collects
+    ONCE (Arrow) and the merge loop runs in pure python — identical
+    rules, none of the per-round job overhead. Above the threshold
+    the distributed per-round loop runs; both paths are
+    equality-tested against each other.
     """
+    if word_counts.count() <= driver_vocab_threshold:
+        pdf = word_counts.select(
+            F.col(word_col).alias("w"), F.col(count_col).alias("n")
+        ).toPandas()
+        wc = dict(zip(pdf["w"], pdf["n"].astype(int)))
+        vocab = {w: list(w) for w in wc}
+        merges: list[tuple[str, str, str, int]] = []
+        for _ in range(n_merges):
+            counts: dict[tuple[str, str], int] = {}
+            for w, s in vocab.items():
+                cnt = wc[w]
+                for a, b in zip(s, s[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + cnt
+            if not counts:
+                break
+            (l, r), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merged = l + r
+            merges.append((l, r, merged, int(cnt)))
+            for w, s in vocab.items():
+                out: list[str] = []
+                for x in s:
+                    if out and out[-1] == l and x == r:
+                        out[-1] = merged
+                    else:
+                        out.append(x)
+                vocab[w] = out
+        return merges
+
     syms = word_counts.select(
         F.col(count_col).alias("__n"),
         F.split(F.col(word_col), "").alias("__s"),

@@ -579,7 +579,10 @@ def test_bpe_train_matches_python_twin(spark, sf_smoke):
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
-    got = bpe_train(wc_df, n_merges=8)
+    # force the distributed per-round path; the driver path must agree
+    got = bpe_train(wc_df, n_merges=8, driver_vocab_threshold=0)
+    got_driver = bpe_train(wc_df, n_merges=8)
+    assert got == got_driver
 
     wc = {r.word: r.n for r in wc_df.collect()}
     vocab = {w: list(w) for w in wc}
