@@ -495,3 +495,21 @@ def test_stream_static_enrich_dim_broadcasts(spark, sf_dir):
     # already ran — contract here is the query completes with the
     # expected tiny output and no residual cached state
     assert df.count() <= 5
+
+
+def test_winnowing_is_map_only(spark, sf_dir):
+    """Fingerprint extraction must stay a zero-shuffle scan pass."""
+    df = QUERIES["winnowing_fingerprints"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert len(scans(df)) == 1
+
+
+def test_collocation_unigram_sides_broadcast(spark, sf_dir):
+    """Both unigram lookups and the totals row enter broadcast; no
+    cartesian anywhere (the totals crossJoin is broadcast-of-one-row)."""
+    df = QUERIES["collocation_lift_top20"](spark, sf_dir)
+    strats = join_strategies(df)
+    assert strats.count("BroadcastHashJoin") >= 2
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    assert has_take_ordered(df)
