@@ -797,3 +797,56 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(fps)).alias("n_distinct_fp"),
         F.when(F.size("m.pos") > 0, F.array_min(fps)).alias("min_fp"),
     )
+
+
+_CSV_LOT_CACHE: dict[str, str] = {}
+
+
+@query(
+    "lot_datasource_rollup",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def lot_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource end-to-end (Spark 4 DataSource API):
+    the events table is exported as a READY-flagged CSV lot (the
+    reference's producer contract, data_gen/generator.py:177-192),
+    read back through ``format("logicash_lot")`` — lot discovery and
+    the _READY gate on the driver, one InputPartition per data file,
+    rows parsed on executors — then rolled up per type. The oracle is
+    the same rollup over the original table, so the whole custom
+    connector path (planning, partitioning, parsing, casts) gets a
+    hash-exact signal. Doubles survive the CSV round-trip bit-for-bit
+    (Java shortest-repr write, correctly-rounded parse)."""
+    from logicash_etl_spark.sources.lot_datasource import register_lot_source
+    from logicash_etl_spark.tmp import session_tmpdir
+
+    if sf_dir not in _CSV_LOT_CACHE:
+        root = session_tmpdir("lq_csv_lot_")
+        lot = f"{root}/lot1"
+        (
+            read_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .repartition(4)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(f"{lot}/events")
+        )
+        with open(f"{lot}/_READY", "w") as fh:
+            fh.write("ok\n")
+        _CSV_LOT_CACHE[sf_dir] = root
+    register_lot_source(spark)
+    ev = (
+        spark.read.format("logicash_lot")
+        .schema("event_id long, event_type string, value double")
+        .option("path", _CSV_LOT_CACHE[sf_dir])
+        .load()
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

@@ -1,0 +1,126 @@
+"""Custom Python DataSource (Spark 4 DataSource API): the reference's
+``_READY``-flag lot protocol as a first-class readable format.
+
+The reference's ingestion contract (data_gen/generator.py:177-192 +
+main.tf:821-842): a producer drops CSV files into a lot directory and
+writes a ``_READY`` flag LAST; consumers must only ever read lots whose
+flag exists (files-without-flag are mid-upload). The engine already
+exposes this as a file-stream (streaming/sources.py); this module makes
+it a batch *format*:
+
+    spark.dataSource.register(LotDataSource)
+    spark.read.format("logicash_lot").schema(sch) \
+        .option("path", root).load()
+
+- lot discovery and the READY gate run on the driver (a listing, not
+  data); each data FILE becomes an ``InputPartition``, so a 1000-file
+  lot fans out across the cluster like any native scan;
+- rows are parsed per the USER-declared schema (the API requires an
+  explicit schema — same posture as the engine's CSV readers:
+  production scans never infer);
+- unflagged lots are skipped silently by contract (they will be read
+  once their flag lands — exactly the EventBridge semantics).
+
+This is the extension point for sources Spark has no connector for
+(internal wire formats, ticket APIs, ...): the plumbing — partition
+planning on the driver, per-partition iterators on executors — is the
+same for any of them.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _ready_lot_files(root: str) -> list[str]:
+    """Data files of every READY lot under ``root``.
+
+    Layout: root/<lot>/_READY gates root/<lot>/<table_or_file>/...;
+    a bare root/_READY gates root itself. Only ``.csv`` parts are
+    data (Spark's _SUCCESS etc. are ignored).
+    """
+    lots: list[str] = []
+    if os.path.exists(os.path.join(root, "_READY")):
+        lots.append(root)
+    else:
+        for name in sorted(os.listdir(root)):
+            lot = os.path.join(root, name)
+            if os.path.isdir(lot) and os.path.exists(os.path.join(lot, "_READY")):
+                lots.append(lot)
+    files: list[str] = []
+    for lot in lots:
+        for dirpath, _dirnames, filenames in os.walk(lot):
+            for fn in sorted(filenames):
+                if fn.endswith(".csv"):
+                    files.append(os.path.join(dirpath, fn))
+    return files
+
+
+def _cast(value: str, dtype: T.DataType):
+    if value == "" or value is None:
+        return None
+    if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType)):
+        return int(value)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(value)
+    if isinstance(dtype, T.BooleanType):
+        return value.lower() in ("true", "1", "t")
+    return value  # strings (timestamps ride as strings; cast in SQL)
+
+
+class _LotReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self._schema = schema
+        self._root = options.get("path")
+        if not self._root:
+            raise ValueError("logicash_lot: option 'path' is required")
+        self._header = options.get("header", "true").lower() == "true"
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # driver-side planning: a listing, never data; one partition
+        # per data file so executors parse in parallel
+        return [_FilePartition(p) for p in _ready_lot_files(self._root)]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        fields = self._schema.fields
+        with open(partition.path, newline="") as fh:
+            reader = csv.reader(fh)
+            if self._header:
+                next(reader, None)
+            for row in reader:
+                yield tuple(
+                    _cast(row[i] if i < len(row) else None, f.dataType)
+                    for i, f in enumerate(fields)
+                )
+
+
+class LotDataSource(DataSource):
+    """``format("logicash_lot")`` — READY-gated CSV lot directories."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "logicash_lot"
+
+    def schema(self) -> str:
+        raise NotImplementedError(
+            "logicash_lot requires an explicit .schema(...) — production "
+            "scans never infer (engine CSV-reader posture)"
+        )
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return _LotReader(schema, self.options)
+
+
+def register_lot_source(spark) -> None:
+    """Idempotent registration of the lot format on a session."""
+    spark.dataSource.register(LotDataSource)

@@ -337,3 +337,48 @@ def test_token_balanced_shard_writer_end_to_end(spark, sf_smoke, tmp_path):
 
     dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
     assert len(dirs) == len(per)
+
+
+def test_lot_datasource_reads_only_ready_lots(spark, tmp_path):
+    """Custom Python DataSource (Spark 4 API): the _READY-flag lot
+    protocol as a batch format — unflagged lots are invisible, each
+    data file becomes its own input partition."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.sources.lot_datasource import register_lot_source
+
+    root = str(tmp_path / "lots")
+    for lot, ready, vals in [
+        ("lot_a", True, [(1, "x", 1.5), (2, "y", 2.5)]),
+        ("lot_b", False, [(3, "z", 3.5)]),        # mid-upload: no flag
+        ("lot_c", True, [(4, "w", 4.5)]),
+    ]:
+        d = os.path.join(root, lot, "fact")
+        os.makedirs(d)
+        # two files in lot_a -> two partitions from one lot
+        chunks = [vals[:1], vals[1:]] if len(vals) > 1 else [vals]
+        for i, chunk in enumerate(chunks):
+            if not chunk:
+                continue
+            with open(os.path.join(d, f"part-{i}.csv"), "w") as fh:
+                fh.write("id,name,amount\n")
+                for r in chunk:
+                    fh.write(",".join(map(str, r)) + "\n")
+        if ready:
+            with open(os.path.join(root, lot, "_READY"), "w") as fh:
+                fh.write("ok\n")
+
+    register_lot_source(spark)
+    df = (
+        spark.read.format("logicash_lot")
+        .schema("id long, name string, amount double")
+        .option("path", root)
+        .load()
+    )
+    rows = {(r.id, r.name, r.amount) for r in df.collect()}
+    assert rows == {(1, "x", 1.5), (2, "y", 2.5), (4, "w", 4.5)}
+    # one input partition per data file (3 files across ready lots)
+    parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert parts == 3
