@@ -88,10 +88,14 @@ class _LotReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         # driver-side planning: a listing, never data; one partition
-        # per data file so executors parse in parallel
-        return [_FilePartition(p) for p in _ready_lot_files(self._root)]
+        # per data file so executors parse in parallel. No READY lot
+        # -> one empty sentinel (the API requires >= 1 partition).
+        files = _ready_lot_files(self._root)
+        return [_FilePartition(p) for p in files] or [_FilePartition("")]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        if not getattr(partition, "path", ""):
+            return
         fields = self._schema.fields
         with open(partition.path, newline="") as fh:
             reader = csv.reader(fh)
@@ -120,7 +124,72 @@ class LotDataSource(DataSource):
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return _LotReader(schema, self.options)
 
+    def writer(self, schema: T.StructType, overwrite: bool):
+        return _LotWriter(schema, self.options, overwrite)
+
 
 def register_lot_source(spark) -> None:
     """Idempotent registration of the lot format on a session."""
     spark.dataSource.register(LotDataSource)
+
+
+# ---------------------------------------------------------------- writer
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _PartMessage(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class _LotWriter(DataSourceWriter):
+    """Two-phase lot write = the reference's producer contract made
+    structural: executors write part files (phase 1), and the _READY
+    flag is written by ``commit()`` on the driver ONLY after every
+    partition reported success — files first, flag last, so a
+    concurrent lot reader can never observe a partial lot. ``abort()``
+    removes written parts and leaves no flag."""
+
+    def __init__(self, schema: T.StructType, options: dict, overwrite: bool):
+        self._schema = schema
+        root = options.get("path")
+        if not root:
+            raise ValueError("logicash_lot: option 'path' is required")
+        self._root = root
+        self._overwrite = overwrite
+
+    def write(self, iterator: Iterator) -> _PartMessage:
+        # executor side: one part file per partition, named by task
+        # partition id (re-tries overwrite the same name — idempotent)
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        d = os.path.join(self._root, "data")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"part-{pid:05d}.csv")
+        n = 0
+        with open(path, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow([f.name for f in self._schema.fields])
+            for row in iterator:
+                w.writerow(["" if v is None else v for v in row])
+                n += 1
+        return _PartMessage(path=path, rows=n)
+
+    def commit(self, messages: Sequence[_PartMessage]) -> None:
+        # driver side, after ALL partitions succeeded: flag lands LAST
+        with open(os.path.join(self._root, "_READY"), "w") as fh:
+            fh.write(f"rows={sum(m.rows for m in messages)}\n")
+
+    def abort(self, messages: Sequence[_PartMessage]) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+        # no flag: the lot stays invisible to every reader by contract

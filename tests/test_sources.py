@@ -382,3 +382,54 @@ def test_lot_datasource_reads_only_ready_lots(spark, tmp_path):
     # one input partition per data file (3 files across ready lots)
     parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
     assert parts == 3
+
+
+def test_lot_datasource_write_two_phase_commit(spark, tmp_path):
+    """Writer side: df.write.format('logicash_lot') — part files land
+    in phase 1, the _READY flag lands only in commit(); a failed write
+    leaves NO flag, so readers (which gate on the flag) see nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.sources.lot_datasource import register_lot_source
+
+    register_lot_source(spark)
+    out = str(tmp_path / "lot_ok")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    df.repartition(3).write.format("logicash_lot").mode("append").option(
+        "path", out
+    ).save()
+    assert os.path.exists(os.path.join(out, "_READY"))
+    assert os.path.exists(os.path.join(out, "data"))
+    back = (
+        spark.read.format("logicash_lot")
+        .schema("id long, k long, v double")
+        .option("path", out)
+        .load()
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # abort path: a poisoned partition fails the job -> no flag, and a
+    # reader over the directory sees an EMPTY frame (never a partial lot)
+    bad_dir = str(tmp_path / "lot_bad")
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("poisoned row")
+
+    bad = spark.range(10).select(boom(F.col("id")).alias("id"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        bad.write.format("logicash_lot").mode("append").option("path", bad_dir).save()
+    assert not os.path.exists(os.path.join(bad_dir, "_READY"))
+    empty = (
+        spark.read.format("logicash_lot")
+        .schema("id long")
+        .option("path", bad_dir)
+        .load()
+    )
+    assert empty.count() == 0
