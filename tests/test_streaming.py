@@ -226,3 +226,59 @@ def test_streaming_dedup_lot_really_contains_duplicates(spark, sf_dir):
     lot_rows = spark.read.parquet(lot).count()
     assert lot_rows > ev_rows, "duplicate synthesis selected nothing"
     assert n_dedup == ev_rows
+
+
+def test_custom_lot_stream_source_consumes_new_lots_exactly_once(
+    spark, tmp_path
+):
+    """Custom streaming source over the _READY protocol (Spark 4
+    SimpleDataSourceStreamReader): lots visible at start are consumed;
+    a lot added afterwards is picked up by a later drain from the SAME
+    checkpoint exactly once; an unflagged lot is never read."""
+    import os
+
+    from logicash_etl_spark.sources.lot_datasource import register_lot_source
+
+    def make_lot(name, rows, ready=True):
+        d = os.path.join(str(tmp_path / "lots"), name, "t")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.csv"), "w") as fh:
+            fh.write("id,v\n")
+            for r in rows:
+                fh.write(f"{r},{r * 1.5}\n")
+        if ready:
+            with open(os.path.join(str(tmp_path / "lots"), name, "_READY"), "w") as fh:
+                fh.write("ok\n")
+
+    register_lot_source(spark)
+    root = str(tmp_path / "lots")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    make_lot("lot_001", [1, 2, 3])
+    make_lot("lot_002", [4], ready=False)   # mid-upload
+
+    def drain():
+        q = (
+            spark.readStream.format("logicash_lot")
+            .schema("id long, v double")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = {r.id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 3}
+
+    # flag lands on lot_002 + a brand new lot appears -> ONLY new data
+    with open(os.path.join(root, "lot_002", "_READY"), "w") as fh:
+        fh.write("ok\n")
+    make_lot("lot_003", [5, 6])
+    drain()
+    rows = [r.id for r in spark.read.parquet(out).collect()]
+    assert sorted(rows) == [1, 2, 3, 4, 5, 6]  # no re-delivery of lot_001
