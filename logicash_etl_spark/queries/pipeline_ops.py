@@ -808,7 +808,7 @@ _CSV_LOT_CACHE: dict[str, str] = {}
     SELECT event_type,
            count(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY event_type
+    FROM events WHERE event_id % 10 = 0 GROUP BY event_type
     """,
 )
 def lot_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,6 +830,11 @@ def lot_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lot = f"{root}/lot1"
         (
             read_table(spark, sf_dir, "events")
+            # every-10th sample: the custom source is the FLEXIBILITY
+            # path (row-at-a-time python parse); the machinery under
+            # test — planning, READY gate, partitioning, casts — is
+            # volume-independent
+            .filter(F.col("event_id") % 10 == 0)
             .select("event_id", "event_type", "value")
             .repartition(4)
             .write.mode("overwrite")
