@@ -40,6 +40,10 @@ def session_config(cpus: str | int | None = None) -> dict[str, str]:
         # a bloom filter applied at the fact scan — default-on in this
         # Spark, pinned because 100 TB plans depend on it
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # Predicate pushdown into custom PYTHON data sources
+        # (sources/lot_datasource.py implements pushFilters): rows are
+        # dropped during the source parse instead of post-scan.
+        "spark.sql.python.filterPushdown.enabled": "true",
         # Arrow for any Python<->JVM pandas interchange (pandas UDFs,
         # toPandas) — the only sanctioned slow path.
         "spark.sql.execution.arrow.pyspark.enabled": "true",

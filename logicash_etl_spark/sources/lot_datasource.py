@@ -33,7 +33,18 @@ import csv
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
 from pyspark.sql import types as T
 
 
@@ -85,6 +96,41 @@ class _LotReader(DataSourceReader):
         if not self._root:
             raise ValueError("logicash_lot: option 'path' is required")
         self._header = options.get("header", "true").lower() == "true"
+        self._preds: list = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Spark 4 filter pushdown for python sources: comparison and
+        null-check predicates on top-level columns are evaluated
+        DURING the parse (rows are dropped before they reach the JVM
+        — at 100 TB that's the difference between shipping a lot and
+        shipping a predicate's survivors). Anything else is handed
+        back for Spark to evaluate."""
+        import operator as op
+
+        ops = {
+            EqualTo: op.eq,
+            GreaterThan: op.gt,
+            GreaterThanOrEqual: op.ge,
+            LessThan: op.lt,
+            LessThanOrEqual: op.le,
+        }
+        names = [f.name for f in self._schema.fields]
+        for f in filters:
+            kind = type(f)
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if col in names and kind in ops:
+                self._preds.append((names.index(col), ops[kind], f.value))
+            elif col in names and kind is IsNotNull:
+                self._preds.append((names.index(col), None, None))
+            else:
+                yield f  # unsupported: Spark evaluates it post-scan
+
+    def _keep(self, row: tuple) -> bool:
+        for i, fn, v in self._preds:
+            x = row[i]
+            if x is None or (fn is not None and not fn(x, v)):
+                return False
+        return True
 
     def partitions(self) -> Sequence[InputPartition]:
         # driver-side planning: a listing, never data; one partition
@@ -102,10 +148,12 @@ class _LotReader(DataSourceReader):
             if self._header:
                 next(reader, None)
             for row in reader:
-                yield tuple(
+                parsed = tuple(
                     _cast(row[i] if i < len(row) else None, f.dataType)
                     for i, f in enumerate(fields)
                 )
+                if self._keep(parsed):
+                    yield parsed
 
 
 class LotDataSource(DataSource):
@@ -132,7 +180,14 @@ class LotDataSource(DataSource):
 
 
 def register_lot_source(spark) -> None:
-    """Idempotent registration of the lot format on a session."""
+    """Idempotent registration of the lot format on a session.
+
+    Also enables python-source filter pushdown (runtime-settable SQL
+    conf): a reader that implements ``pushFilters`` raises at init
+    when the conf is off, so registration owns it — vanilla sessions
+    (the driver's posture) work without the engine's session factory.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LotDataSource)
 
 

@@ -433,3 +433,48 @@ def test_lot_datasource_write_two_phase_commit(spark, tmp_path):
         .load()
     )
     assert empty.count() == 0
+
+
+def test_lot_datasource_filter_pushdown(spark, tmp_path):
+    """pushFilters: supported comparisons evaluate inside the source
+    (the scan's plan advertises them as pushed), unsupported ones are
+    handed back — and results match post-scan filtering exactly."""
+    import os
+
+    from logicash_etl_spark.sources.lot_datasource import register_lot_source
+
+    root = str(tmp_path / "lots" / "lot_a")
+    os.makedirs(os.path.join(root, "t"))
+    with open(os.path.join(root, "t", "part-0.csv"), "w") as fh:
+        fh.write("id,name,amount\n")
+        for i in range(100):
+            fh.write(f"{i},n{i % 7},{i * 1.5}\n")
+    with open(os.path.join(root, "_READY"), "w") as fh:
+        fh.write("ok\n")
+
+    register_lot_source(spark)
+
+    def load():
+        return (
+            spark.read.format("logicash_lot")
+            .schema("id long, name string, amount double")
+            .option("path", str(tmp_path / "lots"))
+            .load()
+        )
+
+    pushed = load().filter("id > 90 AND name = 'n6' AND amount IS NOT NULL")
+    expect = [r for r in load().collect() if r.id > 90 and r.name == "n6"]
+    assert sorted(map(tuple, pushed.collect())) == sorted(map(tuple, expect))
+    # all three predicates were accepted by pushFilters, so Spark
+    # plans NO post-scan Filter node at all — the proof of pushdown
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan logicash_lot" in plan
+    assert " Filter " not in plan  # physical Filter node absent
+
+    # an unsupported predicate (endswith) is handed back: Spark keeps
+    # a post-scan Filter node for it, and results stay correct
+    ew = load().filter("name LIKE '%6' AND id <= 20")
+    got = sorted(r.id for r in ew.collect())
+    want = sorted(i for i in range(21) if f"n{i % 7}".endswith("6"))
+    assert got == want
+    assert " Filter " in ew._jdf.queryExecution().executedPlan().toString()
