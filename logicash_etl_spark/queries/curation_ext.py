@@ -161,10 +161,10 @@ def incremental_lot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), cum AS (
       SELECT doc_id, source, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
                                  ORDER BY n_tokens DESC, doc_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                          AND CURRENT ROW) AS cum_tokens
+                                          AND CURRENT ROW) AS BIGINT) AS cum_tokens
       FROM toks
     )
     SELECT doc_id, source, n_tokens, cum_tokens
@@ -211,7 +211,7 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(start_tok // 2000 AS BIGINT) AS shard_id,
            count(*) AS n_docs,
-           SUM(n_tokens) AS n_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
     FROM cum

@@ -70,7 +70,10 @@ def _ready_lot_files(root: str) -> list[str]:
                 lots.append(lot)
     files: list[str] = []
     for lot in lots:
-        for dirpath, _dirnames, filenames in os.walk(lot):
+        for dirpath, dirnames, filenames in os.walk(lot):
+            # dot-dirs are writer staging areas (phase-1 parts of an
+            # in-flight append) — never data, even under a _READY flag
+            dirnames[:] = [d for d in dirnames if not d.startswith(".")]
             for fn in sorted(filenames):
                 if fn.endswith(".csv"):
                     files.append(os.path.join(dirpath, fn))
@@ -114,11 +117,21 @@ class _LotReader(DataSourceReader):
             LessThan: op.lt,
             LessThanOrEqual: op.le,
         }
+        # only claim comparisons on columns _cast actually converts:
+        # for Date/Timestamp/Decimal columns the parsed value stays a
+        # string while Spark pushes a typed literal — claiming those
+        # would compare across types (dropping every row silently,
+        # since Spark trusts a claimed filter and adds no residual).
+        comparable = (
+            T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+            T.DoubleType, T.FloatType, T.BooleanType, T.StringType,
+        )
         names = [f.name for f in self._schema.fields]
+        dtypes = {f.name: f.dataType for f in self._schema.fields}
         for f in filters:
             kind = type(f)
             col = f.attribute[0] if len(f.attribute) == 1 else None
-            if col in names and kind in ops:
+            if col in names and kind in ops and isinstance(dtypes[col], comparable):
                 self._preds.append((names.index(col), ops[kind], f.value))
             elif col in names and kind is IsNotNull:
                 self._preds.append((names.index(col), None, None))
@@ -209,29 +222,62 @@ class _PartMessage(WriterCommitMessage):
 
 class _LotWriter(DataSourceWriter):
     """Two-phase lot write = the reference's producer contract made
-    structural: executors write part files (phase 1), and the _READY
-    flag is written by ``commit()`` on the driver ONLY after every
-    partition reported success — files first, flag last, so a
-    concurrent lot reader can never observe a partial lot. ``abort()``
-    removes written parts and leaves no flag."""
+    structural: executors write part files into a job-private staging
+    dir (phase 1); ``commit()`` on the driver — ONLY after every
+    partition reported success — moves them into ``data/`` and writes
+    the ``_READY`` flag LAST, so a concurrent lot reader can never
+    observe a partial or mixed-generation lot. ``abort()`` removes the
+    staging dir and leaves the lot exactly as it was.
+
+    Mode semantics (driver side, at writer construction):
+
+    - **overwrite**: the existing ``_READY`` flag is removed FIRST
+      (readers then skip the lot by contract) and prior ``data/``
+      parts are cleared — a shrink (fewer output partitions) can
+      never leave stale parts mixed into the result;
+    - **append to a flagged lot**: prior parts stay; the new
+      generation stages under ``data/.staging-<job>/`` (invisible to
+      readers — dot-dirs are pruned from every listing), then
+      ``commit()`` drops the flag, renames the staged parts in
+      (job-unique names, no collisions with earlier generations) and
+      rewrites the flag. The flag is absent only for the duration of
+      a few renames, never while parts are half-written.
+    """
 
     def __init__(self, schema: T.StructType, options: dict, overwrite: bool):
+        import uuid
+
         self._schema = schema
         root = options.get("path")
         if not root:
             raise ValueError("logicash_lot: option 'path' is required")
         self._root = root
         self._overwrite = overwrite
+        # fixed at construction (driver) and pickled to executors, so
+        # task retries land on the same staged names — idempotent
+        self._job = uuid.uuid4().hex[:12]
+        self._data = os.path.join(root, "data")
+        self._staging = os.path.join(self._data, f".staging-{self._job}")
+        flag = os.path.join(root, "_READY")
+        if overwrite:
+            # un-flag first: from here the lot is invisible to readers,
+            # so clearing old parts can't expose a partial lot
+            if os.path.exists(flag):
+                os.remove(flag)
+            if os.path.isdir(self._data):
+                for fn in os.listdir(self._data):
+                    p = os.path.join(self._data, fn)
+                    if fn.endswith(".csv") and os.path.isfile(p):
+                        os.remove(p)
 
     def write(self, iterator: Iterator) -> _PartMessage:
-        # executor side: one part file per partition, named by task
-        # partition id (re-tries overwrite the same name — idempotent)
+        # executor side: one staged part per partition, named by task
+        # partition id + job token (re-tries overwrite the same name)
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        d = os.path.join(self._root, "data")
-        os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, f"part-{pid:05d}.csv")
+        os.makedirs(self._staging, exist_ok=True)
+        path = os.path.join(self._staging, f"part-{pid:05d}-{self._job}.csv")
         n = 0
         with open(path, "w", newline="") as fh:
             w = csv.writer(fh)
@@ -242,15 +288,36 @@ class _LotWriter(DataSourceWriter):
         return _PartMessage(path=path, rows=n)
 
     def commit(self, messages: Sequence[_PartMessage]) -> None:
-        # driver side, after ALL partitions succeeded: flag lands LAST
-        with open(os.path.join(self._root, "_READY"), "w") as fh:
-            fh.write(f"rows={sum(m.rows for m in messages)}\n")
+        # driver side, after ALL partitions succeeded. If a prior
+        # generation's flag is still up (append), drop it before the
+        # renames so no reader ever sees a mixed half-moved lot.
+        flag = os.path.join(self._root, "_READY")
+        had_flag = os.path.exists(flag)
+        prior_rows = 0
+        if had_flag:
+            try:
+                with open(flag) as fh:
+                    prior_rows = int(fh.read().strip().split("=", 1)[1])
+            except (OSError, ValueError, IndexError):
+                prior_rows = 0
+            os.remove(flag)
+        for m in messages:
+            os.replace(m.path, os.path.join(self._data, os.path.basename(m.path)))
+        if os.path.isdir(self._staging):
+            try:
+                os.rmdir(self._staging)
+            except OSError:
+                pass  # a lost task's duplicate part; harmless, hidden
+        with open(flag, "w") as fh:
+            fh.write(f"rows={prior_rows + sum(m.rows for m in messages)}\n")
 
     def abort(self, messages: Sequence[_PartMessage]) -> None:
-        for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
-        # no flag: the lot stays invisible to every reader by contract
+        # staged parts only — committed generations are untouched and
+        # the flag state is exactly as the writer found it
+        import shutil
+
+        if os.path.isdir(self._staging):
+            shutil.rmtree(self._staging, ignore_errors=True)
 
 
 # ---------------------------------------------------------- stream reader
@@ -262,10 +329,21 @@ class _LotStreamReader(SimpleDataSourceStreamReader):
     """Streaming over the lot protocol: each micro-batch consumes the
     READY lots that appeared since the last offset — the EventBridge
     flag-trigger loop (main.tf:821-842) as a structured-streaming
-    source. The offset is the count of consumed lots over the sorted
-    lot listing (lots are append-only by contract: a producer never
-    renames or deletes a flagged lot), so replay between offsets is
-    exact and exactly-once delivery falls out of the checkpoint."""
+    source.
+
+    The offset is the SET of consumed lot NAMES (sorted for a stable
+    JSON encoding), not a count over the sorted listing: flags land in
+    producer order, not name order, so a mid-upload lot whose name
+    sorts before an already-consumed lot would — under a count offset
+    — shift the listing when its flag arrives, re-delivering consumed
+    lots and silently dropping the new one. Name-set offsets consume
+    exactly the READY lots not yet in the offset, regardless of how
+    flag-arrival order interleaves with name order. The offset grows
+    one name per lot; lots are coarse producer drops (thousands, not
+    millions, between checkpoint compactions), so the offset stays
+    small relative to any batch it describes. Flagged lots are
+    immutable by contract, which makes between-offset replay exact
+    and exactly-once delivery fall out of the checkpoint."""
 
     def __init__(self, schema: T.StructType, options: dict):
         self._schema = schema
@@ -285,12 +363,27 @@ class _LotStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:
-        return {"n_lots": 0}
+        return {"lots": []}
+
+    @staticmethod
+    def _consumed(offset: dict) -> set[str]:
+        # legacy count offsets ({"n_lots": N}) can't be mapped to
+        # names without the listing they were taken over — refuse
+        # loudly rather than guess (a guess is exactly the bug the
+        # name-set encoding exists to fix)
+        if "lots" not in offset:
+            raise ValueError(
+                f"logicash_lot: unrecognized stream offset {offset!r}; "
+                "restart with a fresh checkpoint (offsets are now "
+                "consumed-lot-name sets)"
+            )
+        return set(offset["lots"])
 
     def _rows_of(self, lots: list[str]) -> Iterator[tuple]:
         fields = self._schema.fields
         for lot in lots:
-            for dirpath, _d, filenames in os.walk(lot):
+            for dirpath, dirnames, filenames in os.walk(lot):
+                dirnames[:] = [d for d in dirnames if not d.startswith(".")]
                 for fn in sorted(filenames):
                     if not fn.endswith(".csv"):
                         continue
@@ -307,12 +400,17 @@ class _LotStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[list[tuple], dict]:
         # materialized list, not a generator: the simple-reader harness
         # pickles the batch for prefetch/replay caching
-        lots = self._ready_lots()
-        new = lots[start["n_lots"]:]
-        return list(self._rows_of(new)), {"n_lots": len(lots)}
+        done = self._consumed(start)
+        ready = self._ready_lots()
+        new = [lot for lot in ready if os.path.basename(lot) not in done]
+        end = sorted(done | {os.path.basename(lot) for lot in new})
+        return list(self._rows_of(new)), {"lots": end}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
-        # deterministic replay for recovery: the sorted listing is
-        # stable because flagged lots are immutable by contract
-        lots = self._ready_lots()
-        return list(self._rows_of(lots[start["n_lots"]:end["n_lots"]]))
+        # deterministic replay for recovery: the batch is exactly the
+        # offset-set difference, and flagged lots are immutable
+        todo = self._consumed(end) - self._consumed(start)
+        lots = [
+            lot for lot in self._ready_lots() if os.path.basename(lot) in todo
+        ]
+        return list(self._rows_of(lots))

@@ -48,6 +48,34 @@ def _norm_cell(v):
     return v
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse a pandas dtype to the kind the driver's value-hash is
+    sensitive to: int-vs-float-vs-bool-vs-datetime-vs-object. Unsigned
+    and signed ints hash alike; every float width hashes alike; an
+    int64 column and a float64 column of equal values do NOT
+    (``99 != 99.0`` under a type-sensitive hash — the exact failure
+    that shipped in round 4 via DuckDB ``SUM(BIGINT)`` -> HUGEINT ->
+    pandas float64). Spark DateType materializes as an object column
+    of ``datetime.date`` while DuckDB DATE comes back datetime64 —
+    the driver normalizes that pair (r04: date-emitting queries are
+    hash-exact), so date-like object columns count as datetime."""
+    k = s.dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("M", "m"):
+        return "datetime"
+    nn = s.dropna()
+    if len(nn) and all(
+        isinstance(v, (_dt.date, _dt.datetime, pd.Timestamp)) for v in nn.head(20)
+    ):
+        return "datetime"
+    return "object"
+
+
 def _canon(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
     out = []
@@ -83,6 +111,32 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
         f"schema mismatch:\n spark={sorted(sdf.columns)}\n oracle={sorted(odf.columns)}"
     )
     assert len(sdf) == len(odf), f"row count mismatch: spark={len(sdf)} oracle={len(odf)}"
+
+    # Driver-strength dtype gate: the driver's value hash is
+    # type-sensitive, so an int64 Spark column vs a float64 oracle
+    # column fails there even when every value compares equal in
+    # Python. Guard the same class locally. Empty frames and all-null
+    # object columns carry no type signal — skip those.
+    if len(sdf):
+        numeric = ("int", "float", "bool")
+        kind_mismatches = []
+        for c in sdf.columns:
+            sk, ok = _dtype_kind(sdf[c]), _dtype_kind(odf[c])
+            # only numeric-kind disagreement is a proven driver-hash
+            # failure; object-vs-float (Decimal materialization) and
+            # similar pairs are driver-tolerated per r04 evidence
+            if sk == ok or sk not in numeric or ok not in numeric:
+                continue
+            # pandas widens nullable ints to float64/object; if either
+            # side holds a null in this column the widening is an
+            # artifact of materialization, not of the query's type.
+            if sdf[c].isna().any() or odf[c].isna().any():
+                continue
+            kind_mismatches.append(f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+        assert not kind_mismatches, (
+            "dtype-kind mismatch (driver hash is type-sensitive — CAST "
+            "the oracle or the Spark column):\n  " + "\n  ".join(kind_mismatches)
+        )
 
     s_rows, o_rows = _canon(sdf), _canon(odf)
     mismatches = [

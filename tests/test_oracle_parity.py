@@ -21,3 +21,13 @@ def test_rows_only(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.columns
     assert df.count() >= 0
+
+
+def test_harness_rejects_int_float_widening(spark, sf_dir):
+    """The round-4 failure class: Spark emits int64, the oracle's
+    DuckDB SUM widens to HUGEINT which pandas materializes as float64.
+    Values compare equal in Python (99 == 99.0) but the driver's
+    type-sensitive hash differs. The hardened harness must fail it."""
+    sdf = spark.createDataFrame([(1, 99)], "k int, v bigint")
+    with pytest.raises(AssertionError, match="dtype-kind mismatch"):
+        compare(sdf, "SELECT 1 AS k, CAST(99.0 AS DOUBLE) AS v", sf_dir)

@@ -478,3 +478,83 @@ def test_lot_datasource_filter_pushdown(spark, tmp_path):
     want = sorted(i for i in range(21) if f"n{i % 7}".endswith("6"))
     assert got == want
     assert " Filter " in ew._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lot_datasource_overwrite_and_append_generations(spark, tmp_path):
+    """Writer mode semantics: overwrite clears the prior generation
+    (no stale parts when the new write has fewer partitions) and
+    re-flags only after the new parts land; append to an
+    already-flagged lot stages invisibly and adds a generation."""
+    import os
+
+    from logicash_etl_spark.sources.lot_datasource import register_lot_source
+
+    register_lot_source(spark)
+    out = str(tmp_path / "lot_gen")
+
+    def write(lo, hi, parts, mode):
+        spark.range(lo, hi).repartition(parts).write.format(
+            "logicash_lot"
+        ).mode(mode).option("path", out).save()
+
+    def read_ids():
+        df = (
+            spark.read.format("logicash_lot")
+            .schema("id long")
+            .option("path", out)
+            .load()
+        )
+        return sorted(r.id for r in df.collect())
+
+    write(0, 100, 4, "append")
+    assert read_ids() == list(range(100))
+    n_parts_gen1 = len(os.listdir(os.path.join(out, "data")))
+    assert n_parts_gen1 == 4
+
+    # overwrite with FEWER partitions: no stale gen-1 parts survive
+    write(100, 110, 1, "overwrite")
+    assert read_ids() == list(range(100, 110))
+    assert len(os.listdir(os.path.join(out, "data"))) == 1
+
+    # append onto the flagged lot: both generations visible, no
+    # staging residue, flag restored with the summed row count
+    write(200, 205, 2, "append")
+    assert read_ids() == list(range(100, 110)) + list(range(200, 205))
+    leftovers = [
+        d for d in os.listdir(os.path.join(out, "data")) if d.startswith(".")
+    ]
+    assert leftovers == []
+    with open(os.path.join(out, "_READY")) as fh:
+        assert fh.read().strip() == "rows=15"
+
+
+def test_lot_pushdown_declines_untyped_columns(tmp_path):
+    """pushFilters must NOT claim comparisons on columns whose parsed
+    value stays a string (Date/Timestamp/Decimal): Spark pushes typed
+    literals there, and a claimed-but-untyped compare silently drops
+    rows (Spark adds no residual Filter for claimed predicates)."""
+    import datetime
+
+    from pyspark.sql import types as T
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from logicash_etl_spark.sources.lot_datasource import _LotReader
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("m", T.DecimalType(18, 2)),
+        ]
+    )
+    r = _LotReader(schema, {"path": str(tmp_path)})
+    filters = [
+        GreaterThan(("id",), 5),                        # claimable
+        EqualTo(("d",), datetime.date(2024, 1, 1)),      # must decline
+        EqualTo(("ts",), datetime.datetime(2024, 1, 1)),  # must decline
+        GreaterThan(("m",), 10),                         # must decline
+    ]
+    returned = list(r.pushFilters(filters))
+    assert len(r._preds) == 1 and r._preds[0][0] == 0
+    assert len(returned) == 3

@@ -282,3 +282,60 @@ def test_custom_lot_stream_source_consumes_new_lots_exactly_once(
     drain()
     rows = [r.id for r in spark.read.parquet(out).collect()]
     assert sorted(rows) == [1, 2, 3, 4, 5, 6]  # no re-delivery of lot_001
+
+
+def test_lot_stream_offsets_survive_out_of_order_flags(spark, tmp_path):
+    """The flag-arrival-order trap: a lot whose NAME sorts before an
+    already-consumed lot gets its _READY flag later (it was mid-upload
+    during the first drain). A positional offset would shift the
+    sorted listing — re-delivering consumed lots and never delivering
+    the late one. Name-set offsets must deliver it exactly once."""
+    import os
+
+    from logicash_etl_spark.sources.lot_datasource import register_lot_source
+
+    root = str(tmp_path / "lots")
+
+    def make_lot(name, rows, ready=True):
+        d = os.path.join(root, name, "t")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.csv"), "w") as fh:
+            fh.write("id,v\n")
+            for r in rows:
+                fh.write(f"{r},{r * 1.5}\n")
+        if ready:
+            with open(os.path.join(root, name, "_READY"), "w") as fh:
+                fh.write("ok\n")
+
+    register_lot_source(spark)
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    # lot_000 is mid-upload (no flag) while lot_001 gets consumed;
+    # lot_000 sorts BEFORE lot_001
+    make_lot("lot_000", [7, 8], ready=False)
+    make_lot("lot_001", [1, 2, 3])
+
+    def drain():
+        q = (
+            spark.readStream.format("logicash_lot")
+            .schema("id long, v double")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+    # the late flag lands: lot_000 now inserts BEFORE the consumed
+    # position in the sorted listing
+    with open(os.path.join(root, "lot_000", "_READY"), "w") as fh:
+        fh.write("ok\n")
+    drain()
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 7, 8]  # 7,8 delivered once; 1,2,3 NOT re-delivered
