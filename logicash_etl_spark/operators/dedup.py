@@ -411,7 +411,11 @@ def banded_hamming_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: the Hamming verify is a row-local
+        # expression, so evaluating it first shrinks the distinct's
+        # shuffle input to true near-dups (a pair colliding on k bands
+        # ships k copies into the distinct otherwise)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return pairs

@@ -58,10 +58,22 @@ def global_prefix_sum(
     ``order_col`` must not exist — pass a unique key)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # the offset/output type follows SUM(value_col)'s result type —
+    # bigint for integrals, double for floats, widened decimal for
+    # decimals — so non-integer values neither fail nor truncate
+    sum_type = df.select(F.sum(value_col)).schema[0].dataType
+    if isinstance(sum_type, T.NullType):  # value_col is untyped-null
+        sum_type = T.LongType()
 
     lo, hi = df.agg(
         F.min(order_col).cast("double"), F.max(order_col).cast("double")
     ).first()
+    if lo is None or hi is None:
+        # empty input or all-null order_col: nothing to scan — the
+        # prefix of nothing is zero for every (nonexistent) row
+        return df.withColumn(out_col, F.lit(0).cast(sum_type))
     span = max((hi - lo) / buckets, 1e-9)
     b = F.least(
         F.lit(buckets - 1),
@@ -82,18 +94,27 @@ def global_prefix_sum(
         .orderBy("__b")
         .collect()
     )
-    offsets, run = {}, 0
+    import decimal
+
+    if isinstance(sum_type, (T.DoubleType, T.FloatType)):
+        zero = 0.0
+    elif isinstance(sum_type, T.DecimalType):
+        zero = decimal.Decimal(0)
+    else:
+        zero = 0
+    offsets, run = {}, zero
     for r in totals:
         offsets[r["__b"]] = run
-        run += r["__t"]
+        run += r["__t"] if r["__t"] is not None else zero
     spark = df.sparkSession
+    off_schema = T.StructType(
+        [T.StructField("__b", T.IntegerType()), T.StructField("__off", sum_type)]
+    )
     off = F.broadcast(
-        spark.createDataFrame(
-            [(k, v) for k, v in offsets.items()], "__b int, __off bigint"
-        )
+        spark.createDataFrame([(k, v) for k, v in offsets.items()], off_schema)
     )
     return (
         local.join(off, on="__b")
-        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("bigint"))
+        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast(sum_type))
         .drop("__b", "__local", "__off")
     )

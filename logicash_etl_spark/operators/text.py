@@ -207,10 +207,18 @@ def bpe_train(
     the distributed per-round loop runs; both paths are
     equality-tested against each other.
     """
-    if word_counts.count() <= driver_vocab_threshold:
-        pdf = word_counts.select(
-            F.col(word_col).alias("w"), F.col(count_col).alias("n")
-        ).toPandas()
+    # bounded probe, not .count(): counting would run the caller's
+    # (typically unpersisted) aggregate end-to-end a THIRD time just to
+    # pick a path. limit(threshold+1) both decides the path and — when
+    # small — already IS the data; the driver never holds more than
+    # threshold+1 rows either way.
+    probe = (
+        word_counts.select(F.col(word_col).alias("w"), F.col(count_col).alias("n"))
+        .limit(driver_vocab_threshold + 1)
+        .toPandas()
+    )
+    if len(probe) <= driver_vocab_threshold:
+        pdf = probe
         wc = dict(zip(pdf["w"], pdf["n"].astype(int)))
         vocab = {w: list(w) for w in wc}
         merges: list[tuple[str, str, str, int]] = []

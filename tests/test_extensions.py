@@ -608,3 +608,48 @@ def test_bpe_train_matches_python_twin(spark, sf_smoke):
             vocab[w] = out
     assert got == want
     assert len(got) == 8
+
+
+def test_global_prefix_sum_empty_and_typed_inputs(spark):
+    """Edge cases from review: an empty (or all-null order key) input
+    must return cleanly instead of crashing on None arithmetic, and
+    non-integer value columns must keep their type (the offset frame
+    used to be hardcoded bigint — doubles/decimals would fail or
+    truncate)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.partitioning import global_prefix_sum
+
+    # empty input: no crash, prefix column present, zero rows
+    empty = spark.range(0).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    out = global_prefix_sum(empty, order_col="k", value_col="v", out_col="p")
+    assert out.count() == 0 and "p" in out.columns
+
+    # all-null order col: returned as-is with a zero prefix
+    nulls = spark.range(3).select(
+        F.lit(None).cast("long").alias("k"), F.col("id").alias("v")
+    )
+    out = global_prefix_sum(nulls, order_col="k", value_col="v", out_col="p")
+    assert [r.p for r in out.collect()] == [0, 0, 0]
+
+    # double values: exact running sum, double output type
+    dbl = spark.createDataFrame(
+        [(i, 0.5) for i in range(1, 9)], "k long, v double"
+    )
+    out = global_prefix_sum(dbl, order_col="k", value_col="v", out_col="p")
+    rows = {r.k: r.p for r in out.collect()}
+    assert dict(out.dtypes)["p"] == "double"
+    assert rows == {k: (k - 1) * 0.5 for k in range(1, 9)}
+
+    # decimal values: exact, no bigint truncation
+    dec = spark.createDataFrame(
+        [(i, Decimal("1.25")) for i in range(1, 6)], "k long, v decimal(10,2)"
+    )
+    out = global_prefix_sum(dec, order_col="k", value_col="v", out_col="p")
+    rows = {r.k: r.p for r in out.collect()}
+    assert rows[5] == Decimal("5.00")
+    assert dict(out.dtypes)["p"].startswith("decimal")
