@@ -34,53 +34,73 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["flagship_top_customers"](spark, "/root/testdata/sf0.001")
 
 
-# Queries with a green CORRECTNESS row from a prior round (pass or the
-# declared rows-only check). The driver snapshots the FIRST 50 entries
-# of queries(), so not-yet-checked and newly added queries are ordered
-# first; long-green ones rotate to the back (their local parity tests
-# still run every session).
+# Queries with a green CORRECTNESS row from a prior round. The driver
+# snapshots the FIRST 50 entries of queries(), so changed and
+# not-yet-checked queries are ordered first; long-green ones rotate to
+# the back (their local parity tests still run every session).
 #
-# Round-4 rotation: r03 checked 50/50 green, so every query now has a
-# driver row.  `per_group_trend_forecast` and `approx_sketches` gained
-# real SQL oracles this round (were rows-only) — they are NOT listed
-# here so they snapshot first and earn a hash-exact row in r04.
+# Round-5 rotation: every r04-green query joins the set; the 12 NOT
+# listed are this round's changes, ordered first so CORRECTNESS_r05
+# records them: the two fixed oracles (token_budget_sample,
+# token_balanced_shards — r4 HUGEINT->float64 hash failures), the six
+# rows-only -> oracle upgrades (minhash_lsh_dups, dedup_clusters,
+# simhash_dups, ann_lsh_topk, ivf_ann_topk, semantic_dedup_stats),
+# the BPE pair (bpe_merges_report now SQL-trained, bpe_token_counts
+# new), and two whose implementations changed (media_phash_dups via
+# banded_hamming_pairs, lot_datasource_rollup via the lot source).
 _DRIVER_GREEN = {
-    'ann_lsh_topk', 'array_function_surface', 'asof_last_purchase',
-    'benchmark_contamination', 'big_ticket_orders', 'brand_set_ops',
-    'calendar_gap_fill', 'conditional_counts', 'cosine_topk_bruteforce',
-    'cube_order_stats', 'customer_order_distribution',
-    'customers_without_orders', 'daily_balance_pivot',
-    'daily_order_summary', 'date_function_surface', 'dedup_clusters',
-    'dedup_clusters_exact', 'distinct_catalog', 'doc_chunking',
+    'approx_sketches', 'array_function_surface', 'asof_last_purchase',
+    'benchmark_contamination', 'big_ticket_orders',
+    'bilateral_trade_volume', 'brand_set_ops', 'calendar_gap_fill',
+    'collocation_lift_top20', 'conditional_counts', 'conversion_funnel',
+    'cosine_topk_bruteforce', 'cube_order_stats',
+    'customer_order_distribution', 'customers_without_orders',
+    'daily_balance_pivot', 'daily_order_summary', 'date_function_surface',
+    'dedup_clusters_exact', 'discount_band_revenue',
+    'disjunctive_predicate_revenue', 'distinct_catalog', 'doc_chunking',
     'doc_fingerprints', 'doc_length_histogram', 'doc_quality_flags',
-    'doc_repetition_score', 'dq_violation_report', 'embedding_dup_pairs',
+    'doc_repetition_score', 'domain_mixture_weights',
+    'dq_violation_report', 'embedding_dup_pairs',
     'embedding_norms_pandas_udf', 'embedding_quantization_error',
     'event_delivery_dedup', 'event_value_deltas', 'exact_dedup_docs',
+    'exact_dup_rate_by_source', 'excess_share_suppliers',
     'flagship_top_customers', 'frame_navigation_surface',
-    'frame_sample_inventory', 'fuzzy_name_match', 'grouping_sets_report',
+    'frame_sample_inventory', 'fuzzy_name_match', 'gopher_quality_suite',
+    'grouping_sets_report', 'hll_partial_merge_counts',
     'hourly_event_windows', 'hourly_moving_value', 'hourly_ohlc_resample',
-    'ivf_ann_topk', 'json_extraction', 'knn_label_vote',
+    'important_parts_value', 'incremental_lot_dedup',
+    'jaccard_threshold_sweep', 'json_extraction', 'knn_label_vote',
     'lang_id_confusion', 'map_function_surface', 'media_decode_meta',
-    'media_inventory', 'min_cost_supplier', 'minhash_lsh_dups',
-    'ngram_jaccard_dups', 'ntile_distribution_surface', 'null_audit_orders',
-    'null_safe_join_audit', 'per_user_event_profile', 'pii_scrub_stats',
-    'pivot_native_daily', 'price_band_range_join', 'pricing_summary',
-    'priority_order_exists', 'quality_scan_lineitem',
-    'ranking_function_surface', 'revenue_by_nation_region',
-    'rich_idle_customers', 'rollup_returns', 'scalar_functions',
-    'scd1_latest_event', 'scd2_dimension_report', 'schema_evolution_union',
-    'segment_top_names_listagg', 'sentence_explode_udtf',
-    'sequence_packing_stats', 'shipping_priority_top10', 'simhash_dups',
-    'skew_salted_supplier_revenue', 'small_quantity_revenue',
-    'snapshot_diff_cdc', 'stat_moments_by_flag', 'stratified_sample_counts',
+    'media_inventory', 'min_cost_supplier', 'nation_market_share',
+    'near_dup_keep_decisions', 'ngram_diversity_by_source',
+    'ngram_jaccard_dups', 'ntile_distribution_surface',
+    'null_audit_orders', 'null_safe_join_audit',
+    'order_price_consistency', 'per_group_trend_forecast',
+    'per_user_event_profile', 'pii_scrub_stats', 'pivot_native_daily',
+    'price_band_range_join', 'pricing_summary', 'priority_order_exists',
+    'product_margin_by_nation_year', 'promo_revenue_share',
+    'quality_scan_lineitem', 'ranking_function_surface',
+    'repeated_passage_report', 'returned_item_report',
+    'revenue_by_nation_region', 'rich_idle_customers', 'rollup_returns',
+    'scalar_functions', 'scd1_latest_event', 'scd2_dimension_report',
+    'schema_evolution_union', 'segment_top_names_listagg',
+    'sentence_explode_udtf', 'sequence_packing_stats',
+    'shipping_priority_top10', 'skew_salted_supplier_revenue',
+    'small_quantity_revenue', 'snapshot_diff_cdc', 'stat_moments_by_flag',
+    'stratified_sample_counts', 'stream_static_enrich',
+    'streaming_dedup_counts', 'streaming_interval_join',
     'streaming_session_windows', 'streaming_stateful_counts',
-    'streaming_tumbling_counts', 'string_function_surface',
-    'supplier_ranking_report', 'suppliers_with_returns', 'tfidf_top_terms',
+    'streaming_tumbling_counts', 'streaming_upsert_scd1',
+    'string_function_surface', 'supplier_count_by_part',
+    'supplier_ranking_report', 'suppliers_with_returns',
+    'temperature_resample_counts', 'tfidf_top_terms',
     'token_stats_by_source', 'top3_orders_per_segment',
     'top_revenue_supplier', 'train_test_split_stats', 'unigram_entropy',
     'unigram_surprisal_score', 'unpivot_daily_metrics', 'user_sessions',
-    'value_percentiles', 'value_trend_stats', 'variant_json_surface',
-    'width_bucket_histogram', 'word_count_top20',
+    'value_outlier_mad', 'value_percentiles', 'value_trend_stats',
+    'variant_json_surface', 'waiting_suppliers',
+    'weekly_retention_cohorts', 'weekly_rollup_from_daily',
+    'width_bucket_histogram', 'winnowing_fingerprints', 'word_count_top20',
 }
 
 

@@ -297,27 +297,35 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60
 ) -> DataFrame:
     """SimHash signatures: (id, __sim bigint). Bit b of the signature
-    = 1 iff sum over tokens of (bit b of xxhash64(token) ? +1 : -1) > 0.
+    = 1 iff sum over token OCCURRENCES of (bit b of hash60(token) ?
+    +1 : -1) > 0.
 
-    Plan shape: explode tokens -> hash once -> ONE groupBy(id) with 64
-    conditional sums (all whole-stage codegen) -> pack bits. Scales
-    linearly in corpus token count; shuffle carries 64 ints per doc.
-    Docs with no tokens get signature 0.
+    The token hash is the first 15 hex chars of md5 parsed as a 60-bit
+    integer — NOT xxhash64: md5 exists bit-identically in every SQL
+    engine, so the entire signature pipeline (and therefore the
+    banded near-dup query built on it) is reproducible by the DuckDB
+    oracle and driver-hash-checked end to end. 60 bits keep the value
+    inside a signed long with headroom; the top 4 signature bits are
+    structurally 0, which leaves the pigeonhole banding guarantee of
+    :func:`banded_hamming_pairs` intact (both members of any pair
+    agree on those bits trivially).
+
+    Plan shape: explode tokens -> hash once -> ONE groupBy(id) with
+    ``bits`` conditional sums (all whole-stage codegen) -> pack bits.
+    Scales linearly in corpus token count; shuffle carries ``bits``
+    ints per doc. Docs with no tokens get signature 0.
     """
     tok = scale_out(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode_outer(tokens(text_col)).alias("__t")
     )
-    # xxhash64(NULL) returns the SEED (42), never NULL — hash only
-    # real tokens so the null branch below actually fires and no-token
-    # docs (explode_outer's single NULL row) truly get signature 0
+    # conv(NULL) is NULL, so no-token docs (explode_outer's single
+    # NULL row) hit the null vote branch below -> signature 0
     hashed = tok.select(
         id_col,
-        F.when(F.col("__t").isNull(), F.lit(None).cast("long"))
-        .otherwise(F.xxhash64("__t"))
-        .alias("__h"),
+        F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10).cast("long").alias("__h"),
     )
     votes = hashed.groupBy(id_col).agg(
         *[

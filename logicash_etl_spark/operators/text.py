@@ -302,3 +302,37 @@ def bpe_train(
     finally:
         syms.unpersist()
     return merges
+
+
+def _bpe_wrap(word: Column | str) -> Column:
+    r"""Symbol-list-as-string encoding for merge application: each
+    symbol wrapped in ``\n`` and concatenated, so ``[a, b]`` becomes
+    ``\na\n\nb\n``. Symbols can never contain ``\n`` (tokens are
+    whitespace-split), which makes the encoding unambiguous and lets a
+    merge apply as ONE plain non-overlapping ``replace`` — which scans
+    left to right exactly like greedy BPE (``aaa`` + merge(a,a) ->
+    ``[aa, a]``, never ``[a, aa]`` or a double merge)."""
+    c = F.col(word) if isinstance(word, str) else word
+    return F.concat(F.lit("\n"), F.array_join(F.split(c, ""), "\n\n"), F.lit("\n"))
+
+
+def bpe_encode(
+    word: Column | str, merges: list[tuple[str, str, str, int]]
+) -> Column:
+    r"""Apply a trained merge table (``bpe_train`` output, in merge
+    order) to a word -> ``array<string>`` of BPE symbols.
+
+    Spark-first shape: the merge chain compiles to ``n_merges``
+    chained ``replace`` expressions over the wrapped symbol string —
+    all JVM literals inside whole-stage codegen, no UDF, no per-row
+    Python. Intended use at scale: encode the DISTINCT-WORD frame
+    (vocabulary-bounded, like training) and join symbol counts back to
+    the corpus, never encode per occurrence.
+
+    The same replace chain is expressible verbatim in SQL
+    (``replace(s, '\n'||l||'\n\n'||r||'\n', '\n'||l||r||'\n')``),
+    which is what gives the BPE queries their DuckDB oracles."""
+    s = _bpe_wrap(word)
+    for l, r, m, _ in merges:
+        s = F.replace(s, F.lit(f"\n{l}\n\n{r}\n"), F.lit(f"\n{m}\n"))
+    return F.split(F.btrim(s, F.lit("\n")), "\n\n")

@@ -1,10 +1,13 @@
 """Deduplication queries over the documents table.
 
-exact + n-gram-Jaccard have DuckDB oracles; MinHash-LSH and SimHash
-signatures are xxhash64-seeded (Spark-private hash), so those are
-registered without oracles (driver's rows-only check) and verified
-instead by property tests against the exact-Jaccard ground truth
-(tests/test_dedup.py).
+All oracle-checked as of r5: exact + n-gram-Jaccard directly;
+MinHash-LSH (and the clustering built on its edges) against the exact
+pair SQL — valid because the LSH output is exact-Jaccard-verified
+(precision 1 by construction) and empirically total-recall on the
+fixtures, so the emitted set equals the exact set and any signature /
+banding regression fails the driver hash. SimHash signatures are
+md5-derived (SQL-portable), so its pipeline has a direct oracle too.
+Distributional recall properties stay in tests/test_curation.py.
 
 Work sharing: the expensive pair pipelines are materialized ONCE per
 (process, sf_dir) to a temp parquet lot and re-read by every query
@@ -124,9 +127,12 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "doc_id", "text").select("doc_id", "source", "n_chars")
 
 
-@query(
-    "ngram_jaccard_dups",
-    oracle=r"""
+# Exact 3-gram-Jaccard pair SQL (threshold 0.35, max_doc_freq 100) —
+# shared by ngram_jaccard_dups (its own semantics) and
+# minhash_lsh_dups (the LSH path is exact-verified and empirically
+# 100%-recall on the fixtures, so its output must EQUAL this set; a
+# recall regression in banding/signatures fails the driver hash).
+_EXACT_PAIRS_SQL = r"""
     WITH w AS (
       SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
       FROM documents
@@ -158,8 +164,10 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.35
-    """,
-)
+"""
+
+
+@query("ngram_jaccard_dups", oracle=_EXACT_PAIRS_SQL)
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 3-gram Jaccard near-dup pairs via inverted-index join —
     the ground truth the approximate detectors are tested against.
@@ -173,41 +181,25 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_pairs(spark, sf_dir)
 
 
-@query("minhash_lsh_dups")  # xxhash64 signatures: no SQL oracle; property-tested
+@query("minhash_lsh_dups", oracle=_EXACT_PAIRS_SQL)
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 perms) + banded LSH(16 bands) candidates, exact-
     Jaccard verified at 0.35 — the 100 TB near-dup path (candidates
-    only, never all pairs)."""
+    only, never all pairs).
+
+    Oracle upgrade (r5): the LSH output is exact-verified, so
+    precision is 100% by construction, and recall is empirically 100%
+    on every fixture (verified at sf0.001/0.01/0.1 — the s-curve at
+    64 hashes x 16 bands catches every true pair at these Jaccard
+    levels). The emitted set therefore EQUALS the SQL-expressible
+    exact pair set, and the driver's hash now pins the whole pipeline:
+    any signature/banding regression that drops a true pair fails the
+    row. (Distributional recall properties remain in
+    tests/test_curation.py against randomized corpora.)"""
     return _minhash_pairs(spark, sf_dir)
 
 
-@query("dedup_clusters")  # iterative algorithm: rows-only check; property-tested
-def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dup clustering: MinHash-LSH pairs -> connected
-    components (iterative label propagation) -> one canonical doc per
-    cluster. The representative non-SQL-expressible iterative op."""
-    from logicash_etl_spark.operators.graph import dedup_clusters
-
-    docs = read_table(spark, sf_dir, "documents")
-    pairs = _minhash_pairs(spark, sf_dir)
-    return dedup_clusters(pairs.select("id_a", "id_b"), docs, "doc_id", num_partitions=8)
-
-
-@query("simhash_dups")  # xxhash64 signatures: no SQL oracle; property-tested
-def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dups within Hamming<=3 via pigeonhole banding."""
-    docs = read_table(spark, sf_dir, "documents")
-    return _pair_lot(
-        spark,
-        sf_dir,
-        "simhash_pairs",
-        lambda: simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3, bands=4),
-    )
-
-
-@query(
-    "dedup_clusters_exact",
-    oracle=r"""
+_CLUSTERS_SQL = r"""
     WITH RECURSIVE w AS (
       SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
       FROM documents
@@ -252,8 +244,83 @@ def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
            d.doc_id = least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS is_canonical
     FROM documents d LEFT JOIN closure c ON c.a = d.doc_id
     GROUP BY d.doc_id
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_SQL)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH pairs -> connected
+    components (iterative label propagation) -> one canonical doc per
+    cluster.
+
+    Oracle upgrade (r5): the MinHash edge set equals the exact-Jaccard
+    edge set on the fixtures (see minhash_lsh_dups — exact-verified
+    candidates, empirically total recall), so the recursive-CTE
+    transitive-closure oracle of `dedup_clusters_exact` pins THIS
+    query's output too: both the approximate edge generation and the
+    iterative clustering are driver-hash-checked end to end."""
+    from logicash_etl_spark.operators.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _minhash_pairs(spark, sf_dir)
+    return dedup_clusters(pairs.select("id_a", "id_b"), docs, "doc_id", num_partitions=8)
+
+
+@query(
+    "simhash_dups",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ), votes AS (
+      SELECT doc_id, bs.b AS b,
+             SUM(CASE WHEN (h >> bs.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, generate_series(0, 59) AS bs(b)
+      GROUP BY doc_id, bs.b
+    ), sig0 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sim
+      FROM votes GROUP BY doc_id
+    ), sig AS (
+      SELECT d.doc_id, CAST(COALESCE(s.sim, 0) AS BIGINT) AS sim
+      FROM documents d LEFT JOIN sig0 s USING (doc_id)
+    ), blocked AS (
+      SELECT doc_id, sim, bs.b AS blk, (sim >> (bs.b * 16)) & 65535 AS val
+      FROM sig, generate_series(0, 3) AS bs(b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
     """,
 )
+def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups within Hamming<=3 via pigeonhole banding.
+
+    Oracle upgrade (r5): the signature's token hash is md5-derived
+    (operators/dedup.simhash_signatures — first 15 md5 hex chars as a
+    60-bit int), which DuckDB reproduces bit-identically, so the WHOLE
+    pipeline — per-bit votes, bit packing, 16-bit pigeonhole banding,
+    Hamming verify — is SQL-expressed and driver-hash-checked. The
+    oracle mirrors the banding (not just the O(n^2) truth) so the
+    candidate structure is pinned too; for max_hamming=3 with 4 bands
+    pigeonhole makes banding exact, so both equal the brute force."""
+    docs = read_table(spark, sf_dir, "documents")
+    return _pair_lot(
+        spark,
+        sf_dir,
+        "simhash_pairs",
+        lambda: simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3, bands=4),
+    )
+
+
+@query("dedup_clusters_exact", oracle=_CLUSTERS_SQL)
 def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components clustering with a FULL hash-exact oracle:
     edges are the exact n-gram-Jaccard pairs (SQL-expressible, unlike

@@ -598,7 +598,61 @@ def repeated_passage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_merges_report")  # iterative argmax loop: rows-only; python exact twin
+def _bpe_train_ctes(n_merges: int = 8) -> str:
+    r"""Chained-CTE SQL that TRAINS the same BPE merge table
+    ``operators/text.bpe_train`` learns — the iterative argmax loop
+    unrolled into ``n_merges`` static stages, each: adjacent-pair
+    weighted counts over the current vocabulary, top-1 by (count desc,
+    left asc, right asc), and a greedy left-to-right rewrite.
+
+    The rewrite uses the same symbol-string encoding as
+    ``operators/text.bpe_encode``: symbols wrapped in ``\n`` and
+    concatenated (``[a,b]`` -> ``\na\n\nb\n``), so one plain
+    non-overlapping ``replace`` IS the greedy merge application in
+    both engines. An exhausted stage (no pairs left) yields an empty
+    top-1 CTE whose cross join empties every later stage — matching
+    the python loop's ``break``."""
+    nl = "chr(10)"
+    sep = f"{nl}||{nl}"
+    parts = [
+        f"""v0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n,
+             {nl} || array_to_string(string_split(w, ''), {sep}) || {nl} AS s
+      FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY w
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""p{k} AS (
+      SELECT pr.l AS l, pr.r AS r, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM (SELECT n, string_split(trim(s, {nl}), {sep}) AS ws FROM v{k - 1}),
+           UNNEST(CASE WHEN len(ws) >= 2
+                       THEN list_transform(generate_series(1, len(ws) - 1),
+                                           i -> {{'l': ws[i], 'r': ws[i + 1]}})
+                       ELSE [] END) AS t(pr)
+      GROUP BY pr.l, pr.r
+    ), m{k} AS (
+      SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+    ), v{k} AS (
+      SELECT w, n,
+             replace(s, {nl}||m.l||{sep}||m.r||{nl}, {nl}||m.l||m.r||{nl}) AS s
+      FROM v{k - 1}, m{k} m
+    )""")
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _bpe_merges_oracle(n_merges: int = 8) -> str:
+    stages = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, l || r AS merged, cnt AS weighted_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"{_bpe_train_ctes(n_merges)}\n    {stages}"
+
+
+@query("bpe_merges_report", oracle=_bpe_merges_oracle())
 def bpe_merges_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-training surface: the first 8 merge rules learned
     from the corpus's frequency-weighted vocabulary
@@ -606,9 +660,14 @@ def bpe_merges_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts; every merge round then runs on the distinct-word frame —
     vocabulary-bounded, the property that makes tokenizer training
     feasible at 100 TB. Deterministic (count desc, pair asc
-    tie-break); no SQL oracle (8-round iterative argmax + rewrite);
-    tests/test_extensions.py re-derives the merges with a pure-python
-    BPE and asserts rule-for-rule equality."""
+    tie-break).
+
+    Oracle upgrade (r5): the LAST rows-only query gains a full DuckDB
+    oracle — the training loop unrolled into chained CTE stages
+    (_bpe_train_ctes), the greedy rewrite expressed as a plain
+    ``replace`` over the \\n-wrapped symbol string. The python exact
+    twin in tests/test_extensions.py stays as the third independent
+    implementation."""
     from logicash_etl_spark.operators.text import bpe_train
 
     docs = read_table(spark, sf_dir, "documents")
@@ -622,6 +681,65 @@ def bpe_merges_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, l, r, m, c) for i, (l, r, m, c) in enumerate(merges)],
         "merge_rank int, left_sym string, right_sym string, merged string, weighted_count bigint",
     )
+
+
+@query(
+    "bpe_token_counts",
+    oracle=_bpe_train_ctes(8)
+    + r""",
+    wlen AS (
+      SELECT w, CAST(len(string_split(trim(s, chr(10)), chr(10)||chr(10)))
+                 AS BIGINT) AS n_sym
+      FROM v8
+    ), docw AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                        x -> x <> '')) AS w
+      FROM documents
+    ), per_doc AS (
+      SELECT dw.doc_id, SUM(wl.n_sym) AS n_bpe
+      FROM docw dw JOIN wlen wl ON dw.w = wl.w
+      GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL tokenizer counts (closing the loop bpe_train started): a
+    merge table is trained on the corpus, then applied with
+    ``operators/text.bpe_encode`` — a chain of JVM ``replace``
+    literals, no UDF — and per-document BPE token counts come from
+    summing symbol counts over each doc's words. The curation budgets
+    (token_budget_sample / token_balanced_shards / mixtures) run on
+    whitespace counts by default; this query is the drop-in upgraded
+    counter.
+
+    100 TB posture: encoding runs on the DISTINCT-WORD frame only
+    (vocabulary-bounded, like training); the per-occurrence cost is
+    one hash join from the exploded corpus to the word->length table
+    and one map-side-combinable sum — no per-occurrence string
+    rewriting. Oracle: the same training CTEs as bpe_merges_report
+    plus the same join, end to end in SQL."""
+    from logicash_etl_spark.operators.text import bpe_encode, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = bpe_train(wc, n_merges=8)
+    wlen = wc.select(
+        "word", F.size(bpe_encode(F.col("word"), merges)).cast("bigint").alias("__n_sym")
+    )
+    per_doc = (
+        docs.select("doc_id", "source", F.explode_outer(tokens("text")).alias("word"))
+        .join(wlen, "word", "left")
+        .groupBy("doc_id", "source")
+        .agg(F.coalesce(F.sum("__n_sym"), F.lit(0)).cast("bigint").alias("n_bpe_tokens"))
+    )
+    return per_doc
 
 
 @query(
