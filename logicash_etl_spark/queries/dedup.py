@@ -45,12 +45,19 @@ from logicash_etl_spark.tmp import session_tmpdir
 # (abspath(sf_dir), lot name) -> parquet path + schema DDL of the lot
 _LOTS: dict[tuple[str, str], tuple[str, str]] = {}
 
+# lot name -> seconds of the most recent build: bench.py pre-builds
+# the lots as named line items so consumer-query timings are
+# attribution-stable (whichever query runs first no longer gets billed
+# the full pipeline build)
+LOT_BUILD_SECONDS: dict[str, float] = {}
+
 
 def clear_lots() -> None:
     """Forget materialized pair lots (benchmarking hook: a timing
     re-run must rebuild them or it measures a cached read). Dirs are
     removed at process exit regardless."""
     _LOTS.clear()
+    LOT_BUILD_SECONDS.clear()
 
 
 def _pair_lot(
@@ -61,14 +68,33 @@ def _pair_lot(
     lot. The explicit read schema keeps zero-row lots readable."""
     key = (os.path.abspath(sf_dir), name)
     if key not in _LOTS:
+        import time
+
+        t0 = time.perf_counter()
         path = os.path.join(session_tmpdir("lq_dedup_lot_"), name)
         with cache_scope():
             df = build()
             df.write.mode("overwrite").parquet(path)
         _LOTS[key] = (path, df.schema.json())
+        LOT_BUILD_SECONDS[name] = round(time.perf_counter() - t0, 4)
     path, schema_json = _LOTS[key]
     schema = StructType.fromJson(json.loads(schema_json))
     return spark.read.schema(schema).parquet(path)
+
+
+def prebuild_lots(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Force every shared pair lot and report per-lot build seconds
+    (bench.py attribution hook). Safe to call repeatedly — already-
+    built lots cost a dict lookup and report their original time."""
+    _exact_pairs(spark, sf_dir)
+    _minhash_pairs(spark, sf_dir)
+    # the simhash + embedding-cosine lots are owned by their queries;
+    # invoking them (lazily imported: the registry imports this module)
+    from logicash_etl_spark.queries import QUERIES
+
+    QUERIES["simhash_dups"](spark, sf_dir)
+    QUERIES["near_dup_keep_decisions"](spark, sf_dir)
+    return dict(LOT_BUILD_SECONDS)
 
 
 def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
