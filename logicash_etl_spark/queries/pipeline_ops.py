@@ -919,6 +919,46 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CSV_LOT_CACHE: dict[str, str] = {}
 
+# lot name -> build seconds: bench attribution, see queries/dedup.py
+LOT_BUILD_SECONDS: dict[str, float] = {}
+
+
+def _csv_events_lot(spark: SparkSession, sf_dir: str) -> str:
+    """READY-flagged CSV export of every-10th event (the custom
+    datasource demo lot), built once per (process, sf_dir)."""
+    if sf_dir not in _CSV_LOT_CACHE:
+        import time
+
+        from logicash_etl_spark.tmp import session_tmpdir
+
+        t0 = time.perf_counter()
+        root = session_tmpdir("lq_csv_lot_")
+        lot = f"{root}/lot1"
+        (
+            read_table(spark, sf_dir, "events")
+            # every-10th sample: the custom source is the FLEXIBILITY
+            # path (row-at-a-time python parse); the machinery under
+            # test — planning, READY gate, partitioning, casts — is
+            # volume-independent
+            .filter(F.col("event_id") % 10 == 0)
+            .select("event_id", "event_type", "value")
+            .repartition(4)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(f"{lot}/events")
+        )
+        with open(f"{lot}/_READY", "w") as fh:
+            fh.write("ok\n")
+        _CSV_LOT_CACHE[sf_dir] = root
+        LOT_BUILD_SECONDS["csv_events_lot"] = round(time.perf_counter() - t0, 4)
+    return _CSV_LOT_CACHE[sf_dir]
+
+
+def prebuild_lots(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Force the CSV demo lot (bench.py attribution hook)."""
+    _csv_events_lot(spark, sf_dir)
+    return dict(LOT_BUILD_SECONDS)
+
 
 @query(
     "lot_datasource_rollup",
@@ -941,32 +981,13 @@ def lot_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact signal. Doubles survive the CSV round-trip bit-for-bit
     (Java shortest-repr write, correctly-rounded parse)."""
     from logicash_etl_spark.sources.lot_datasource import register_lot_source
-    from logicash_etl_spark.tmp import session_tmpdir
 
-    if sf_dir not in _CSV_LOT_CACHE:
-        root = session_tmpdir("lq_csv_lot_")
-        lot = f"{root}/lot1"
-        (
-            read_table(spark, sf_dir, "events")
-            # every-10th sample: the custom source is the FLEXIBILITY
-            # path (row-at-a-time python parse); the machinery under
-            # test — planning, READY gate, partitioning, casts — is
-            # volume-independent
-            .filter(F.col("event_id") % 10 == 0)
-            .select("event_id", "event_type", "value")
-            .repartition(4)
-            .write.mode("overwrite")
-            .option("header", "true")
-            .csv(f"{lot}/events")
-        )
-        with open(f"{lot}/_READY", "w") as fh:
-            fh.write("ok\n")
-        _CSV_LOT_CACHE[sf_dir] = root
+    lot_root = _csv_events_lot(spark, sf_dir)
     register_lot_source(spark)
     ev = (
         spark.read.format("logicash_lot")
         .schema("event_id long, event_type string, value double")
-        .option("path", _CSV_LOT_CACHE[sf_dir])
+        .option("path", lot_root)
         .load()
     )
     return ev.groupBy("event_type").agg(
