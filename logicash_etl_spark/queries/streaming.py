@@ -38,12 +38,25 @@ from logicash_etl_spark.streaming.sources import (
 # fixture materialization cost without changing what is being tested
 _LOT_CACHE: dict[str, str] = {}
 
-# State partitions for the fixture-lot drains: every partition carries
-# its own state store instance(s) per stateful operator, so a local
-# drain with kilobytes of state under the 32-partition batch default
-# pays pure bookkeeping (4x measured on the stream-stream join).
-# A production deployment sizes this to state volume instead.
+# State-partition floor for the fixture-lot drains: every partition
+# carries its own state store instance(s) per stateful operator, so a
+# local drain with kilobytes of state under the 32-partition batch
+# default pays pure bookkeeping (4x measured on the stream-stream
+# join). _state_parts() sizes UP from this floor with the drain's
+# input volume — the production rule (state partitions ~ state
+# volume) expressed as ~25k input rows per partition: the sf0.1
+# fixture stays at 8, the 10x scaling replica gets its parallelism
+# back (measured 6.4x -> ~2x on the session drain at 10x data).
 _STATE_PARTS = 8
+
+_LOT_ROWS: dict[str, int] = {}
+
+
+def _state_parts(spark: SparkSession, lot: str) -> int:
+    if lot not in _LOT_ROWS:
+        # metadata-only parquet count: row counts come from footers
+        _LOT_ROWS[lot] = spark.read.parquet(lot).count()
+    return max(_STATE_PARTS, min(32, _LOT_ROWS[lot] // 25_000))
 
 
 # lot name -> build seconds: bench attribution, see queries/dedup.py
@@ -150,7 +163,7 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"state_drain_{uuid.uuid4().hex[:8]}"
-    run_available_now(counted, f"{root}/ckpt", sink, output_mode="update", state_partitions=_STATE_PARTS)
+    run_available_now(counted, f"{root}/ckpt", sink, output_mode="update", state_partitions=_state_parts(spark, lot))
     # update-mode memory sink may carry one row per state update:
     # keep the final count per key (max = monotone counter)
     return (
@@ -203,7 +216,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_parquet_dir(spark, lot, S.EVENTS)
     sess = session_windows(stream, gap="30 minutes", key="user_id", watermark="1 hour")
     sink = f"sess_drain_{uuid.uuid4().hex[:8]}"
-    run_available_now(sess, f"{root}/ckpt", sink, state_partitions=_STATE_PARTS)
+    run_available_now(sess, f"{root}/ckpt", sink, state_partitions=_state_parts(spark, lot))
     return spark.sql(f"SELECT * FROM {sink}")
 
 
@@ -239,7 +252,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, window="1 hour", watermark="30 minutes", keys=["event_type"]
     )
     sink = f"tumble_drain_{uuid.uuid4().hex[:8]}"
-    run_available_now(agg, f"{root}/ckpt", sink, state_partitions=_STATE_PARTS)
+    run_available_now(agg, f"{root}/ckpt", sink, state_partitions=_state_parts(spark, lot))
     return spark.sql(f"SELECT * FROM {sink}")
 
 
@@ -262,17 +275,27 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ORIGINAL events table — so the plain batch rollup IS the
     oracle, giving the dedup state machine a hash-exact signal.
     At 100 TB/day the watermark is the whole story: state holds only
-    the horizon's keys instead of forever-growing."""
+    the horizon's keys instead of forever-growing.
+
+    This drain emits one row PER EVENT (the other drains emit
+    aggregates), so the sink is a parquet directory, not a memory
+    table: a memory sink funnels every emitted row into the driver —
+    fine for kilobytes of aggregate state, 10x-super-linear on a
+    replicated-volume run (measured 16.9 s vs 3.5 s at 10x data)."""
     from logicash_etl_spark.streaming.ops import dedup_stream
+    from logicash_etl_spark.streaming.sources import run_available_now_to_parquet
 
     dup_lot = _dup_events_lot(spark, sf_dir)
     root = session_tmpdir("lq_stream_dedup_")
     stream = stream_parquet_dir(spark, dup_lot, S.EVENTS)
     deduped = dedup_stream(stream, keys=["event_id"], watermark="1 hour")
-    sink = f"dedup_drain_{uuid.uuid4().hex[:8]}"
-    run_available_now(deduped, f"{root}/ckpt", sink, state_partitions=_STATE_PARTS)
+    out = f"{root}/deduped"
+    run_available_now_to_parquet(
+        deduped, f"{root}/ckpt", out,
+        state_partitions=_state_parts(spark, dup_lot),
+    )
     return (
-        spark.sql(f"SELECT * FROM {sink}")
+        spark.read.schema(S.EVENTS).parquet(out)
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_unique"),
@@ -335,7 +358,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
     )
     sink = f"ij_drain_{uuid.uuid4().hex[:8]}"
-    run_available_now(joined, f"{root}/ckpt", sink, state_partitions=_STATE_PARTS)
+    run_available_now(joined, f"{root}/ckpt", sink, state_partitions=_state_parts(spark, lot))
     return spark.sql(f"SELECT * FROM {sink}").select(
         F.col("j_user").alias("user_id"),
         "click_id",
@@ -405,7 +428,8 @@ def streaming_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, upsert_lot, S.EVENTS, max_files_per_trigger=2
     )
     run_available_now_foreach_batch(
-        stream, f"{root}/ckpt", apply_batch, state_partitions=_STATE_PARTS
+        stream, f"{root}/ckpt", apply_batch,
+        state_partitions=_state_parts(spark, upsert_lot),
     )
     final = spark.read.parquet(state["path"])
     return final.select(
@@ -470,7 +494,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"enrich_drain_{uuid.uuid4().hex[:8]}"
     run_available_now(
         enriched, f"{root}/ckpt", sink,
-        output_mode="update", state_partitions=_STATE_PARTS,
+        output_mode="update", state_partitions=_state_parts(spark, lot),
     )
     # update mode re-emits a tier's row per epoch; the final state is
     # the emission with the highest running count

@@ -80,21 +80,35 @@ def run_available_now(
 
 
 def run_available_now_to_parquet(
-    stream_df: DataFrame, checkpoint_dir: str, out_dir: str
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+    state_partitions: int | None = None,
 ) -> None:
     """Drain to a parquet sink with exactly-once checkpointing — the
     durable variant: re-invocations with the same checkpoint append
     only files that arrived since the previous drain (memory sinks
-    cannot recover a checkpoint; file sinks can)."""
-    q = (
-        stream_df.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    cannot recover a checkpoint; file sinks can). Also the SCALE
+    variant for row-granular drains: a memory sink collects every
+    emitted row into the driver, a file sink keeps them on executors.
+    ``state_partitions``: see run_available_now."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def run_available_now_foreach_batch(
