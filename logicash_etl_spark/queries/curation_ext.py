@@ -194,6 +194,90 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_budget_oracle() -> str:
+    from logicash_etl_spark.queries.pipeline_ops import _bpe_train_ctes
+
+    return (
+        _bpe_train_ctes(8)
+        + r""",
+    wlen AS (
+      SELECT w, CAST(len(string_split(trim(s, chr(10)), chr(10)||chr(10)))
+                 AS BIGINT) AS n_sym
+      FROM v8
+    ), docw AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), toks AS (
+      SELECT d.doc_id, d.source,
+             CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_tokens
+      FROM documents d
+      LEFT JOIN (SELECT dw.doc_id, SUM(wl.n_sym) AS n_bpe
+                 FROM docw dw JOIN wlen wl ON dw.w = wl.w
+                 GROUP BY dw.doc_id) p USING (doc_id)
+    ), cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY n_tokens DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= 4000
+    """
+    )
+
+
+@query("token_budget_sample_bpe", oracle=_bpe_budget_oracle())
+def token_budget_sample_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget admission on REAL tokenizer counts: the same
+    longest-first-per-source greedy cut as ``token_budget_sample``,
+    but budgeted in BPE tokens from a merge table trained on the
+    corpus (operators/text.bpe_train + bpe_encode) instead of the
+    whitespace proxy — the shape a production mixture build runs once
+    a tokenizer exists. Encoding stays vocabulary-bounded (the
+    distinct-word frame is encoded once; per-doc counts come from one
+    hash join + sum), so the budget pass costs one corpus explode +
+    one window, same as the proxy version. Budget 4000: BPE-8 symbol
+    counts run ~5x whitespace counts on this corpus (char-level start,
+    8 merges learned).
+
+    Oracle: the SQL-trained merge stages (shared with
+    bpe_merges_report) + the same join and window, end to end."""
+    from logicash_etl_spark.operators.text import bpe_encode, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = bpe_train(wc, n_merges=8)
+    wlen = wc.select(
+        "word",
+        F.size(bpe_encode(F.col("word"), merges)).cast("bigint").alias("__n_sym"),
+    )
+    toks = (
+        docs.select("doc_id", "source", F.explode_outer(tokens("text")).alias("word"))
+        .join(wlen, "word", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.coalesce(F.sum("__n_sym"), F.lit(0)).cast("bigint").alias("n_tokens")
+        )
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 4000)
+    )
+
+
 @query(
     "token_balanced_shards",
     oracle=r"""

@@ -507,3 +507,129 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("tier", "n_events", F.col("total_value").cast("double"))
     )
+
+
+@query(
+    "streaming_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 < 8
+    ), s AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             CASE WHEN doc_id % 10 = 8 THEN 1 ELSE 2 END AS lot
+      FROM documents WHERE doc_id % 10 >= 8
+    ), ranked AS (
+      SELECT doc_id, source, fp, lot,
+             FIRST_VALUE(lot) OVER (PARTITION BY fp ORDER BY lot, doc_id)
+               AS first_lot,
+             FIRST_VALUE(doc_id) OVER (PARTITION BY fp ORDER BY lot, doc_id)
+               AS first_doc
+      FROM s
+    )
+    SELECT doc_id, source,
+           CASE WHEN fp IN (SELECT fp FROM hist) THEN 'dup_of_history'
+                WHEN first_lot < lot THEN 'dup_of_earlier_lot'
+                WHEN doc_id > first_doc THEN 'dup_in_lot'
+                ELSE 'new_unique' END AS status
+    FROM ranked
+    """,
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest curation END TO END: new document lots arrive
+    through the reference's _READY protocol (written by the custom lot
+    DataSource's two-phase-commit writer, consumed by its streaming
+    source), and each micro-batch is incrementally deduplicated in a
+    ``foreachBatch`` against an EVOLVING fingerprint history — the
+    always-on version of ``incremental_lot_dedup``, and the shape a
+    100 TB corpus actually grows by: fingerprint stores are O(corpus)
+    once, each arriving lot costs O(lot) + one join against the store.
+
+    Per batch: md5 fingerprints, one join to the history store
+    (statuses: dup_of_history for the pre-existing corpus,
+    dup_of_earlier_lot for fps first seen in a previously streamed
+    lot, dup_in_lot / new_unique within the batch via a min-window),
+    verdicts appended to a parquet sink, and new-unique fps appended
+    to a NEW history version (idempotent versioned store, same
+    pattern as streaming_upsert_scd1). Exactly-once lot consumption
+    rides on the name-set stream offsets; the flag-last write
+    guarantee means a mid-upload lot is never half-read.
+
+    Oracle: the whole multi-lot evolution is deterministic given the
+    (lot, doc_id) arrival order, so plain SQL reproduces it with
+    first-occurrence windows over the union of streamed lots."""
+    from logicash_etl_spark.sources.lot_datasource import register_lot_source
+
+    register_lot_source(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    root = session_tmpdir("lq_inc_stream_")
+
+    # history store v0: fingerprints of the pre-existing corpus
+    hist0 = (
+        docs.filter(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .withColumn("origin", F.lit("base"))
+    )
+    state = {"hist": f"{root}/hist_v0", "v": 0}
+    hist0.write.mode("overwrite").parquet(state["hist"])
+    verdicts = f"{root}/verdicts"
+    lots_root = f"{root}/lots"
+
+    from pyspark.sql.window import Window
+
+    def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
+        cur = spark.read.parquet(state["hist"])
+        b = bdf.withColumn("fp", F.md5("text"))
+        first = F.min("doc_id").over(Window.partitionBy("fp"))
+        out = (
+            b.join(cur, "fp", "left")
+            .withColumn("__first", first)
+            .select(
+                "doc_id",
+                "source",
+                "fp",
+                F.when(F.col("origin") == "base", "dup_of_history")
+                .when(F.col("origin") == "stream", "dup_of_earlier_lot")
+                .when(F.col("doc_id") > F.col("__first"), "dup_in_lot")
+                .otherwise("new_unique")
+                .alias("status"),
+            )
+        )
+        out.select("doc_id", "source", "status").write.mode("append").parquet(
+            verdicts
+        )
+        fresh = (
+            out.filter(F.col("status") == "new_unique")
+            .select("fp")
+            .distinct()
+            .withColumn("origin", F.lit("stream"))
+        )
+        nxt = f"{root}/hist_v{state['v'] + 1}"
+        cur.unionByName(fresh).write.mode("overwrite").parquet(nxt)
+        state["hist"], state["v"] = nxt, state["v"] + 1
+
+    stream_docs = docs.filter(F.col("doc_id") % 10 >= 8)
+    for tag in ("08", "09"):
+        # producer side: the lot DataSource's two-phase writer (parts
+        # staged, _READY last) — each lot lands, then one drain
+        # consumes exactly the newly flagged lots from the checkpoint
+        stream_docs.filter(F.col("doc_id") % 10 == int(tag)).write.format(
+            "logicash_lot"
+        ).mode("append").option("path", f"{lots_root}/lot_{tag}").save()
+        stream = (
+            spark.readStream.format("logicash_lot")
+            .schema("doc_id long, source string, text string")
+            .option("path", lots_root)
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return spark.read.schema("doc_id long, source string, status string").parquet(
+        verdicts
+    )
