@@ -653,3 +653,69 @@ def test_global_prefix_sum_empty_and_typed_inputs(spark):
     rows = {r.k: r.p for r in out.collect()}
     assert rows[5] == Decimal("5.00")
     assert dict(out.dtypes)["p"].startswith("decimal")
+
+
+def test_bpe_encode_property_matches_python_greedy(spark):
+    """bpe_encode's replace-chain trick (symbols as a \\n-wrapped
+    string, one plain replace per merge) must equal a reference
+    pure-python greedy BPE application for adversarial words and
+    merge tables — runs, overlaps, multi-char symbols, merges whose
+    left side is a previous merge's output."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from logicash_etl_spark.operators.text import bpe_encode
+
+    alphabet = "abc"
+    word_st = st.text(alphabet=alphabet, min_size=1, max_size=12)
+
+    def py_apply(word: str, merges) -> list[str]:
+        syms = list(word)
+        for l, r, m, _ in merges:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    # merge tables built the way training builds them: each rule's
+    # sides are symbols producible at that point (chars or earlier
+    # merge outputs)
+    @st.composite
+    def merge_table(draw):
+        pool = list(alphabet)
+        merges = []
+        for _ in range(draw(st.integers(min_value=1, max_value=4))):
+            l = draw(st.sampled_from(pool))
+            r = draw(st.sampled_from(pool))
+            m = l + r
+            merges.append((l, r, m, 1))
+            pool.append(m)
+        return merges
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(
+        words=st.lists(word_st, min_size=1, max_size=8, unique=True),
+        merges=merge_table(),
+    )
+    def check(words, merges):
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        got = {r.w: list(r.e) for r in df.select(
+            "w", bpe_encode("w", merges).alias("e")).collect()}
+        for w in words:
+            assert got[w] == py_apply(w, merges), (w, merges, got[w])
+
+    check()
