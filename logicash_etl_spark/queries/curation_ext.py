@@ -415,3 +415,119 @@ def temperature_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pk", 6).alias("p_keep"),
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
+
+
+@query(
+    "mixture_build_plan",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), stats AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs_total,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+             CAST(round(sqrt(CAST(SUM(n_tokens) AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS s_dec
+      FROM toks GROUP BY source
+    ), tot AS (
+      SELECT SUM(s_dec) AS s_all FROM stats
+    ), budgets AS (
+      SELECT source, n_docs_total, n_tokens_total,
+             CAST(s_dec AS DOUBLE) / CAST(s_all AS DOUBLE) AS w,
+             CAST(floor((CAST(s_dec AS DOUBLE) / CAST(s_all AS DOUBLE))
+                        * 20000) AS BIGINT) AS budget_tokens
+      FROM stats, tot
+    ), cum AS (
+      SELECT t.doc_id, t.source, t.n_tokens,
+             CAST(SUM(t.n_tokens) OVER (PARTITION BY t.source
+                    ORDER BY t.n_tokens DESC, t.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM toks t
+    ), admitted AS (
+      SELECT c.source,
+             CAST(count(*) AS BIGINT) AS n_admitted,
+             CAST(SUM(c.n_tokens) AS BIGINT) AS tokens_admitted
+      FROM cum c JOIN budgets b ON c.source = b.source
+      WHERE c.cum_tokens <= b.budget_tokens
+      GROUP BY c.source
+    )
+    SELECT b.source, b.n_docs_total, b.n_tokens_total,
+           round(b.w, 6) AS weight, b.budget_tokens,
+           CAST(COALESCE(a.n_admitted, 0) AS BIGINT) AS n_admitted,
+           CAST(COALESCE(a.tokens_admitted, 0) AS BIGINT) AS tokens_admitted,
+           round(CAST(COALESCE(a.tokens_admitted, 0) AS DOUBLE)
+                 / b.budget_tokens, 6) AS utilization
+    FROM budgets b LEFT JOIN admitted a USING (source)
+    """,
+)
+def mixture_build_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture build END TO END, composed from the catalog's
+    pieces in one plan: per-source sqrt-temperature weights (the
+    UniMax-style head flattening of domain_mixture_weights), a
+    20k-token global budget split by weight, and greedy longest-first
+    admission per source against its budget slice (token_budget_sample's
+    cut) — the one-query version of "given these domains, what goes in
+    the next training mix".
+
+    Cross-source weight normalization sums DECIMAL(18,9)-rounded
+    sqrts (exact, order-independent — the temperature_resample_counts
+    trick), so the doubles that reach round(·,6) are bitwise
+    reproducible. Plan shape: one corpus scan for token counts, a
+    5-row stats aggregate broadcast back, one per-source window for
+    the admission cumsum — no extra corpus passes at 100 TB."""
+    toks = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    stats = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs_total"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+        F.round(F.sqrt(F.sum("n_tokens").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("s_dec"),
+    )
+    tot = stats.agg(F.sum("s_dec").alias("s_all"))
+    budgets = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs_total",
+        "n_tokens_total",
+        (F.col("s_dec").cast("double") / F.col("s_all").cast("double")).alias("w"),
+        F.floor(
+            (F.col("s_dec").cast("double") / F.col("s_all").cast("double"))
+            * 20000
+        )
+        .cast("bigint")
+        .alias("budget_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    admitted = (
+        cum.join(F.broadcast(budgets.select("source", "budget_tokens")), "source")
+        .filter(F.col("cum_tokens") <= F.col("budget_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_admitted"),
+            F.sum("n_tokens").alias("tokens_admitted"),
+        )
+    )
+    return budgets.join(admitted, "source", "left").select(
+        "source",
+        "n_docs_total",
+        "n_tokens_total",
+        F.round("w", 6).alias("weight"),
+        "budget_tokens",
+        F.coalesce("n_admitted", F.lit(0)).cast("bigint").alias("n_admitted"),
+        F.coalesce("tokens_admitted", F.lit(0)).cast("bigint").alias("tokens_admitted"),
+        F.round(
+            F.coalesce("tokens_admitted", F.lit(0)).cast("double")
+            / F.col("budget_tokens"),
+            6,
+        ).alias("utilization"),
+    )
