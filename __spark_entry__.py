@@ -39,15 +39,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # not-yet-checked queries are ordered first; long-green ones rotate to
 # the back (their local parity tests still run every session).
 #
-# Round-5 rotation: every r04-green query joins the set; the 12 NOT
-# listed are this round's changes, ordered first so CORRECTNESS_r05
-# records them: the two fixed oracles (token_budget_sample,
-# token_balanced_shards — r4 HUGEINT->float64 hash failures), the six
-# rows-only -> oracle upgrades (minhash_lsh_dups, dedup_clusters,
-# simhash_dups, ann_lsh_topk, ivf_ann_topk, semantic_dedup_stats),
-# the BPE pair (bpe_merges_report now SQL-trained, bpe_token_counts
-# new), and two whose implementations changed (media_phash_dups via
-# banded_hamming_pairs, lot_datasource_rollup via the lot source).
+# Round-5 rotation: every r04-green query joins the set; the 16 NOT
+# listed are this round's changes and additions, ordered first so
+# CORRECTNESS_r05 records them: the two fixed oracles
+# (token_budget_sample, token_balanced_shards — r4 HUGEINT->float64
+# hash failures), the seven rows-only -> oracle upgrades
+# (minhash_lsh_dups, dedup_clusters, simhash_dups, ann_lsh_topk,
+# ivf_ann_topk, semantic_dedup_stats, bpe_merges_report), two whose
+# implementations changed (media_phash_dups via banded_hamming_pairs,
+# lot_datasource_rollup via the lot source), one whose drain moved to
+# a parquet sink (streaming_dedup_counts), and the four new queries
+# (bpe_token_counts, token_budget_sample_bpe,
+# streaming_incremental_dedup, mixture_build_plan).
 _DRIVER_GREEN = {
     'approx_sketches', 'array_function_surface', 'asof_last_purchase',
     'benchmark_contamination', 'big_ticket_orders',
@@ -88,7 +91,7 @@ _DRIVER_GREEN = {
     'shipping_priority_top10', 'skew_salted_supplier_revenue',
     'small_quantity_revenue', 'snapshot_diff_cdc', 'stat_moments_by_flag',
     'stratified_sample_counts', 'stream_static_enrich',
-    'streaming_dedup_counts', 'streaming_interval_join',
+    'streaming_interval_join',
     'streaming_session_windows', 'streaming_stateful_counts',
     'streaming_tumbling_counts', 'streaming_upsert_scd1',
     'string_function_surface', 'supplier_count_by_part',
