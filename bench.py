@@ -64,7 +64,7 @@ def main() -> None:
     register_lot_source(spark)
     spark.read.format("logicash_lot").schema(
         "event_id long, event_type string, value double"
-    ).option("path", _pq._CSV_LOT_CACHE[sf_dir]).load().limit(64).count()
+    ).option("path", _pq._csv_events_lot(spark, sf_dir)).load().limit(64).count()
     spark.catalog.clearCache()
 
     def run_one(name: str) -> float:

@@ -67,13 +67,27 @@ def global_prefix_sum(
     if isinstance(sum_type, T.NullType):  # value_col is untyped-null
         sum_type = T.LongType()
 
-    lo, hi = df.agg(
-        F.min(order_col).cast("double"), F.max(order_col).cast("double")
+    lo, hi, n_total, n_keyed = df.agg(
+        F.min(order_col).cast("double"),
+        F.max(order_col).cast("double"),
+        F.count(F.lit(1)),
+        F.count(order_col),
     ).first()
     if lo is None or hi is None:
         # empty input or all-null order_col: nothing to scan — the
         # prefix of nothing is zero for every (nonexistent) row
         return df.withColumn(out_col, F.lit(0).cast(sum_type))
+    if n_keyed < n_total:
+        # a null key has no position in the global order: bucketing
+        # would drop those rows on the offset join while their values
+        # leaked into the bucket totals (silent wrong sums + missing
+        # rows). The operator's contract is a unique non-null key —
+        # enforce it loudly.
+        raise ValueError(
+            f"global_prefix_sum: order_col {order_col!r} has "
+            f"{n_total - n_keyed} null(s) among {n_total} rows — the "
+            "order key must be non-null (filter or fill before the scan)"
+        )
     span = max((hi - lo) / buckets, 1e-9)
     b = F.least(
         F.lit(buckets - 1),

@@ -66,18 +66,17 @@ def _pair_lot(
     """Materialize ``build()`` once per (process, sf_dir) and read it
     back; subsequent calls — including from OTHER queries — reuse the
     lot. The explicit read schema keeps zero-row lots readable."""
-    key = (os.path.abspath(sf_dir), name)
-    if key not in _LOTS:
-        import time
+    from logicash_etl_spark.queries._lots import timed_lot
 
-        t0 = time.perf_counter()
+    def materialize() -> tuple[str, str]:
         path = os.path.join(session_tmpdir("lq_dedup_lot_"), name)
         with cache_scope():
             df = build()
             df.write.mode("overwrite").parquet(path)
-        _LOTS[key] = (path, df.schema.json())
-        LOT_BUILD_SECONDS[name] = round(time.perf_counter() - t0, 4)
-    path, schema_json = _LOTS[key]
+        return path, df.schema.json()
+
+    key = (os.path.abspath(sf_dir), name)
+    path, schema_json = timed_lot(_LOTS, LOT_BUILD_SECONDS, key, name, materialize)
     schema = StructType.fromJson(json.loads(schema_json))
     return spark.read.schema(schema).parquet(path)
 

@@ -610,8 +610,10 @@ def _bpe_train_ctes(n_merges: int = 8) -> str:
     concatenated (``[a,b]`` -> ``\na\n\nb\n``), so one plain
     non-overlapping ``replace`` IS the greedy merge application in
     both engines. An exhausted stage (no pairs left) yields an empty
-    top-1 CTE whose cross join empties every later stage — matching
-    the python loop's ``break``."""
+    top-1 CTE: the vocabulary passes through unchanged (LEFT JOIN +
+    CASE, so v8 always holds the final vocab for downstream token
+    counting) while every later merge CTE stays empty — matching the
+    python loop's ``break``."""
     nl = "chr(10)"
     sep = f"{nl}||{nl}"
     parts = [
@@ -637,8 +639,10 @@ def _bpe_train_ctes(n_merges: int = 8) -> str:
       SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
     ), v{k} AS (
       SELECT w, n,
-             replace(s, {nl}||m.l||{sep}||m.r||{nl}, {nl}||m.l||m.r||{nl}) AS s
-      FROM v{k - 1}, m{k} m
+             CASE WHEN m.l IS NULL THEN s
+                  ELSE replace(s, {nl}||m.l||{sep}||m.r||{nl},
+                               {nl}||m.l||m.r||{nl}) END AS s
+      FROM v{k - 1} LEFT JOIN m{k} m ON TRUE
     )""")
     return "WITH " + ",\n    ".join(parts)
 
@@ -926,12 +930,10 @@ LOT_BUILD_SECONDS: dict[str, float] = {}
 def _csv_events_lot(spark: SparkSession, sf_dir: str) -> str:
     """READY-flagged CSV export of every-10th event (the custom
     datasource demo lot), built once per (process, sf_dir)."""
-    if sf_dir not in _CSV_LOT_CACHE:
-        import time
+    from logicash_etl_spark.queries._lots import timed_lot
+    from logicash_etl_spark.tmp import session_tmpdir
 
-        from logicash_etl_spark.tmp import session_tmpdir
-
-        t0 = time.perf_counter()
+    def materialize() -> str:
         root = session_tmpdir("lq_csv_lot_")
         lot = f"{root}/lot1"
         (
@@ -949,9 +951,11 @@ def _csv_events_lot(spark: SparkSession, sf_dir: str) -> str:
         )
         with open(f"{lot}/_READY", "w") as fh:
             fh.write("ok\n")
-        _CSV_LOT_CACHE[sf_dir] = root
-        LOT_BUILD_SECONDS["csv_events_lot"] = round(time.perf_counter() - t0, 4)
-    return _CSV_LOT_CACHE[sf_dir]
+        return root
+
+    return timed_lot(
+        _CSV_LOT_CACHE, LOT_BUILD_SECONDS, sf_dir, "csv_events_lot", materialize
+    )
 
 
 def prebuild_lots(spark: SparkSession, sf_dir: str) -> dict[str, float]:

@@ -83,7 +83,7 @@ def _ready_lot_files(root: str) -> list[str]:
 def _cast(value: str, dtype: T.DataType):
     if value == "" or value is None:
         return None
-    if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType)):
+    if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
         return int(value)
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
         return float(value)
@@ -229,19 +229,25 @@ class _LotWriter(DataSourceWriter):
     observe a partial or mixed-generation lot. ``abort()`` removes the
     staging dir and leaves the lot exactly as it was.
 
-    Mode semantics (driver side, at writer construction):
+    Mode semantics — NOTHING pre-existing is touched before
+    ``commit()``, so ``abort()`` always leaves the lot exactly as the
+    writer found it, including the committed generation an overwrite
+    was about to replace:
 
-    - **overwrite**: the existing ``_READY`` flag is removed FIRST
-      (readers then skip the lot by contract) and prior ``data/``
-      parts are cleared — a shrink (fewer output partitions) can
-      never leave stale parts mixed into the result;
-    - **append to a flagged lot**: prior parts stay; the new
-      generation stages under ``data/.staging-<job>/`` (invisible to
-      readers — dot-dirs are pruned from every listing), then
-      ``commit()`` drops the flag, renames the staged parts in
-      (job-unique names, no collisions with earlier generations) and
-      rewrites the flag. The flag is absent only for the duration of
-      a few renames, never while parts are half-written.
+    - both modes stage the new parts under ``data/.staging-<job>/``
+      (invisible to readers — dot-dirs are pruned from every listing);
+    - ``commit()`` drops the flag (readers then skip the lot by
+      contract), for **overwrite** deletes the prior generation's
+      parts — a shrink can never leave stale parts mixed in — then
+      renames the staged parts into ``data/`` (job-unique names, no
+      collisions with earlier generations for **append**) and writes
+      the flag LAST. The flag is absent only for the duration of a
+      few deletes/renames, never while parts are half-written.
+
+    A lot mutated by a second commit is a BATCH-side affordance: the
+    streaming source's exactly-once contract requires producers to
+    deliver new data as NEW lots (see _LotStreamReader, which detects
+    and rejects consumed-lot mutation).
     """
 
     def __init__(self, schema: T.StructType, options: dict, overwrite: bool):
@@ -258,17 +264,6 @@ class _LotWriter(DataSourceWriter):
         self._job = uuid.uuid4().hex[:12]
         self._data = os.path.join(root, "data")
         self._staging = os.path.join(self._data, f".staging-{self._job}")
-        flag = os.path.join(root, "_READY")
-        if overwrite:
-            # un-flag first: from here the lot is invisible to readers,
-            # so clearing old parts can't expose a partial lot
-            if os.path.exists(flag):
-                os.remove(flag)
-            if os.path.isdir(self._data):
-                for fn in os.listdir(self._data):
-                    p = os.path.join(self._data, fn)
-                    if fn.endswith(".csv") and os.path.isfile(p):
-                        os.remove(p)
 
     def write(self, iterator: Iterator) -> _PartMessage:
         # executor side: one staged part per partition, named by task
@@ -288,19 +283,28 @@ class _LotWriter(DataSourceWriter):
         return _PartMessage(path=path, rows=n)
 
     def commit(self, messages: Sequence[_PartMessage]) -> None:
-        # driver side, after ALL partitions succeeded. If a prior
-        # generation's flag is still up (append), drop it before the
-        # renames so no reader ever sees a mixed half-moved lot.
+        # driver side, after ALL partitions succeeded. Drop any prior
+        # generation's flag before deletes/renames so no reader ever
+        # sees a mixed half-moved lot (flag absent = lot invisible).
         flag = os.path.join(self._root, "_READY")
-        had_flag = os.path.exists(flag)
         prior_rows = 0
-        if had_flag:
+        if os.path.exists(flag):
             try:
                 with open(flag) as fh:
                     prior_rows = int(fh.read().strip().split("=", 1)[1])
             except (OSError, ValueError, IndexError):
                 prior_rows = 0
             os.remove(flag)
+        if self._overwrite:
+            # the prior generation dies only HERE, inside commit —
+            # an aborted overwrite never touched it
+            prior_rows = 0
+            if os.path.isdir(self._data):
+                for fn in os.listdir(self._data):
+                    p = os.path.join(self._data, fn)
+                    if fn.endswith(".csv") and os.path.isfile(p):
+                        os.remove(p)
+        os.makedirs(self._data, exist_ok=True)  # zero-partition writes
         for m in messages:
             os.replace(m.path, os.path.join(self._data, os.path.basename(m.path)))
         if os.path.isdir(self._staging):
@@ -331,19 +335,26 @@ class _LotStreamReader(SimpleDataSourceStreamReader):
     flag-trigger loop (main.tf:821-842) as a structured-streaming
     source.
 
-    The offset is the SET of consumed lot NAMES (sorted for a stable
-    JSON encoding), not a count over the sorted listing: flags land in
-    producer order, not name order, so a mid-upload lot whose name
-    sorts before an already-consumed lot would — under a count offset
-    — shift the listing when its flag arrives, re-delivering consumed
-    lots and silently dropping the new one. Name-set offsets consume
-    exactly the READY lots not yet in the offset, regardless of how
-    flag-arrival order interleaves with name order. The offset grows
-    one name per lot; lots are coarse producer drops (thousands, not
-    millions, between checkpoint compactions), so the offset stays
-    small relative to any batch it describes. Flagged lots are
-    immutable by contract, which makes between-offset replay exact
-    and exactly-once delivery fall out of the checkpoint."""
+    The offset MAPS consumed lot NAMES to their ``_READY`` flag stamp
+    (not a count over the sorted listing: flags land in producer
+    order, not name order, so a mid-upload lot whose name sorts before
+    an already-consumed lot would — under a count offset — shift the
+    listing when its flag arrives, re-delivering consumed lots and
+    silently dropping the new one). A batch consumes exactly the READY
+    lots not yet in the offset, regardless of how flag-arrival order
+    interleaves with name order. The offset grows one entry per lot;
+    lots are coarse producer drops (thousands, not millions, between
+    checkpoint compactions), so it stays small relative to any batch
+    it describes.
+
+    Exactly-once replay requires flagged lots to be IMMUTABLE once
+    consumed — the protocol's contract (the batch writer CAN re-commit
+    a lot, but a producer feeding a stream must deliver new data as
+    NEW lots). The stamp makes that contract enforced instead of
+    assumed: a consumed lot whose flag changed (an appended or
+    overwritten generation) is detected at the next read and rejected
+    loudly, rather than silently never delivering the new rows and
+    corrupting between-offset replay."""
 
     def __init__(self, schema: T.StructType, options: dict):
         self._schema = schema
@@ -362,22 +373,32 @@ class _LotStreamReader(SimpleDataSourceStreamReader):
                 out.append(lot)
         return out
 
+    def _stamp(self, lot: str) -> str:
+        try:
+            with open(os.path.join(lot, "_READY")) as fh:
+                return fh.read().strip()
+        except OSError:
+            return ""
+
     def initialOffset(self) -> dict:
-        return {"lots": []}
+        return {"lots": {}}
 
     @staticmethod
-    def _consumed(offset: dict) -> set[str]:
+    def _consumed(offset: dict) -> dict[str, str]:
         # legacy count offsets ({"n_lots": N}) can't be mapped to
         # names without the listing they were taken over — refuse
         # loudly rather than guess (a guess is exactly the bug the
-        # name-set encoding exists to fix)
+        # name-map encoding exists to fix)
         if "lots" not in offset:
             raise ValueError(
                 f"logicash_lot: unrecognized stream offset {offset!r}; "
                 "restart with a fresh checkpoint (offsets are now "
-                "consumed-lot-name sets)"
+                "consumed-lot-name maps)"
             )
-        return set(offset["lots"])
+        lots = offset["lots"]
+        if isinstance(lots, list):  # pre-stamp name-set offsets
+            return {name: "" for name in lots}
+        return dict(lots)
 
     def _rows_of(self, lots: list[str]) -> Iterator[tuple]:
         fields = self._schema.fields
@@ -402,14 +423,35 @@ class _LotStreamReader(SimpleDataSourceStreamReader):
         # pickles the batch for prefetch/replay caching
         done = self._consumed(start)
         ready = self._ready_lots()
+        # contract enforcement: a consumed lot whose flag stamp changed
+        # was mutated after consumption — its replay would differ from
+        # the committed batch, so fail loudly instead of silently
+        # never delivering the new generation
+        mutated = [
+            os.path.basename(lot)
+            for lot in ready
+            if os.path.basename(lot) in done
+            and done[os.path.basename(lot)] != ""
+            and self._stamp(lot) != done[os.path.basename(lot)]
+        ]
+        if mutated:
+            raise RuntimeError(
+                "logicash_lot stream: consumed lot(s) mutated after "
+                f"consumption: {mutated}; producers feeding a stream "
+                "must write new data as NEW lots (flagged lots are "
+                "immutable once consumed)"
+            )
         new = [lot for lot in ready if os.path.basename(lot) not in done]
-        end = sorted(done | {os.path.basename(lot) for lot in new})
+        end = dict(done)
+        for lot in new:
+            end[os.path.basename(lot)] = self._stamp(lot)
         return list(self._rows_of(new)), {"lots": end}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
         # deterministic replay for recovery: the batch is exactly the
-        # offset-set difference, and flagged lots are immutable
-        todo = self._consumed(end) - self._consumed(start)
+        # offset-map difference, and consumed lots are immutable
+        # (enforced by the stamp check in read())
+        todo = set(self._consumed(end)) - set(self._consumed(start))
         lots = [
             lot for lot in self._ready_lots() if os.path.basename(lot) in todo
         ]

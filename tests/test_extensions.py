@@ -719,3 +719,58 @@ def test_bpe_encode_property_matches_python_greedy(spark):
             assert got[w] == py_apply(w, merges), (w, merges, got[w])
 
     check()
+
+
+def test_global_prefix_sum_rejects_partial_null_keys(spark):
+    """Mixed null/non-null order keys would silently drop the null
+    rows AND inflate bucket offsets with their values — the operator
+    must refuse instead."""
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.partitioning import global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(1, 10), (None, 99), (3, 30)], "k bigint, v bigint"
+    )
+    with pytest.raises(ValueError, match="null"):
+        global_prefix_sum(df, order_col="k", value_col="v", out_col="p")
+
+
+def test_bpe_oracle_survives_merge_exhaustion(spark):
+    """A corpus whose vocabulary supports fewer than n_merges merges:
+    the SQL training CTEs must pass the vocabulary through exhausted
+    stages unchanged (LEFT JOIN + CASE) so downstream token counts
+    stay real — and equal the Spark bpe_train/bpe_encode path, which
+    breaks out of its loop."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.text import bpe_encode, bpe_train, tokens
+    from logicash_etl_spark.queries.pipeline_ops import _bpe_train_ctes
+
+    rows = [(1, "ab ab"), (2, "ab")]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES (1, 'ab ab'), (2, 'ab'))"
+        " d(doc_id, text)"
+    )
+    sql = _bpe_train_ctes(8) + """
+    , wlen AS (SELECT w, len(string_split(trim(s, chr(10)),
+                             chr(10)||chr(10))) AS n FROM v8)
+    SELECT w, n FROM wlen ORDER BY w"""
+    oracle = dict(con.execute(sql).fetchall())
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = bpe_train(wc, n_merges=8)
+    assert len(merges) < 8  # the exhaustion case is actually exercised
+    got = {
+        r.word: len(r.e)
+        for r in wc.select("word", bpe_encode(F.col("word"), merges).alias("e")).collect()
+    }
+    assert got == oracle

@@ -558,3 +558,43 @@ def test_lot_pushdown_declines_untyped_columns(tmp_path):
     returned = list(r.pushFilters(filters))
     assert len(r._preds) == 1 and r._preds[0][0] == 0
     assert len(returned) == 3
+
+
+def test_lot_overwrite_abort_preserves_prior_generation(spark, tmp_path):
+    """An overwrite that FAILS must leave the previously committed
+    generation untouched: the old flag and parts die only inside
+    commit(), never at write planning, so abort() has nothing to
+    restore."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.sources.lot_datasource import register_lot_source
+
+    register_lot_source(spark)
+    out = str(tmp_path / "lot_safe")
+    spark.range(10).write.format("logicash_lot").mode("append").option(
+        "path", out
+    ).save()
+    assert os.path.exists(os.path.join(out, "_READY"))
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("poisoned")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.range(5).select(boom(F.col("id")).alias("id")).write.format(
+            "logicash_lot"
+        ).mode("overwrite").option("path", out).save()
+
+    # the old generation is fully intact and still readable
+    assert os.path.exists(os.path.join(out, "_READY"))
+    back = (
+        spark.read.format("logicash_lot")
+        .schema("id long")
+        .option("path", out)
+        .load()
+    )
+    assert sorted(r.id for r in back.collect()) == list(range(10))

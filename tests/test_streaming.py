@@ -339,3 +339,47 @@ def test_lot_stream_offsets_survive_out_of_order_flags(spark, tmp_path):
     drain()
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 7, 8]  # 7,8 delivered once; 1,2,3 NOT re-delivered
+
+
+def test_lot_stream_rejects_consumed_lot_mutation(spark, tmp_path):
+    """Exactly-once replay requires consumed lots to stay immutable; a
+    batch-side re-commit (append/overwrite) of an already-consumed lot
+    must fail the NEXT drain loudly instead of silently never
+    delivering the new generation."""
+    import os
+
+    from logicash_etl_spark.sources.lot_datasource import register_lot_source
+
+    register_lot_source(spark)
+    root = str(tmp_path / "lots")
+    lot = f"{root}/lot_a"
+    spark.range(5).write.format("logicash_lot").mode("append").option(
+        "path", lot
+    ).save()
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("logicash_lot")
+            .schema("id long")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(5))
+
+    # batch-side append mutates the consumed lot -> next drain fails
+    spark.range(5, 8).write.format("logicash_lot").mode("append").option(
+        "path", lot
+    ).save()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="mutated|StreamingQueryException"):
+        drain()
