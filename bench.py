@@ -77,11 +77,7 @@ def main() -> None:
             print(f"# bench error {name}: {exc}", file=sys.stderr)
         # operators may persist intermediates; isolate measurements
         spark.catalog.clearCache()
-        # drop memory-sink drain tables: each holds its full drained
-        # output in the JVM until dropped (see scaling_check.run)
-        for tbl in spark.catalog.listTables():
-            if "_drain_" in tbl.name and tbl.tableType == "TEMPORARY":
-                spark.catalog.dropTempView(tbl.name)
+        _sq.drop_drain_sinks(spark)
         return elapsed
 
     # min of TWO full passes per query — the standard min-of-k noise

@@ -73,16 +73,16 @@ def global_prefix_sum(
         F.count(F.lit(1)),
         F.count(order_col),
     ).first()
-    if lo is None or hi is None:
-        # empty input or all-null order_col: nothing to scan — the
-        # prefix of nothing is zero for every (nonexistent) row
+    if n_total == 0:
+        # empty input: the prefix of nothing is an empty frame
         return df.withColumn(out_col, F.lit(0).cast(sum_type))
     if n_keyed < n_total:
         # a null key has no position in the global order: bucketing
         # would drop those rows on the offset join while their values
         # leaked into the bucket totals (silent wrong sums + missing
         # rows). The operator's contract is a unique non-null key —
-        # enforce it loudly.
+        # enforce it loudly and CONSISTENTLY (one null and all-null
+        # are the same contract violation).
         raise ValueError(
             f"global_prefix_sum: order_col {order_col!r} has "
             f"{n_total - n_keyed} null(s) among {n_total} rows — the "

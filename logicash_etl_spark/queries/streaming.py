@@ -70,6 +70,19 @@ def clear_lots() -> None:
     LOT_BUILD_SECONDS.clear()
 
 
+def drop_drain_sinks(spark: SparkSession) -> None:
+    """Drop the memory-sink tables streaming drains leave behind.
+
+    Lives here because this module owns the ``*_drain_*`` sink naming
+    convention. Each drain's memory table holds its FULL drained
+    output in the JVM until dropped; measurement harnesses call this
+    between queries so accumulated sinks don't GC-throttle later runs
+    (a 4.7 s sf1 drain measured at 18 s under the pile-up)."""
+    for tbl in spark.catalog.listTables():
+        if "_drain_" in tbl.name and tbl.tableType == "TEMPORARY":
+            spark.catalog.dropTempView(tbl.name)
+
+
 def _timed_lot(key: str, name: str, write_fn) -> str:
     from logicash_etl_spark.queries._lots import timed_lot
 
@@ -539,52 +552,76 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB corpus actually grows by: fingerprint stores are O(corpus)
     once, each arriving lot costs O(lot) + one join against the store.
 
-    Per batch: md5 fingerprints, one join to the history store
-    (statuses: dup_of_history for the pre-existing corpus,
+    Per batch: one join of the lot's fingerprints to the history
+    store (statuses: dup_of_history for the pre-existing corpus,
     dup_of_earlier_lot for fps first seen in a previously streamed
     lot, dup_in_lot / new_unique within the batch via a min-window),
-    verdicts written to the sink, and new-unique fps into a NEW
-    history version. ``foreachBatch`` side effects are at-least-once,
-    so BOTH writes key on ``epoch_id`` and overwrite: a retried epoch
-    reads ``hist_v{epoch}`` (never the half-advanced state), rewrites
-    ``verdicts/epoch={epoch}`` and ``hist_v{epoch+1}`` in place —
-    re-running a batch is a no-op and the output is effectively
-    exactly-once. Lot consumption itself rides on the name-map
-    stream offsets; the
+    verdicts written to the sink, and new-unique fps APPENDED as a
+    new history generation. Scale shape:
+
+    - lots carry (doc_id, source, fp) — fingerprints computed at the
+      ingest edge; document text never round-trips the wire format
+      (which also sidesteps CSV's empty-string/NULL collapse);
+    - the history store is append-only: each epoch writes ONLY its
+      fresh fingerprints to ``hist/gen_epoch{N}`` (O(lot) write);
+      reads union the generation dirs — no O(corpus) rewrite per lot
+      and no retained full copies;
+    - ``foreachBatch`` side effects are at-least-once, so both writes
+      key on ``epoch_id`` and overwrite: a retried epoch reads
+      exactly the generations BELOW it (never its own half-written
+      output) and rewrites ``verdicts/epoch={N}`` and
+      ``hist/gen_epoch{N}`` in place — re-running a batch is a no-op
+      and the output is effectively exactly-once.
+
+    Lot consumption itself rides on the name-map stream offsets; the
     flag-last write guarantee means a mid-upload lot is never
     half-read.
 
     Oracle: the whole multi-lot evolution is deterministic given the
     (lot, doc_id) arrival order, so plain SQL reproduces it with
     first-occurrence windows over the union of streamed lots."""
+    import os
+
     from logicash_etl_spark.sources.lot_datasource import register_lot_source
 
     register_lot_source(spark)
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # fingerprints at the ingest edge: md5 over text, NULL-safe (the
+    # oracle mirrors COALESCE(text, ''))
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.coalesce("text", F.lit(""))).alias("fp")
+    )
     root = session_tmpdir("lq_inc_stream_")
 
-    # history store v0: fingerprints of the pre-existing corpus
+    # history generation 0: fingerprints of the pre-existing corpus
+    hist_dir = f"{root}/hist"
     hist0 = (
         docs.filter(F.col("doc_id") % 10 < 8)
-        .select(F.md5("text").alias("fp"))
+        .select("fp")
         .distinct()
         .withColumn("origin", F.lit("base"))
     )
-    hist0.write.mode("overwrite").parquet(f"{root}/hist_v0")
+    hist0.write.mode("overwrite").parquet(f"{hist_dir}/base")
     verdicts = f"{root}/verdicts"
     lots_root = f"{root}/lots"
 
     from pyspark.sql.window import Window
 
+    def _generations_below(epoch_id: int) -> list[str]:
+        out = [f"{hist_dir}/base"]
+        for d in sorted(os.listdir(hist_dir)):
+            if d.startswith("gen_epoch") and int(d[len("gen_epoch"):]) < epoch_id:
+                out.append(f"{hist_dir}/{d}")
+        return out
+
     def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
-        # versions keyed on epoch_id, writes overwrite: a retried
-        # epoch reads the same input version and rewrites the same
-        # outputs — idempotent under foreachBatch's at-least-once
-        cur = spark.read.parquet(f"{root}/hist_v{epoch_id}")
-        b = bdf.withColumn("fp", F.md5("text"))
+        # reads span exactly the generations below this epoch; writes
+        # key on epoch_id and overwrite — a retried epoch reads the
+        # same input state and rewrites the same outputs (idempotent
+        # under foreachBatch's at-least-once)
+        cur = spark.read.parquet(*_generations_below(epoch_id))
         first = F.min("doc_id").over(Window.partitionBy("fp"))
         out = (
-            b.join(cur, "fp", "left")
+            bdf.join(cur, "fp", "left")
             .withColumn("__first", first)
             .select(
                 "doc_id",
@@ -600,14 +637,14 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("doc_id", "source", "status").write.mode("overwrite").parquet(
             f"{verdicts}/epoch={epoch_id}"
         )
-        fresh = (
+        # append-only history: ONLY this lot's fresh fingerprints
+        (
             out.filter(F.col("status") == "new_unique")
             .select("fp")
             .distinct()
             .withColumn("origin", F.lit("stream"))
-        )
-        cur.unionByName(fresh).write.mode("overwrite").parquet(
-            f"{root}/hist_v{epoch_id + 1}"
+            .write.mode("overwrite")
+            .parquet(f"{hist_dir}/gen_epoch{epoch_id}")
         )
 
     stream_docs = docs.filter(F.col("doc_id") % 10 >= 8)
@@ -620,7 +657,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).mode("append").option("path", f"{lots_root}/lot_{tag}").save()
         stream = (
             spark.readStream.format("logicash_lot")
-            .schema("doc_id long, source string, text string")
+            .schema("doc_id long, source string, fp string")
             .option("path", lots_root)
             .load()
         )

@@ -291,7 +291,8 @@ class _LotWriter(DataSourceWriter):
         if os.path.exists(flag):
             try:
                 with open(flag) as fh:
-                    prior_rows = int(fh.read().strip().split("=", 1)[1])
+                    first_token = fh.read().strip().split()[0]
+                prior_rows = int(first_token.split("=", 1)[1])
             except (OSError, ValueError, IndexError):
                 prior_rows = 0
             os.remove(flag)
@@ -312,8 +313,15 @@ class _LotWriter(DataSourceWriter):
                 os.rmdir(self._staging)
             except OSError:
                 pass  # a lost task's duplicate part; harmless, hidden
+        # gen token: every commit job has a distinct id, so the flag
+        # CONTENT changes even when the row count does not — the
+        # stream reader's mutation detection keys on it (an
+        # equal-row-count overwrite must not evade the check)
         with open(flag, "w") as fh:
-            fh.write(f"rows={prior_rows + sum(m.rows for m in messages)}\n")
+            fh.write(
+                f"rows={prior_rows + sum(m.rows for m in messages)} "
+                f"gen={self._job}\n"
+            )
 
     def abort(self, messages: Sequence[_PartMessage]) -> None:
         # staged parts only — committed generations are untouched and
@@ -374,9 +382,15 @@ class _LotStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def _stamp(self, lot: str) -> str:
+        # content + mtime_ns: the engine's own writer guarantees
+        # distinct content per commit (gen token); mtime covers
+        # foreign producers whose flags are empty or constant —
+        # any rewrite moves the mtime even if bytes repeat
+        p = os.path.join(lot, "_READY")
         try:
-            with open(os.path.join(lot, "_READY")) as fh:
-                return fh.read().strip()
+            with open(p) as fh:
+                content = fh.read().strip()
+            return f"{content}|{os.stat(p).st_mtime_ns}"
         except OSError:
             return ""
 
@@ -449,10 +463,26 @@ class _LotStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
         # deterministic replay for recovery: the batch is exactly the
-        # offset-map difference, and consumed lots are immutable
-        # (enforced by the stamp check in read())
-        todo = set(self._consumed(end)) - set(self._consumed(start))
-        lots = [
-            lot for lot in self._ready_lots() if os.path.basename(lot) in todo
+        # offset-map difference. The replay path verifies stamps
+        # ITSELF — recovery is precisely when a mutated or vanished
+        # lot would otherwise slip a different batch into the sink
+        # (read()'s check only guards live consumption).
+        end_map = self._consumed(end)
+        todo = set(end_map) - set(self._consumed(start))
+        ready = {os.path.basename(lot): lot for lot in self._ready_lots()}
+        bad = [
+            name
+            for name in sorted(todo)
+            if name not in ready
+            or (
+                end_map[name] != ""
+                and self._stamp(ready[name]) != end_map[name]
+            )
         ]
-        return list(self._rows_of(lots))
+        if bad:
+            raise RuntimeError(
+                "logicash_lot stream: replay cannot reconstruct the "
+                f"committed batch — lot(s) mutated or missing: {bad}; "
+                "flagged lots must stay immutable once consumed"
+            )
+        return list(self._rows_of([ready[name] for name in sorted(todo)]))

@@ -173,13 +173,11 @@ def main() -> None:
             print(f"# {name} failed at {sf_dir}: {exc}", file=sys.stderr)
             sec = -1.0
         spark.catalog.clearCache()
-        # memory-sink drains stay registered (holding their FULL
-        # drained output in the JVM) until dropped — at 10x volume the
-        # accumulated sinks GC-throttle every later run (measured a
-        # 4.7 s drain ballooning to 18 s once prior sinks piled up)
-        for tbl in spark.catalog.listTables():
-            if "_drain_" in tbl.name and tbl.tableType == "TEMPORARY":
-                spark.catalog.dropTempView(tbl.name)
+        # memory-sink drains stay registered until dropped — at 10x
+        # volume the accumulated sinks GC-throttle every later run
+        from logicash_etl_spark.queries.streaming import drop_drain_sinks
+
+        drop_drain_sinks(spark)
         return sec
 
     results: dict[str, dict] = {}

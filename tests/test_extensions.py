@@ -629,12 +629,12 @@ def test_global_prefix_sum_empty_and_typed_inputs(spark):
     out = global_prefix_sum(empty, order_col="k", value_col="v", out_col="p")
     assert out.count() == 0 and "p" in out.columns
 
-    # all-null order col: returned as-is with a zero prefix
+    # all-null order col: same contract violation as one null — raise
     nulls = spark.range(3).select(
         F.lit(None).cast("long").alias("k"), F.col("id").alias("v")
     )
-    out = global_prefix_sum(nulls, order_col="k", value_col="v", out_col="p")
-    assert [r.p for r in out.collect()] == [0, 0, 0]
+    with pytest.raises(ValueError, match="null"):
+        global_prefix_sum(nulls, order_col="k", value_col="v", out_col="p")
 
     # double values: exact running sum, double output type
     dbl = spark.createDataFrame(

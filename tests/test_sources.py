@@ -525,7 +525,8 @@ def test_lot_datasource_overwrite_and_append_generations(spark, tmp_path):
     ]
     assert leftovers == []
     with open(os.path.join(out, "_READY")) as fh:
-        assert fh.read().strip() == "rows=15"
+        content = fh.read().strip()
+    assert content.startswith("rows=15 gen=")  # summed count + commit token
 
 
 def test_lot_pushdown_declines_untyped_columns(tmp_path):
