@@ -206,3 +206,50 @@ def phash_image(
             yield pd.DataFrame({"id": ids, "phash": hashes})
 
     return cols.mapInPandas(batches, schema="id long, phash long")
+
+
+def audio_chunk_plan(
+    df: DataFrame,
+    id_col: str = "id",
+    media_col: str = "media",
+    sample_rate: int = 16_000,
+    bytes_per_sample: int = 2,
+    channels: int = 1,
+    chunk_seconds: float = 1.0,
+) -> DataFrame:
+    """Audio chunking *plan*: emits one row per fixed-duration chunk
+    (id, chunk_idx, start_sample, n_samples) from declared PCM
+    parameters — the explode/partition shape audio feature extraction
+    fans out over (1 clip row -> k chunk rows), computed entirely from
+    byte length: JVM arithmetic, zero decode, zero Python.
+
+    A real pipeline feeds the chunk rows to an Arrow-batched decoder
+    kernel exactly like ``decode_image_meta`` does for images; the
+    plan itself is what determines shuffle volume and partition
+    sizing at 100 TB, so it is the part that must stay map-only.
+    Clips shorter than one chunk still emit their single partial
+    chunk; zero-byte clips emit none."""
+    frame_bytes = bytes_per_sample * channels
+    n_samples = (F.length(F.col(f"{media_col}.data")) / frame_bytes).cast("bigint")
+    chunk_samples = int(sample_rate * chunk_seconds)
+    n_chunks = F.ceil(n_samples / F.lit(chunk_samples)).cast("bigint")
+    start = F.col("chunk_idx") * chunk_samples
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            n_samples.alias("__n"),
+            F.explode(
+                F.when(
+                    n_chunks > 0, F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            start.alias("start_sample"),
+            F.least(F.lit(chunk_samples).cast("bigint"), F.col("__n") - start).alias(
+                "n_samples"
+            ),
+        )
+    )

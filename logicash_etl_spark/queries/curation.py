@@ -869,3 +869,56 @@ def media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_hamming_pairs(
         sig, id_col="id", sig_col="phash", max_hamming=2, bands=4
     )
+
+
+@query(
+    "audio_chunk_inventory",
+    oracle="""
+    WITH pcm AS (
+      SELECT doc_id,
+             CAST(floor(octet_length(CAST(text AS BLOB)) / 2) AS BIGINT)
+               AS n_samples
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ceil(CAST(n_samples AS DOUBLE) / 160) AS BIGINT) AS n_chunks,
+           n_samples AS total_samples,
+           CAST(n_samples - (ceil(CAST(n_samples AS DOUBLE) / 160) - 1) * 160
+                AS BIGINT) AS last_chunk_samples
+    FROM pcm WHERE n_samples > 0
+    """,
+)
+def audio_chunk_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing end-to-end: clips (document bytes as
+    16-bit mono PCM — no codec in this container, same stand-in
+    convention as the image/video queries) packed into the media
+    struct, fanned out by ``audio_chunk_plan`` into fixed 160-sample
+    chunks (1 clip row -> k chunk rows, pure JVM arithmetic), then
+    rolled back up per clip. The oracle re-derives chunk counts and
+    the partial tail chunk from byte lengths — so the fan-out
+    arithmetic (the thing that determines shuffle volume when the
+    decoder kernel attaches) is driver-hash-checked."""
+    from logicash_etl_spark.operators.multimodal import audio_chunk_plan, pack_media
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clips = pack_media(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("blob")),
+        "blob",
+        "audio/pcm",
+    )
+    chunks = audio_chunk_plan(
+        clips,
+        id_col="doc_id",
+        sample_rate=16_000,
+        bytes_per_sample=2,
+        channels=1,
+        chunk_seconds=0.01,  # 160-sample chunks: real fan-out on doc-sized clips
+    )
+    return (
+        chunks.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_samples").alias("total_samples"),
+            F.expr("max_by(n_samples, chunk_idx)").alias("last_chunk_samples"),
+        )
+    )

@@ -137,3 +137,31 @@ def test_phash_brightness_invariance_and_determinism(spark):
         for r in phash_image(df, pixel_kernel=_fake_pixel_grid).collect()
     }
     assert got[1] == got[3] != got[2]
+
+
+def test_audio_chunk_plan_boundaries(spark):
+    """Chunk arithmetic edges: exact-multiple clips have a full tail
+    chunk, one-sample clips emit a single 1-sample chunk, zero-byte
+    clips emit nothing, and per-clip sample totals are conserved."""
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.multimodal import audio_chunk_plan, pack_media
+
+    rows = [
+        (1, b"\x00" * 640),   # exactly 2 chunks of 160 samples
+        (2, b"\x00" * 2),     # 1 sample -> one 1-sample chunk
+        (3, b""),             # empty -> no chunks
+        (4, b"\x00" * 321),   # 160 samples (floor) + half byte dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    clips = pack_media(df, "blob", "audio/pcm")
+    chunks = audio_chunk_plan(
+        clips, id_col="id", sample_rate=16_000, chunk_seconds=0.01
+    ).collect()
+    by_id = {}
+    for r in chunks:
+        by_id.setdefault(r.id, []).append((r.chunk_idx, r.start_sample, r.n_samples))
+    assert by_id[1] == [(0, 0, 160), (1, 160, 160)]
+    assert by_id[2] == [(0, 0, 1)]
+    assert 3 not in by_id
+    assert by_id[4] == [(0, 0, 160)]
