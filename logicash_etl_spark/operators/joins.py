@@ -337,3 +337,84 @@ def join_with_skew_salt(
     salted_small = small.crossJoin(F.broadcast(salts))
     out = salted_big.join(salted_small, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def bloom_filter_build(
+    keys: DataFrame, key_col: str, m_bits: int = 4096, k_hashes: int = 3,
+    salt: str = "bf",
+) -> DataFrame:
+    """Build a Bloom filter over ``keys[key_col]`` as a tiny DataFrame
+    of (word, bits) rows — ``m_bits/32`` rows of packed 32-bit words.
+
+    This is the runtime-filter pattern (Spark's own
+    ``spark.sql.optimizer.runtimeFilter.bloomFilter.enabled``, here as
+    an explicit library operator): hash the SMALL side's join keys into
+    a bitmap a few KB wide, broadcast it, and drop big-side rows whose
+    keys cannot possibly join BEFORE the shuffle. At 100 TB the win is
+    the shuffle you never do: a selective dimension predicate prunes
+    the fact scan map-side at ~zero cost, with no false negatives by
+    construction.
+
+    Hashes are md5-derived double-hashing (h1 + i*h2 mod m) so the
+    filter is engine-portable — DuckDB reproduces it bit-for-bit
+    (no xxhash64 dependency). Bits pack into BIGINT words via
+    ``bit_or(1 << (pos % 32))``; bit index <= 31 keeps every word
+    positive and shift-safe in both engines.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    probes = keys.select(
+        F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("__i"),
+        h1.alias("__h1"),
+        h2.alias("__h2"),
+    ).select(
+        F.pmod(F.col("__h1") + F.col("__i") * F.col("__h2"), F.lit(m_bits)).alias("__pos")
+    )
+    return probes.select(
+        F.expr("__pos div 32").alias("word"),
+        F.expr("CAST(1 AS BIGINT) << CAST(__pos % 32 AS INT)").alias("__bit"),
+    ).groupBy("word").agg(F.bit_or("__bit").alias("bits"))
+
+
+def bloom_filter_probe(
+    df: DataFrame, key_col: str, bloom: DataFrame,
+    m_bits: int = 4096, k_hashes: int = 3, salt: str = "bf",
+    verdict_col: str = "bloom_pass",
+) -> DataFrame:
+    """Tag each row of ``df`` with ``bloom_pass``: True iff all
+    k hash positions of its key are set in the broadcast bitmap.
+    Map-side only: k broadcast-hash lookups per row, no shuffle of
+    ``df`` itself (the explode/groupBy runs per distinct key when the
+    caller pre-distincts, or per row otherwise — either way the big
+    side never moves). False positives possible (rate ~ (1-e^{-kn/m})^k),
+    false negatives impossible."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    tagged = df.withColumn("__h1", h1).withColumn("__h2", h2).withColumn(
+        "__row", F.monotonically_increasing_id()
+    )
+    probes = tagged.select(
+        "__row",
+        F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("__i"),
+        F.pmod(
+            F.col("__h1") + F.expr("__i * __h2"), F.lit(m_bits)
+        ).alias("__pos"),
+    ).select(
+        "__row",
+        F.expr("__pos div 32").alias("word"),
+        F.expr("CAST(__pos % 32 AS INT)").alias("__bit"),
+    )
+    hits = probes.join(F.broadcast(bloom), on="word", how="left").select(
+        "__row",
+        F.coalesce(
+            F.expr("((bits >> __bit) & 1) = 1"), F.lit(False)
+        ).alias("__hit"),
+    )
+    verdict = hits.groupBy("__row").agg(
+        (F.count(F.when(F.col("__hit"), 1)) == k_hashes).alias(verdict_col)
+    )
+    return tagged.join(verdict, on="__row", how="inner").drop(
+        "__row", "__h1", "__h2"
+    )

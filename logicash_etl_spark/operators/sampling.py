@@ -10,11 +10,13 @@ across cluster sizes, re-runs, engines, and even re-implementations
 - deterministic_sample: keep ~fraction of rows
 - train_test_split: disjoint, exhaustive, stable split
 - stratified_sample: per-stratum fractions (class rebalancing)
+- weighted_topk_sample: weighted sampling WITHOUT replacement
+  (Efraimidis-Spirakis exponential-key top-k) per group
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # md5 hex prefix as a uniform draw in [0, 1): 8 hex chars = 32 bits
@@ -60,3 +62,38 @@ def stratified_sample(
     for value, f in fractions.items():
         frac = F.when(F.col(stratum_col) == value, F.lit(f)).otherwise(frac)
     return df.filter(_u(F.col(id_col), salt) < frac)
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "wsample",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows per group
+    (Efraimidis & Spirakis 2006): draw E_i = -ln(u_i) / w_i — an
+    Exponential(rate=w_i) variate — and keep the k smallest per
+    group. P(row first) = w_i / sum(w), exactly the
+    weighted-without-replacement semantics curation pipelines need
+    ("sample 1M docs proportional to length/quality score").
+
+    Scale: one window per group partition — no global sort, no
+    driver state; the draw is the content hash, so the sample is
+    identical across cluster sizes and engines. Rows with
+    non-positive or null weights are excluded (they would yield
+    negative/undefined rates). u == 0 (p = 2^-32) maps to
+    E = +inf on both Spark and DuckDB: the row sorts last, never
+    sampled — consistent everywhere."""
+    u = _u(F.col(id_col), salt)
+    key = -F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

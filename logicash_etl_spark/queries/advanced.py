@@ -499,3 +499,128 @@ def per_group_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         fit, schema="event_type string, n long, slope_per_day double, forecast_next_day double"
     )
+
+
+@query(
+    "bloom_join_prune_stats",
+    oracle="""
+    WITH small AS (
+      SELECT s_suppkey AS key FROM supplier WHERE s_acctbal > 8000
+    ), hsh AS (
+      SELECT key,
+        CAST(('0x' || substr(md5('bf' || CAST(key AS VARCHAR)), 1, 8))
+             AS BIGINT) AS h1,
+        CAST(('0x' || substr(md5('bf' || CAST(key AS VARCHAR)), 9, 8))
+             AS BIGINT) AS h2
+      FROM small
+    ), bitmap AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM (SELECT (h1 + i * h2) % 256 AS pos
+            FROM hsh, (VALUES (0), (1), (2)) t(i))
+      GROUP BY word
+    ), probe AS (
+      SELECT DISTINCT l_suppkey AS key FROM lineitem
+    ), phsh AS (
+      SELECT key,
+        CAST(('0x' || substr(md5('bf' || CAST(key AS VARCHAR)), 1, 8))
+             AS BIGINT) AS h1,
+        CAST(('0x' || substr(md5('bf' || CAST(key AS VARCHAR)), 9, 8))
+             AS BIGINT) AS h2
+      FROM probe
+    ), hits AS (
+      SELECT p.key,
+             COALESCE(((b.bits >> CAST(p.pos % 32 AS INT)) & 1) = 1, FALSE)
+               AS hit
+      FROM (SELECT key, (h1 + i * h2) % 256 AS pos
+            FROM phsh, (VALUES (0), (1), (2)) t(i)) p
+      LEFT JOIN bitmap b ON b.word = p.pos // 32
+    ), verdict AS (
+      SELECT key,
+             (SUM(CASE WHEN hit THEN 1 ELSE 0 END) = 3) AS bloom_pass
+      FROM hits GROUP BY key
+    ), judged AS (
+      SELECT v.key, v.bloom_pass,
+             (s.key IS NOT NULL) AS is_member
+      FROM verdict v LEFT JOIN small s ON s.key = v.key
+    ), rows_per_key AS (
+      SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY key
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_probe_keys,
+      CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_members,
+      CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_bloom_pass,
+      CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_false_pos,
+      (SUM(CASE WHEN is_member AND NOT bloom_pass THEN 1 ELSE 0 END) = 0)
+        AS no_false_negatives,
+      CAST(SUM(CASE WHEN NOT bloom_pass THEN n_rows ELSE 0 END) AS BIGINT)
+        AS rows_pruned,
+      CAST(SUM(CASE WHEN bloom_pass THEN n_rows ELSE 0 END) AS BIGINT)
+        AS rows_kept
+    FROM judged JOIN rows_per_key USING (key)
+    """,
+)
+def bloom_join_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join pruning: build a 256-bit Bloom filter over
+    the selective small side (suppliers with s_acctbal > 8000), probe
+    every distinct fact key against the broadcast bitmap, and account
+    for exactly what the filter buys — fact rows prunable BEFORE the
+    join shuffle (``rows_pruned``) — and what it costs
+    (``n_false_pos`` keys that survive the filter but fail the real
+    join). ``no_false_negatives`` pins the Bloom contract: a member
+    key can never be pruned. This is the explicit-operator form of
+    Spark's own runtime bloom filter (operators/joins.py:
+    bloom_filter_build/probe); at 100 TB the bitmap is kilobytes
+    broadcast to every executor and the pruned rows never enter the
+    shuffle. md5 double-hashing keeps the filter engine-portable: the
+    oracle rebuilds the identical bitmap in DuckDB and the driver
+    hash-checks false positives bit-for-bit."""
+    from logicash_etl_spark.operators.joins import (
+        bloom_filter_build,
+        bloom_filter_probe,
+    )
+
+    m_bits, k = 256, 3
+    small = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_suppkey").alias("key"))
+    )
+    bloom = bloom_filter_build(small, "key", m_bits=m_bits, k_hashes=k)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("key")
+    )
+    probe_keys = li.distinct()
+    tagged = bloom_filter_probe(
+        probe_keys, "key", bloom, m_bits=m_bits, k_hashes=k
+    )
+    judged = tagged.join(
+        F.broadcast(small.withColumn("__m", F.lit(True))), on="key", how="left"
+    ).select(
+        "key", "bloom_pass", F.coalesce("__m", F.lit(False)).alias("is_member")
+    )
+    rows_per_key = li.groupBy("key").agg(F.count("*").alias("n_rows"))
+    return judged.join(rows_per_key, on="key").agg(
+        F.count("*").alias("n_probe_keys"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        (
+            F.sum(
+                F.when(F.col("is_member") & ~F.col("bloom_pass"), 1).otherwise(0)
+            )
+            == 0
+        ).alias("no_false_negatives"),
+        F.sum(
+            F.when(~F.col("bloom_pass"), F.col("n_rows")).otherwise(0)
+        ).alias("rows_pruned"),
+        F.sum(
+            F.when(F.col("bloom_pass"), F.col("n_rows")).otherwise(0)
+        ).alias("rows_kept"),
+    )

@@ -531,3 +531,45 @@ def mixture_build_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("utilization"),
     )
+
+
+@query(
+    "weighted_sample_topk",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             -ln(CAST(CAST(('0x' || substr(md5('wsample' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+                 / 4294967296.0) / n_chars AS ekey
+      FROM documents WHERE n_chars > 0
+    ), r AS (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY ekey ASC, doc_id ASC
+             ) AS INT) AS rk
+      FROM d
+    )
+    SELECT source, doc_id, rk FROM r WHERE rk <= 5
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 5 docs per source,
+    P(pick) proportional to document length — the Efraimidis-Spirakis
+    exponential-key scheme (operators/sampling.py:weighted_topk_sample).
+    This is how a curation pipeline draws "1M docs biased toward
+    long/high-quality" reproducibly: the draw is a content hash, so
+    the sample survives repartitioning, cluster resizes, and engine
+    swaps (the oracle reproduces it bit-for-bit in DuckDB). One
+    hash + one per-group window — no global sort, no driver state;
+    at 100 TB the window partitions by source (thousands of groups),
+    never globally. Extends the reference's sampling surface
+    (data_gen/generator.py:106-175 draws weighted categoricals at
+    generation time; here the engine samples at curation time)."""
+    from logicash_etl_spark.operators.sampling import weighted_topk_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = weighted_topk_sample(
+        docs, id_col="doc_id", weight_col="n_chars",
+        group_col="source", k=5,
+    )
+    return out.select("source", "doc_id", F.col("rk").cast("int").alias("rk"))

@@ -20,6 +20,7 @@ aggregation tractable:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from logicash_etl_spark.queries.registry import query
@@ -132,4 +133,79 @@ def weekly_rollup_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("p_sum").cast("double") / F.sum("p_cnt"), 6
             ).alias("avg_value"),
         )
+    )
+
+
+# Fixed-bin histogram sketch: 32 bins over [0, 512). The bin width is
+# a power of two, so (value - 0) / 16.0 is EXACT in IEEE doubles and
+# floor() of it is bit-identical between Spark and DuckDB — bucket
+# assignment cannot drift at bin edges.
+_QS_BINS = 32
+_QS_LO = 0.0
+_QS_W = 16.0
+
+
+@query(
+    "quantile_sketch_merge",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(least(greatest(floor((value - 0.0) / 16.0), 0), 31)
+                  AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY bucket
+    ), c AS (
+      SELECT bucket, n,
+             CAST(SUM(n) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_n,
+             CAST(SUM(n) OVER () AS BIGINT) AS total
+      FROM h
+    )
+    SELECT bucket, n, cum_n,
+           (cum_n - n < 0.5 * total AND 0.5 * total <= cum_n)
+             AS contains_p50
+    FROM c
+    """,
+)
+def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: per-event_type equi-width histogram
+    PARTIALS (32 fixed bins) merged by plain vector addition into the
+    global histogram, then cumulated into a quantile-lookup structure
+    (``contains_p50`` marks the bin holding the median). The oracle
+    computes the histogram DIRECTLY from the raw rows, so the hash
+    check proves merge(partials) == direct — the invariant that lets
+    a 100 TB pipeline keep per-partition / per-day histogram partials
+    (32 longs each, kilobytes) and answer any quantile by one merge,
+    never re-reading data. Same mergeable-state shape Spark uses
+    inside percentile_approx; fixed power-of-two bins make the bucket
+    function bit-identical across engines. The global cumsum window
+    runs over <=32 rows — a driver-scale frame, not a data-scale
+    one."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.least(
+        F.greatest(F.floor((F.col("value") - _QS_LO) / _QS_W), F.lit(0)),
+        F.lit(_QS_BINS - 1),
+    ).alias("bucket")
+    # stage 1: mergeable partials, one histogram per event_type
+    partials = ev.select("event_type", bucket).groupBy(
+        "event_type", "bucket"
+    ).agg(F.count("*").alias("pn"))
+    # stage 2: merge partials (vector add) into the global histogram
+    merged = partials.groupBy("bucket").agg(F.sum("pn").alias("n"))
+    w_cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    return merged.select(
+        "bucket",
+        "n",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_all).alias("total"),
+    ).select(
+        "bucket",
+        "n",
+        "cum_n",
+        (
+            (F.col("cum_n") - F.col("n") < 0.5 * F.col("total"))
+            & (0.5 * F.col("total") <= F.col("cum_n"))
+        ).alias("contains_p50"),
     )

@@ -51,3 +51,52 @@ def test_stratified_fractions(spark, sf_dir):
     assert counts.get("F") == full["F"]            # keep-all stratum intact
     assert "P" not in counts                        # default 0.0 drops unlisted
     assert 0.05 * full["O"] < counts.get("O", 0) < 0.15 * full["O"]
+
+
+def test_weighted_topk_sample_contract(spark, sf_dir):
+    from logicash_etl_spark.operators.sampling import weighted_topk_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = weighted_topk_sample(docs, "doc_id", "n_chars", "source", k=5)
+    per = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_src = docs.select("source").distinct().count()
+    assert len(per) == n_src and all(v == 5 for v in per.values())
+    # stability: identical sample regardless of physical layout
+    out2 = weighted_topk_sample(docs.repartition(7), "doc_id", "n_chars", "source", k=5)
+    s1 = {(r.source, r.doc_id) for r in out.select("source", "doc_id").collect()}
+    s2 = {(r.source, r.doc_id) for r in out2.select("source", "doc_id").collect()}
+    assert s1 == s2
+    # weighted bias: across many salts, the sample's mean weight should
+    # exceed the population mean (long docs are preferentially drawn)
+    pop_mean = docs.agg(F.avg("n_chars")).first()[0]
+    means = [
+        weighted_topk_sample(docs, "doc_id", "n_chars", "source", k=5, salt=f"s{i}")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+        for i in range(3)
+    ]
+    assert sum(means) / len(means) > pop_mean
+
+
+def test_bloom_filter_no_false_negatives(spark, sf_dir):
+    from logicash_etl_spark.operators.joins import (
+        bloom_filter_build,
+        bloom_filter_probe,
+    )
+
+    sup = read_table(spark, sf_dir, "supplier")
+    members = sup.filter(F.col("s_suppkey") % 3 == 0).select(
+        F.col("s_suppkey").alias("key")
+    )
+    bloom = bloom_filter_build(members, "key", m_bits=128, k_hashes=3)
+    # bitmap stays tiny: at most m_bits/32 packed words
+    assert bloom.count() <= 128 // 32
+    probe = sup.select(F.col("s_suppkey").alias("key")).distinct()
+    tagged = bloom_filter_probe(probe, "key", bloom, m_bits=128, k_hashes=3)
+    joined = tagged.join(
+        members.withColumn("m", F.lit(True)), on="key", how="left"
+    )
+    # Bloom contract: every true member must pass (no false negatives)
+    assert (
+        joined.filter(F.col("m") & ~F.col("bloom_pass")).count() == 0
+    )
