@@ -233,3 +233,55 @@ def dedup_clusters(
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
     return out
+
+
+def pagerank_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank power iteration in FIXED-POINT INTEGER arithmetic.
+
+    ``nodes``: one column ``node``; ``edges``: directed, deduped
+    ``(src, dst)``. Returns ``(node, rank)`` with ranks scaled by
+    ``scale`` (initial rank = ``scale`` = 1.0).
+
+    Why integers: float PageRank is not reproducible across engines —
+    summation order changes the low bits, so an oracle hash can never
+    match. Here every step is floor division and integer add
+    (rank' = (100-d)%*scale//100 + d*sum(rank_u//outdeg_u)//100),
+    which is EXACTLY associative and engine-portable: DuckDB unrolls
+    the same iterations with `//` and matches bit-for-bit. Rank mass
+    from dangling nodes (outdeg 0) is dropped, not redistributed —
+    the simplest variant, applied identically on both sides.
+
+    Scale: each iteration is one join of ranks against the edge list
+    (shuffle on src) plus a groupBy dst — the standard Pregel-style
+    superstep; nothing ever collects to the driver. For deep
+    iteration counts, localCheckpoint() every ~5 rounds to cut
+    lineage (the connected-components loop above does the same)."""
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
+                )
+            ).cast("bigint").alias("rank"),
+        )
+    return ranks

@@ -472,3 +472,110 @@ def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
         .distinct()
     )
+
+
+def _pagerank_oracle(iterations: int = 3, scale: int = 10**9, d: int = 85) -> str:
+    """Unrolled integer-PageRank CTE chain — one (s_i, r_i) pair per
+    power iteration, floor division throughout, so DuckDB reproduces
+    the Spark loop bit-for-bit (every SUM is cast back to BIGINT: the
+    r4 lesson — DuckDB SUM(BIGINT) widens to HUGEINT which pandas
+    materializes as float64)."""
+    base = (100 - d) * scale // 100
+    sql = f"""
+    WITH pair AS (
+      SELECT nc.n_name AS src, ns.n_name AS dst,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+      WHERE ns.n_nationkey <> nc.n_nationkey
+      GROUP BY src, dst
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_n,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pair
+    ), edges AS (
+      SELECT src, dst FROM pair, tot WHERE n * n_pairs > total_n
+    ), nodes AS (
+      SELECT n_name AS node FROM nation
+    ), outdeg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes
+    )"""
+    for i in range(1, iterations + 1):
+        sql += f""", s{i} AS (
+      SELECT e.dst AS node, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS s
+      FROM edges e
+        JOIN r{i - 1} r ON r.node = e.src
+        JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT n.node,
+             CAST({base} + ({d} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN s{i} s USING (node)
+    )"""
+    sql += f"""
+    SELECT node AS nation, rank AS rank_scaled,
+           CAST(row_number() OVER (ORDER BY rank DESC, node ASC) AS INT) AS rk
+    FROM r{iterations}
+    """
+    return sql
+
+
+@query("nation_trade_pagerank", oracle=_pagerank_oracle())
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph: a directed edge
+    cust_nation -> supp_nation wherever that pair's trade-line count
+    is above the all-pairs average (n * n_pairs > total — the
+    multiply-don't-divide trick keeps the threshold integer-exact on
+    both engines). Three power iterations in fixed-point integer
+    arithmetic (operators/graph.py:pagerank_int), so the iterative
+    result hash-matches the DuckDB unrolled-CTE oracle exactly —
+    float PageRank never could (summation order changes low bits).
+    Scale: edge derivation is the Q7 join (big-big on orderkey,
+    dims broadcast); each iteration shuffles only the EDGE list
+    (nations^2 rows here; bounded by the graph, not the fact table).
+    The final ranking window is over #nodes rows — driver-scale."""
+    from logicash_etl_spark.operators.graph import pagerank_int
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    pair = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(ns), su.s_nationkey == ns.s_nk)
+        .join(F.broadcast(nc), cu.c_nationkey == nc.c_nk)
+        .filter(F.col("s_nk") != F.col("c_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pair.agg(
+        F.sum("n").alias("total_n"), F.count("*").alias("n_pairs")
+    )
+    edges = (
+        pair.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * F.col("n_pairs") > F.col("total_n"))
+        .select("src", "dst")
+    )
+    nodes = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("node"))
+    ranks = pagerank_int(nodes, edges, iterations=3)
+    # global ranking window over #nations rows — driver-scale frame
+    w = W.orderBy(F.desc("rank"), F.asc("node"))
+    return ranks.select(
+        F.col("node").alias("nation"),
+        F.col("rank").alias("rank_scaled"),
+        F.row_number().over(w).cast("int").alias("rk"),
+    )

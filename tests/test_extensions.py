@@ -774,3 +774,38 @@ def test_bpe_oracle_survives_merge_exhaustion(spark):
         for r in wc.select("word", bpe_encode(F.col("word"), merges).alias("e")).collect()
     }
     assert got == oracle
+
+
+def test_pagerank_int_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.graph import pagerank_int
+
+    # star graph: hub -> a,b,c and a,b,c -> hub; isolated node z
+    nodes = spark.createDataFrame(
+        [("hub",), ("a",), ("b",), ("c",), ("z",)], "node string"
+    )
+    edges = spark.createDataFrame(
+        [("hub", "a"), ("hub", "b"), ("hub", "c"),
+         ("a", "hub"), ("b", "hub"), ("c", "hub")],
+        "src string, dst string",
+    )
+    scale = 10**9
+    out = {r.node: r.rank for r in pagerank_int(nodes, edges, 3).collect()}
+    base = 15 * scale // 100
+    # isolated node: damping base only
+    assert out["z"] == base
+    # hub collects from 3 spokes: strictly the top rank
+    assert out["hub"] > max(out["a"], out["b"], out["c"])
+    # symmetric spokes get identical (integer-exact) ranks
+    assert out["a"] == out["b"] == out["c"]
+    # mass never exceeds the initial total (floor + dangling only leak)
+    assert sum(out.values()) <= 5 * scale
+    # deterministic under physical layout changes
+    out2 = {
+        r.node: r.rank
+        for r in pagerank_int(
+            nodes.repartition(4), edges.repartition(3), 3
+        ).collect()
+    }
+    assert out == out2
