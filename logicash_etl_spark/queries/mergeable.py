@@ -209,3 +209,101 @@ def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (0.5 * F.col("total") <= F.col("cum_n"))
         ).alias("contains_p50"),
     )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ), wc_src AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY source, word
+    ), h_src AS (
+      SELECT source, word, n, i,
+             CAST(('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || word),
+                                  1, 8)) AS BIGINT) % 512 AS bucket
+      FROM wc_src, (VALUES (0), (1), (2)) t(i)
+    ), cms_partial AS (
+      SELECT source, i, bucket, CAST(SUM(n) AS BIGINT) AS c
+      FROM h_src GROUP BY source, i, bucket
+    ), cms AS (
+      SELECT i, bucket, CAST(SUM(c) AS BIGINT) AS c
+      FROM cms_partial GROUP BY i, bucket
+    ), wc AS (
+      SELECT word, CAST(SUM(n) AS BIGINT) AS n FROM wc_src GROUP BY word
+    ), top AS (
+      SELECT word, n FROM wc ORDER BY n DESC, word LIMIT 20
+    ), th AS (
+      SELECT t.word, t.n, i,
+             CAST(('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || t.word),
+                                  1, 8)) AS BIGINT) % 512 AS bucket
+      FROM top t, (VALUES (0), (1), (2)) t2(i)
+    )
+    SELECT th.word, th.n, CAST(MIN(c.c) AS BIGINT) AS est,
+           CAST(MIN(c.c) - th.n AS BIGINT) AS overcount
+    FROM th JOIN cms c ON c.i = th.i AND c.bucket = th.bucket
+    GROUP BY th.word, th.n
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters, built MERGEABLY: per-source CMS
+    partials (3 hash rows x 512 buckets of longs — a few KB each)
+    merged by plain vector addition into the corpus sketch, then the
+    top-20 words' estimates read off it (est = min over rows of the
+    word's bucket counter). CMS admits only overcounting, and because
+    the md5 double-hash construction is engine-portable the estimate
+    — and therefore ``overcount`` — is DETERMINISTIC: the DuckDB
+    oracle rebuilds the identical sketch and the driver hash-pins the
+    sketch path exactly, not just within bounds. At 100 TB this is
+    the frequency analog of the HLL merge above: per-partition
+    sketches are map-side state of constant size, merged in one
+    reduce of #sources x 1536 rows; the raw token stream is touched
+    once (word counts partial-aggregate before sketching, so the
+    sketch build shuffles |vocab| rows, never |tokens|)."""
+    from logicash_etl_spark.operators.text import tokens
+
+    d_rows, w_buckets = 3, 512
+    docs = read_table(spark, sf_dir, "documents")
+    wc_src = (
+        docs.select(
+            "source", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def _bucketed(df: DataFrame) -> DataFrame:
+        h = F.md5(
+            F.concat(F.lit("cms"), F.col("i").cast("string"), F.col("word"))
+        )
+        return df.select(
+            df["*"],
+            F.explode(F.array(*[F.lit(i) for i in range(d_rows)])).alias("i"),
+        ).withColumn(
+            "bucket",
+            F.pmod(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
+                F.lit(w_buckets),
+            ),
+        )
+
+    # stage 1: per-source partial sketches; stage 2: merge (vector add)
+    cms_partial = _bucketed(wc_src).groupBy("source", "i", "bucket").agg(
+        F.sum("n").alias("c")
+    )
+    cms = cms_partial.groupBy("i", "bucket").agg(F.sum("c").alias("c"))
+    wc = wc_src.groupBy("word").agg(F.sum("n").alias("n"))
+    top = wc.orderBy(F.desc("n"), F.col("word").asc()).limit(20)
+    th = _bucketed(top)
+    return (
+        th.join(F.broadcast(cms), on=["i", "bucket"])
+        .groupBy("word", "n")
+        .agg(F.min("c").alias("est"))
+        .select(
+            "word", "n", "est", (F.col("est") - F.col("n")).alias("overcount")
+        )
+    )

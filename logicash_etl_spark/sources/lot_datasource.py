@@ -370,6 +370,23 @@ class _LotStreamReader(SimpleDataSourceStreamReader):
         if not self._root:
             raise ValueError("logicash_lot: option 'path' is required")
         self._header = options.get("header", "true").lower() == "true"
+        # admission control (the maxFilesPerTrigger analog): cap how
+        # many NEW lots one micro-batch admits. Under a backlog —
+        # restart after downtime, a slow consumer — an uncapped batch
+        # is O(backlog) and can exceed executor memory / checkpoint
+        # interval; the cap bounds every batch to a planned size and
+        # AvailableNow drains the rest as successive batches. 0 = no
+        # cap. Lots admit in sorted-name order, so capped consumption
+        # is deterministic.
+        raw = options.get(
+            "maxlotspertrigger", options.get("maxLotsPerTrigger", "0")
+        )
+        try:
+            self._max_lots = int(raw)
+        except ValueError as exc:
+            raise ValueError(
+                f"logicash_lot: maxLotsPerTrigger must be an int, got {raw!r}"
+            ) from exc
 
     def _ready_lots(self) -> list[str]:
         if not os.path.isdir(self._root):
@@ -456,6 +473,12 @@ class _LotStreamReader(SimpleDataSourceStreamReader):
                 "immutable once consumed)"
             )
         new = [lot for lot in ready if os.path.basename(lot) not in done]
+        if self._max_lots > 0:
+            # admission cap: admit the first N in sorted-name order;
+            # the remainder stays unconsumed and lands in the NEXT
+            # batch (AvailableNow keeps triggering while the offset
+            # still advances)
+            new = new[: self._max_lots]
         end = dict(done)
         for lot in new:
             end[os.path.basename(lot)] = self._stamp(lot)

@@ -383,3 +383,54 @@ def test_lot_stream_rejects_consumed_lot_mutation(spark, tmp_path):
 
     with _pytest.raises(Exception, match="mutated|StreamingQueryException"):
         drain()
+
+
+def test_lot_stream_max_lots_per_trigger(spark, tmp_path):
+    """Admission control: with maxLotsPerTrigger=1 and a 3-lot
+    backlog, a continuous trigger admits exactly one lot per
+    micro-batch in sorted-name order; nothing is lost or duplicated.
+    (AvailableNow snapshots the offset once, so under a cap it drains
+    only the first batch — the cap is a continuous-trigger knob.)"""
+    import os
+    import time
+
+    from logicash_etl_spark.sources.lot_datasource import register_lot_source
+
+    register_lot_source(spark)
+    root = str(tmp_path / "lots")
+    for i in range(3):
+        d = os.path.join(root, f"lot_{i}", "t")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.csv"), "w") as fh:
+            fh.write("id\n")
+            for r in range(i * 10, i * 10 + 10):
+                fh.write(f"{r}\n")
+        with open(os.path.join(root, f"lot_{i}", "_READY"), "w") as fh:
+            fh.write("ok\n")
+
+    epochs = []
+
+    def fb(bdf, eid):
+        epochs.append((eid, sorted(r.id for r in bdf.select("id").collect())))
+
+    st = (
+        spark.readStream.format("logicash_lot")
+        .schema("id long")
+        .option("path", root)
+        .option("maxLotsPerTrigger", "1")
+        .load()
+    )
+    q = (
+        st.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 90
+    while len(epochs) < 3 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    assert [e[0] for e in epochs[:3]] == [0, 1, 2]
+    assert epochs[0][1] == list(range(0, 10))      # one lot per batch,
+    assert epochs[1][1] == list(range(10, 20))     # sorted-name order
+    assert epochs[2][1] == list(range(20, 30))
