@@ -39,8 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # not-yet-checked queries are ordered first; long-green ones rotate to
 # the back (their local parity tests still run every session).
 #
-# Round-5 rotation: every r04-green query joins the set; the 16 NOT
-# listed are this round's changes and additions, ordered first so
+# Round-5 rotation: every r04-green query joins the set; the queries
+# NOT listed are this round's changes and additions, ordered first so
 # CORRECTNESS_r05 records them: the two fixed oracles
 # (token_budget_sample, token_balanced_shards — r4 HUGEINT->float64
 # hash failures), the seven rows-only -> oracle upgrades
@@ -48,9 +48,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # ivf_ann_topk, semantic_dedup_stats, bpe_merges_report), two whose
 # implementations changed (media_phash_dups via banded_hamming_pairs,
 # lot_datasource_rollup via the lot source), one whose drain moved to
-# a parquet sink (streaming_dedup_counts), and the four new queries
+# a parquet sink (streaming_dedup_counts), the four round-5 queries
 # (bpe_token_counts, token_budget_sample_bpe,
-# streaming_incremental_dedup, mixture_build_plan).
+# streaming_incremental_dedup, mixture_build_plan), and the
+# second-sweep additions (audio_chunk_inventory, weighted_sample_topk,
+# quantile_sketch_merge, bloom_join_prune_stats, bloom_pruned_revenue,
+# nation_trade_pagerank, cms_heavy_hitters) — 23 total, within the
+# driver's 50-row snapshot.
 _DRIVER_GREEN = {
     'approx_sketches', 'array_function_surface', 'asof_last_purchase',
     'benchmark_contamination', 'big_ticket_orders',

@@ -513,3 +513,19 @@ def test_collocation_unigram_sides_broadcast(spark, sf_dir):
     p = plan_string(df)
     assert "CartesianProduct" not in p
     assert has_take_ordered(df)
+
+
+def test_bloom_pruned_revenue_plan(spark, sf_dir):
+    """The bloom-pruned pipeline must keep the fact table un-shuffled:
+    every join is broadcast (bitmap probe + two semi-joins); no
+    SortMergeJoin and no cartesian anywhere."""
+    df = QUERIES["bloom_pruned_revenue"](spark, sf_dir)
+    plan = plan_string(df)
+    strategies = join_strategies(df)
+    assert strategies, "expected joins in the bloom-pruned plan"
+    assert all(
+        s in ("BroadcastHashJoin", "BroadcastNestedLoopJoin") or "Broadcast" in s
+        for s in strategies
+    ), strategies
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
