@@ -384,37 +384,57 @@ def bloom_filter_probe(
 ) -> DataFrame:
     """Tag each row of ``df`` with ``bloom_pass``: True iff all
     k hash positions of its key are set in the broadcast bitmap.
-    Map-side only: k broadcast-hash lookups per row, no shuffle of
-    ``df`` itself (the explode/groupBy runs per distinct key when the
-    caller pre-distincts, or per row otherwise — either way the big
-    side never moves). False positives possible (rate ~ (1-e^{-kn/m})^k),
-    false negatives impossible."""
-    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+
+    The verdict is a pure function of the KEY, so it is computed once
+    per distinct key (explode k probes -> broadcast-join the bitmap
+    -> all-k-hit per key) and broadcast-joined back to ``df`` — the
+    big side itself never shuffles, and duplicate keys cost nothing
+    extra. Null keys cannot be members (a Bloom filter stores hashes
+    of values): they get ``bloom_pass = False``. False positives
+    possible (rate ~ (1-e^{-kn/m})^k), false negatives impossible."""
+    h = F.md5(F.concat(F.lit(salt), F.col("__key").cast("string")))
     h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
     h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
-    tagged = df.withColumn("__h1", h1).withColumn("__h2", h2).withColumn(
-        "__row", F.monotonically_increasing_id()
-    )
-    probes = tagged.select(
-        "__row",
-        F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("__i"),
-        F.pmod(
-            F.col("__h1") + F.expr("__i * __h2"), F.lit(m_bits)
-        ).alias("__pos"),
-    ).select(
-        "__row",
-        F.expr("__pos div 32").alias("word"),
-        F.expr("CAST(__pos % 32 AS INT)").alias("__bit"),
+    probes = (
+        df.select(F.col(key_col).alias("__key"))
+        .filter(F.col("__key").isNotNull())
+        .distinct()
+        .withColumn("__h1", h1)
+        .withColumn("__h2", h2)
+        .select(
+            "__key",
+            "__h1",
+            "__h2",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(k_hashes)])
+            ).alias("__i"),
+        )
+        .select(
+            "__key",
+            F.pmod(
+                F.col("__h1") + F.expr("__i * __h2"), F.lit(m_bits)
+            ).alias("__pos"),
+        )
+        .select(
+            "__key",
+            F.expr("__pos div 32").alias("word"),
+            F.expr("CAST(__pos % 32 AS INT)").alias("__bit"),
+        )
     )
     hits = probes.join(F.broadcast(bloom), on="word", how="left").select(
-        "__row",
+        "__key",
         F.coalesce(
             F.expr("((bits >> __bit) & 1) = 1"), F.lit(False)
         ).alias("__hit"),
     )
-    verdict = hits.groupBy("__row").agg(
+    verdict = hits.groupBy("__key").agg(
         (F.count(F.when(F.col("__hit"), 1)) == k_hashes).alias(verdict_col)
     )
-    return tagged.join(verdict, on="__row", how="inner").drop(
-        "__row", "__h1", "__h2"
+    # join strategy left to Catalyst: the verdict frame is one row per
+    # distinct key — tiny for dimension-selective filters (broadcast),
+    # a key-level shuffle at worst (never a row-level one)
+    return (
+        df.join(verdict, on=df[key_col] == F.col("__key"), how="left")
+        .withColumn(verdict_col, F.coalesce(verdict_col, F.lit(False)))
+        .drop("__key")
     )

@@ -100,3 +100,10 @@ def test_bloom_filter_no_false_negatives(spark, sf_dir):
     assert (
         joined.filter(F.col("m") & ~F.col("bloom_pass")).count() == 0
     )
+    # null keys are never members and never dropped
+    with_null = probe.unionByName(
+        spark.createDataFrame([(None,)], "key int")
+    )
+    tagged_n = bloom_filter_probe(with_null, "key", bloom, m_bits=128, k_hashes=3)
+    assert tagged_n.count() == probe.count() + 1
+    assert tagged_n.filter(F.col("key").isNull()).first().bloom_pass is False
