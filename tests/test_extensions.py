@@ -809,3 +809,50 @@ def test_pagerank_int_invariants(spark):
         ).collect()
     }
     assert out == out2
+
+
+def test_cms_never_underestimates_full_vocab(spark, sf_dir):
+    """CMS contract over EVERY word (not just the top-20 the query
+    emits): min-of-rows estimate >= exact count, always."""
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.text import tokens
+    from logicash_etl_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    h = F.md5(F.concat(F.lit("cms"), F.col("i").cast("string"), F.col("word")))
+    bucketed = wc.select(
+        "word", "n",
+        F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("i"),
+    ).withColumn(
+        "bucket",
+        F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(512)),
+    )
+    cms = bucketed.groupBy("i", "bucket").agg(F.sum("n").alias("c"))
+    est = (
+        bucketed.join(cms, on=["i", "bucket"])
+        .groupBy("word", "n")
+        .agg(F.min("c").alias("est"))
+    )
+    assert est.filter(F.col("est") < F.col("n")).count() == 0
+
+
+def test_quantile_sketch_single_median_bucket(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.queries import QUERIES
+
+    out = QUERIES["quantile_sketch_merge"](spark, sf_dir)
+    assert out.filter(F.col("contains_p50")).count() == 1
+    # cum_n of the last bucket equals the total row count
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"
+    ).fetchone()[0]
+    assert out.orderBy(F.desc("bucket")).first().cum_n == total
