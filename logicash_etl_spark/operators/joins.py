@@ -364,7 +364,9 @@ def bloom_filter_build(
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
     h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
-    probes = keys.select(
+    # null keys carry no information (a Bloom filter stores value
+    # hashes) and would add a junk null-word row to the bitmap
+    probes = keys.filter(F.col(key_col).isNotNull()).select(
         F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("__i"),
         h1.alias("__h1"),
         h2.alias("__h2"),
