@@ -6,6 +6,8 @@ from logicash_etl_spark.operators.joins import (
     anti_join,
     range_join,
     asof_join,
+    bloom_filter_build,
+    bloom_filter_probe,
 )
 from logicash_etl_spark.operators.aggregates import (
     grouped_summary,
@@ -13,6 +15,8 @@ from logicash_etl_spark.operators.aggregates import (
     scd1_latest,
     top_k,
 )
+from logicash_etl_spark.operators.graph import pagerank_int
+from logicash_etl_spark.operators.sampling import weighted_topk_sample
 from logicash_etl_spark.operators.windows import ranked, sessionize
 from logicash_etl_spark.operators.merge import upsert, scd2_apply, scd2_init
 
@@ -25,10 +29,14 @@ __all__ = [
     "anti_join",
     "range_join",
     "asof_join",
+    "bloom_filter_build",
+    "bloom_filter_probe",
     "grouped_summary",
     "conditional_pivot",
     "scd1_latest",
     "top_k",
+    "pagerank_int",
+    "weighted_topk_sample",
     "ranked",
     "sessionize",
 ]
