@@ -361,6 +361,12 @@ def bloom_filter_build(
     ``bit_or(1 << (pos % 32))``; bit index <= 31 keeps every word
     positive and shift-safe in both engines.
     """
+    if m_bits <= 0 or m_bits % 32 != 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 32, got {m_bits}"
+        )
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
     h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
