@@ -573,3 +573,105 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="source", k=5,
     )
     return out.select("source", "doc_id", F.col("rk").cast("int").alias("rk"))
+
+
+@query(
+    "bloom_history_dedup",
+    oracle=r"""
+    WITH fps AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               (list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> ''))[1:8], ' ')) AS fp
+      FROM documents
+    ), hist AS (
+      SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8
+    ), hsh AS (
+      SELECT fp,
+        CAST(('0x' || substr(md5('bf' || fp), 1, 8)) AS BIGINT) AS h1,
+        CAST(('0x' || substr(md5('bf' || fp), 9, 8)) AS BIGINT) AS h2
+      FROM hist
+    ), bitmap AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM (SELECT (h1 + i * h2) % 4096 AS pos
+            FROM hsh, (VALUES (0), (1), (2)) t(i))
+      GROUP BY word
+    ), incoming AS (
+      SELECT doc_id, source, fp FROM fps WHERE doc_id % 10 >= 8
+    ), phsh AS (
+      SELECT DISTINCT fp,
+        CAST(('0x' || substr(md5('bf' || fp), 1, 8)) AS BIGINT) AS h1,
+        CAST(('0x' || substr(md5('bf' || fp), 9, 8)) AS BIGINT) AS h2
+      FROM incoming
+    ), hits AS (
+      SELECT p.fp,
+             COALESCE(((b.bits >> CAST(p.pos % 32 AS INT)) & 1) = 1, FALSE)
+               AS hit
+      FROM (SELECT fp, (h1 + i * h2) % 4096 AS pos
+            FROM phsh, (VALUES (0), (1), (2)) t(i)) p
+      LEFT JOIN bitmap b ON b.word = p.pos // 32
+    ), verdict AS (
+      SELECT fp, (SUM(CASE WHEN hit THEN 1 ELSE 0 END) = 3) AS bloom_pass
+      FROM hits GROUP BY fp
+    )
+    SELECT i.doc_id, i.source,
+           CASE WHEN NOT v.bloom_pass THEN 'new_fast_path'
+                WHEN h.fp IS NOT NULL THEN 'dup_of_history'
+                ELSE 'new_after_check' END AS status
+    FROM incoming i
+      JOIN verdict v ON v.fp = i.fp
+      LEFT JOIN hist h ON h.fp = i.fp
+    """,
+)
+def bloom_history_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated incremental dedup — the runtime filter's
+    highest-value curation use. A 100 TB corpus's fingerprint store is
+    huge; joining every incoming lot against it is the dominant dedup
+    cost. A Bloom filter over the store (kilobytes, broadcast) gives
+    each incoming doc a free verdict: ``bloom_pass = False`` is
+    DEFINITIVELY new — no join needed (``new_fast_path``, the
+    majority for fresh crawl data); only bloom survivors pay the
+    exact store join, which also unmasks the filter's false positives
+    (``new_after_check`` vs ``dup_of_history``). No false negatives
+    by construction, so no dup ever slips through the fast path —
+    the oracle rebuilds the identical md5 bitmap in SQL and the
+    driver hash-checks every per-doc status, fast path included.
+    The fingerprint is the LEAD fingerprint (md5 of the first 8
+    tokens): docs sharing an identical opening are overwhelmingly
+    boilerplate or re-crawls, so it catches dups full-text md5
+    misses while staying exact-comparable in SQL."""
+    from logicash_etl_spark.operators.joins import (
+        bloom_filter_build,
+        bloom_filter_probe,
+    )
+    from logicash_etl_spark.operators.text import tokens
+
+    m_bits, k = 4096, 3
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(
+                F.slice(tokens(F.lower(F.col("text"))), 1, 8), " "
+            )
+        ).alias("fp"),
+    )
+    hist = docs.filter(F.col("doc_id") % 10 < 8).select("fp").distinct()
+    incoming = docs.filter(F.col("doc_id") % 10 >= 8)
+    bloom = bloom_filter_build(hist, "fp", m_bits=m_bits, k_hashes=k)
+    probed = bloom_filter_probe(
+        incoming, "fp", bloom, m_bits=m_bits, k_hashes=k
+    )
+    # only bloom survivors join the (large) history store
+    checked = probed.join(
+        hist.withColumn("__in_hist", F.lit(True)), on="fp", how="left"
+    )
+    return checked.select(
+        "doc_id",
+        "source",
+        F.when(~F.col("bloom_pass"), "new_fast_path")
+        .when(F.col("__in_hist"), "dup_of_history")
+        .otherwise("new_after_check")
+        .alias("status"),
+    )
