@@ -241,6 +241,7 @@ def pagerank_int(
     iterations: int = 3,
     scale: int = 10**9,
     damping_pct: int = 85,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """PageRank power iteration in FIXED-POINT INTEGER arithmetic.
 
@@ -259,13 +260,19 @@ def pagerank_int(
 
     Scale: each iteration is one join of ranks against the edge list
     (shuffle on src) plus a groupBy dst — the standard Pregel-style
-    superstep; nothing ever collects to the driver. For deep
-    iteration counts, localCheckpoint() every ~5 rounds to cut
-    lineage (the connected-components loop above does the same)."""
+    superstep; nothing ever collects to the driver. Each superstep
+    nests ~3 joins into the logical plan, so for deep iteration
+    counts Catalyst analysis — not the data — would become the
+    bottleneck; the loop localCheckpoint()s ``ranks`` every
+    ``checkpoint_every`` rounds to truncate lineage to a leaf (the
+    same iteration rule the connected-components loop above pins).
+    One materialization per checkpoint is the price; flat per-round
+    plan size is the win (tests/test_extensions.py pins a
+    20-iteration run)."""
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(outdeg, "src")
@@ -284,4 +291,8 @@ def pagerank_int(
                 )
             ).cast("bigint").alias("rank"),
         )
+        # sever lineage every few supersteps: eager=True materializes
+        # once and replaces the nested-join plan with a leaf
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks

@@ -446,3 +446,59 @@ def bloom_filter_probe(
         .withColumn(verdict_col, F.coalesce(verdict_col, F.lit(False)))
         .drop("__key")
     )
+
+
+def bloom_filter_probe_literal(
+    df: DataFrame, key_col: str, bloom: DataFrame,
+    m_bits: int = 4096, k_hashes: int = 3, salt: str = "bf",
+    verdict_col: str = "bloom_pass",
+) -> DataFrame:
+    """Row-level Bloom probe with ZERO shuffle and ZERO join: the
+    bitmap's ``m_bits/32`` packed words (128 BIGINTs at the default)
+    are collected once to the driver and inlined as a literal array;
+    each row's k md5 probes then evaluate as a pure JVM expression
+    inside whole-stage codegen — the probed frame's partitioning is
+    untouched and no verdict frame ever exists.
+
+    This is the right probe when keys are ~unique per row (document
+    fingerprints): the key-level variant above (``bloom_filter_probe``)
+    would pay a ``distinct()`` plus a verdict join-back — two full
+    shuffles of a frame the size of the input — for verdicts that are
+    never shared between rows. Here the only cluster cost is one md5
+    + 2k integer ops per row, and the bitmap literal ships inside the
+    serialized plan (a few KB). Prefer ``bloom_filter_probe`` only for
+    FK-style keys where few distinct keys cover many rows AND the
+    bitmap is too large to inline.
+
+    Null keys cannot be members: ``bloom_pass = False``. False
+    positives possible, false negatives impossible — identical
+    semantics (and identical bits, same md5 double-hash) to the
+    key-level probe."""
+    if m_bits <= 0 or m_bits % 32 != 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 32, got {m_bits}"
+        )
+    n_words = m_bits // 32
+    # bounded driver collect: exactly m_bits/32 rows (128 at default)
+    words = {int(r["word"]): int(r["bits"]) for r in bloom.collect()}
+    arr = F.array(
+        *[F.lit(words.get(i, 0)).cast("bigint") for i in range(n_words)]
+    )
+    t = "__bfp"
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    out = (
+        df.withColumn(f"{t}_words", arr)
+        .withColumn(f"{t}_h1", F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"))
+        .withColumn(f"{t}_h2", F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint"))
+    )
+    hit = F.lit(True)
+    for i in range(k_hashes):
+        pos = f"pmod({t}_h1 + {i} * {t}_h2, {m_bits})"
+        hit = hit & F.expr(
+            f"((element_at({t}_words, CAST(({pos}) DIV 32 AS INT) + 1)"
+            f" >> CAST(({pos}) % 32 AS INT)) & 1) = 1"
+        )
+    return (
+        out.withColumn(verdict_col, F.coalesce(hit, F.lit(False)))
+        .drop(f"{t}_words", f"{t}_h1", f"{t}_h2")
+    )

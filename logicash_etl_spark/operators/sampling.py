@@ -84,13 +84,16 @@ def weighted_topk_sample(
     driver state; the draw is the content hash, so the sample is
     identical across cluster sizes and engines. Rows with
     non-positive or null weights are excluded (they would yield
-    negative/undefined rates). u == 0 (p = 2^-32) maps to
-    E = +inf on both Spark and DuckDB: the row sorts last, never
-    sampled — consistent everywhere."""
+    negative/undefined rates). u == 0 (p = 2^-32 per row, so it
+    WILL occur at billions of rows) is guarded explicitly: the key
+    is NULL and ordered NULLS LAST — the row is never sampled.
+    Without the guard the engines diverge: Spark ln(0) returns NULL
+    (which asc() would sort FIRST), DuckDB ln(0) raises; the guard +
+    asc_nulls_last makes both produce the same deterministic answer."""
     u = _u(F.col(id_col), salt)
-    key = -F.log(u) / F.col(weight_col)
+    key = F.when(u > 0, -F.log(u) / F.col(weight_col))
     w = Window.partitionBy(group_col).orderBy(
-        key.asc(), F.col(id_col).asc()
+        key.asc_nulls_last(), F.col(id_col).asc()
     )
     return (
         df.filter(F.col(weight_col) > 0)

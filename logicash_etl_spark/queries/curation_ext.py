@@ -537,17 +537,21 @@ def mixture_build_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weighted_sample_topk",
     oracle="""
     WITH d AS (
-      SELECT source, doc_id,
-             -ln(CAST(CAST(('0x' || substr(md5('wsample' ||
+      SELECT source, doc_id, n_chars,
+             CAST(CAST(('0x' || substr(md5('wsample' ||
                     CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
-                 / 4294967296.0) / n_chars AS ekey
+                 / 4294967296.0 AS u
       FROM documents WHERE n_chars > 0
+    ), k AS (
+      SELECT source, doc_id,
+             CASE WHEN u > 0 THEN -ln(u) / n_chars ELSE NULL END AS ekey
+      FROM d
     ), r AS (
       SELECT source, doc_id,
              CAST(row_number() OVER (
-               PARTITION BY source ORDER BY ekey ASC, doc_id ASC
+               PARTITION BY source ORDER BY ekey ASC NULLS LAST, doc_id ASC
              ) AS INT) AS rk
-      FROM d
+      FROM k
     )
     SELECT source, doc_id, rk FROM r WHERE rk <= 5
     """,
@@ -637,13 +641,24 @@ def bloom_history_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction, so no dup ever slips through the fast path —
     the oracle rebuilds the identical md5 bitmap in SQL and the
     driver hash-checks every per-doc status, fast path included.
+
+    The plan REALIZES the pruning it advertises: the probe is the
+    row-level broadcast-literal bitmap evaluation
+    (operators/joins.py:bloom_filter_probe_literal — zero shuffle,
+    zero join; fingerprints are ~unique per row, so the key-level
+    probe's distinct + verdict join-back would be two wasted full
+    shuffles), and the frame is SPLIT on the verdict before the
+    store join: ``bloom_pass = False`` rows take a join-free branch
+    straight to ``new_fast_path``, and ONLY survivors are joined
+    against the history store (plan-pinned in
+    tests/test_plan_contracts.py::test_bloom_history_dedup_plan).
     The fingerprint is the LEAD fingerprint (md5 of the first 8
     tokens): docs sharing an identical opening are overwhelmingly
     boilerplate or re-crawls, so it catches dups full-text md5
     misses while staying exact-comparable in SQL."""
     from logicash_etl_spark.operators.joins import (
         bloom_filter_build,
-        bloom_filter_probe,
+        bloom_filter_probe_literal,
     )
     from logicash_etl_spark.operators.text import tokens
 
@@ -660,18 +675,23 @@ def bloom_history_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = docs.filter(F.col("doc_id") % 10 < 8).select("fp").distinct()
     incoming = docs.filter(F.col("doc_id") % 10 >= 8)
     bloom = bloom_filter_build(hist, "fp", m_bits=m_bits, k_hashes=k)
-    probed = bloom_filter_probe(
+    probed = bloom_filter_probe_literal(
         incoming, "fp", bloom, m_bits=m_bits, k_hashes=k
     )
-    # only bloom survivors join the (large) history store
-    checked = probed.join(
-        hist.withColumn("__in_hist", F.lit(True)), on="fp", how="left"
+    # fast path: definitively-new rows never touch the history store
+    fast = probed.filter(~F.col("bloom_pass")).select(
+        "doc_id", "source", F.lit("new_fast_path").alias("status")
     )
-    return checked.select(
-        "doc_id",
-        "source",
-        F.when(~F.col("bloom_pass"), "new_fast_path")
-        .when(F.col("__in_hist"), "dup_of_history")
-        .otherwise("new_after_check")
-        .alias("status"),
+    # only bloom survivors pay the (large) history-store join
+    checked = (
+        probed.filter(F.col("bloom_pass"))
+        .join(hist.withColumn("__in_hist", F.lit(True)), on="fp", how="left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("__in_hist"), "dup_of_history")
+            .otherwise("new_after_check")
+            .alias("status"),
+        )
     )
+    return fast.unionByName(checked)

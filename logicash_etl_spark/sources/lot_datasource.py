@@ -458,6 +458,7 @@ class _LotStreamReader(SimpleDataSourceStreamReader):
         # was mutated after consumption — its replay would differ from
         # the committed batch, so fail loudly instead of silently
         # never delivering the new generation
+        ready_names = {os.path.basename(lot) for lot in ready}
         mutated = [
             os.path.basename(lot)
             for lot in ready
@@ -465,12 +466,21 @@ class _LotStreamReader(SimpleDataSourceStreamReader):
             and done[os.path.basename(lot)] != ""
             and self._stamp(lot) != done[os.path.basename(lot)]
         ]
-        if mutated:
+        # a consumed lot that VANISHED is the same contract violation
+        # as a mutated one (and would otherwise only surface later, if
+        # a checkpoint replay happens to need it) — match
+        # readBetweenOffsets' "mutated or missing" posture here too
+        missing = [
+            name
+            for name, stamp in done.items()
+            if stamp != "" and name not in ready_names
+        ]
+        if mutated or missing:
             raise RuntimeError(
-                "logicash_lot stream: consumed lot(s) mutated after "
-                f"consumption: {mutated}; producers feeding a stream "
-                "must write new data as NEW lots (flagged lots are "
-                "immutable once consumed)"
+                "logicash_lot stream: consumed lot(s) mutated or "
+                f"deleted after consumption: {sorted(mutated + missing)}; "
+                "producers feeding a stream must write new data as NEW "
+                "lots (flagged lots are immutable once consumed)"
             )
         new = [lot for lot in ready if os.path.basename(lot) not in done]
         if self._max_lots > 0:

@@ -856,3 +856,44 @@ def test_quantile_sketch_single_median_bucket(spark, sf_dir):
         f"SELECT count(*) FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"
     ).fetchone()[0]
     assert out.orderBy(F.desc("bucket")).first().cum_n == total
+
+
+def test_pagerank_deep_iteration_flat_plan(spark):
+    """20 supersteps must complete without Catalyst blow-up: the loop
+    localCheckpoint()s ranks every 5 rounds, so the analyzed-plan size
+    is flat (bounded by one checkpoint window, not 20 nested joins) —
+    the iteration rule connected_components pins, applied here."""
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.graph import pagerank_int
+
+    nodes = spark.createDataFrame(
+        [(f"n{i}",) for i in range(10)], "node string"
+    )
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 10}") for i in range(10)]
+        + [(f"n{i}", f"n{(i + 3) % 10}") for i in range(10)],
+        "src string, dst string",
+    )
+    deep = pagerank_int(nodes, edges, iterations=20)
+    # plan truncated to at most one checkpoint window of supersteps:
+    # without checkpointing 20 rounds nest ~60 joins; with it the
+    # final plan holds at most 5 rounds' worth
+    plan = deep._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Join") <= 4 * 6
+    out = {r.node: r.rank for r in deep.collect()}
+    assert len(out) == 10
+    # ring+chord is vertex-transitive: every node has identical rank,
+    # and 20 rounds of integer floor ops stay mass-bounded
+    assert len(set(out.values())) == 1
+    assert 0 < out["n0"] <= 10**9
+    # checkpoint cadence must not change the numbers: 3 iterations
+    # (no checkpoint fires) == 3 iterations with cadence 1
+    a = {r.node: r.rank for r in pagerank_int(nodes, edges, 3).collect()}
+    b = {
+        r.node: r.rank
+        for r in pagerank_int(
+            nodes, edges, 3, checkpoint_every=1
+        ).collect()
+    }
+    assert a == b

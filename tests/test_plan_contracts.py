@@ -529,3 +529,21 @@ def test_bloom_pruned_revenue_plan(spark, sf_dir):
     ), strategies
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_history_dedup_plan(spark, sf_dir):
+    """The Bloom fast path must be REAL: bloom_pass=False rows take a
+    join-free branch (the row-level literal probe is a pure expression),
+    and only survivors join the history store — so the whole plan holds
+    exactly ONE equi-join, and that join's stream side is filtered on
+    the bloom verdict."""
+    df = QUERIES["bloom_history_dedup"](spark, sf_dir)
+    plan = plan_string(df)
+    strategies = join_strategies(df)
+    assert len(strategies) == 1, strategies  # only survivors ⋈ hist
+    # the fast-path branch never touches a join: Union of (join-free
+    # filter branch) and (single-join survivor branch)
+    assert "Union" in plan
+    # survivor filter sits below the join: the join input is pre-pruned
+    # on the verdict expression, i.e. the bitmap-probe conjunction
+    assert plan.count("element_at") >= 3  # k probes inlined as JVM exprs

@@ -107,3 +107,44 @@ def test_bloom_filter_no_false_negatives(spark, sf_dir):
     tagged_n = bloom_filter_probe(with_null, "key", bloom, m_bits=128, k_hashes=3)
     assert tagged_n.count() == probe.count() + 1
     assert tagged_n.filter(F.col("key").isNull()).first().bloom_pass is False
+
+
+def test_bloom_probe_literal_matches_keylevel(spark, sf_dir):
+    """The row-level broadcast-literal probe must produce verdicts
+    identical to the key-level probe (same md5 double-hash, same
+    bitmap) while its plan carries ZERO joins and ZERO exchanges."""
+    from logicash_etl_spark.operators.joins import (
+        bloom_filter_build,
+        bloom_filter_probe,
+        bloom_filter_probe_literal,
+    )
+    from logicash_etl_spark.plans import count_exchanges, plan_string
+
+    sup = read_table(spark, sf_dir, "supplier")
+    members = sup.filter(F.col("s_suppkey") % 3 == 0).select(
+        F.col("s_suppkey").alias("key")
+    )
+    bloom = bloom_filter_build(members, "key", m_bits=128, k_hashes=3)
+    probe = sup.select(F.col("s_suppkey").alias("key"))
+    lit_tagged = bloom_filter_probe_literal(
+        probe, "key", bloom, m_bits=128, k_hashes=3
+    )
+    # zero-shuffle, zero-join contract: pure expression over the scan
+    p = plan_string(lit_tagged)
+    assert "Join" not in p, p
+    assert count_exchanges(lit_tagged) == 0
+    key_tagged = bloom_filter_probe(
+        probe.distinct(), "key", bloom, m_bits=128, k_hashes=3
+    )
+    lit_rows = {
+        (r["key"], r["bloom_pass"]) for r in lit_tagged.distinct().collect()
+    }
+    key_rows = {(r["key"], r["bloom_pass"]) for r in key_tagged.collect()}
+    assert lit_rows == key_rows
+    # null keys: never members, never dropped
+    with_null = probe.unionByName(spark.createDataFrame([(None,)], "key int"))
+    tn = bloom_filter_probe_literal(
+        with_null, "key", bloom, m_bits=128, k_hashes=3
+    )
+    assert tn.count() == probe.count() + 1
+    assert tn.filter(F.col("key").isNull()).first().bloom_pass is False

@@ -434,3 +434,46 @@ def test_lot_stream_max_lots_per_trigger(spark, tmp_path):
     assert epochs[0][1] == list(range(0, 10))      # one lot per batch,
     assert epochs[1][1] == list(range(10, 20))     # sorted-name order
     assert epochs[2][1] == list(range(20, 30))
+
+
+def test_lot_stream_rejects_consumed_lot_deletion(spark, tmp_path):
+    """Deleting a consumed lot is the same contract violation as
+    mutating it — the live read() path must fail the next drain
+    loudly, not only the (later, maybe-never) checkpoint replay."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from logicash_etl_spark.sources.lot_datasource import register_lot_source
+
+    register_lot_source(spark)
+    root = str(tmp_path / "lots")
+    spark.range(5).write.format("logicash_lot").mode("append").option(
+        "path", f"{root}/lot_a"
+    ).save()
+    spark.range(5, 9).write.format("logicash_lot").mode("append").option(
+        "path", f"{root}/lot_b"
+    ).save()
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("logicash_lot")
+            .schema("id long")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(9))
+
+    shutil.rmtree(f"{root}/lot_a")
+    with _pytest.raises(Exception, match="deleted|mutated|StreamingQueryException"):
+        drain()
