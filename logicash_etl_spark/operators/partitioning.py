@@ -132,3 +132,96 @@ def global_prefix_sum(
         .withColumn(out_col, (F.col("__local") + F.col("__off")).cast(sum_type))
         .drop("__b", "__local", "__off")
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_col: str,
+    bucket_key: str,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    buckets: int = 32,
+    inclusive: bool = False,
+) -> DataFrame:
+    """Per-group prefix sum of ``value_col`` WITHOUT a per-group
+    single-reducer window — the grouped form of ``global_prefix_sum``.
+
+    A plain ``Window.partitionBy(group).orderBy(...)`` puts each
+    group's ENTIRE row set on one reducer; with a dominant group (the
+    realistic corpus case — web crawl is always the head source) that
+    is a single-task sort of most of the data. This operator splits
+    every group into ``buckets`` deterministic ranges of
+    ``bucket_key`` (arithmetic split of the group's [min, max] — not
+    sampled bounds), windows within (group, bucket) — bounded,
+    parallel — and chains the bucket totals with a second window over
+    the ``buckets``-row-per-group totals frame. Fully distributed:
+    no driver collect anywhere; the totals frame is
+    O(groups x buckets) rows.
+
+    ``bucket_key``: numeric column, ascending-monotone w.r.t. the
+    intended order (ties allowed — equal keys stay in one bucket).
+    ``order_cols``: the total intra-group order (must refine
+    ``bucket_key``; pass e.g. ``[F.col("n").desc(), F.col("id")]``
+    with ``bucket_key = -n``). Null bucket keys violate the contract
+    and raise executor-side. ``inclusive=True`` yields the running
+    total INCLUDING the current row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    sum_type = df.select(F.sum(value_col)).schema[0].dataType
+    if isinstance(sum_type, T.NullType):
+        sum_type = T.LongType()
+    rng = df.groupBy(group_col).agg(
+        F.min(bucket_key).cast("double").alias("__lo"),
+        F.max(bucket_key).cast("double").alias("__hi"),
+    )
+    key = (
+        F.when(
+            F.col(bucket_key).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"grouped_prefix_sum: bucket_key {bucket_key!r} must "
+                    "be non-null (filter or fill before the scan)"
+                )
+            ).cast("double"),
+        )
+        .otherwise(F.col(bucket_key).cast("double"))
+    )
+    span = F.greatest(
+        (F.col("__hi") - F.col("__lo")) / buckets, F.lit(1e-9)
+    )
+    bucketed = df.join(F.broadcast(rng), on=group_col).withColumn(
+        "__b",
+        F.least(
+            F.lit(buckets - 1),
+            F.floor((key - F.col("__lo")) / span),
+        ).cast("int"),
+    ).drop("__lo", "__hi")
+    w_local = (
+        Window.partitionBy(group_col, "__b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    local = bucketed.withColumn(
+        "__local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    )
+    # exclusive running total of bucket sums: each window partition is
+    # <= buckets rows, so this second window is trivially bounded
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        bucketed.groupBy(group_col, "__b")
+        .agg(F.sum(value_col).alias("__t"))
+        .withColumn("__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0)))
+        .drop("__t")
+    )
+    return (
+        local.join(F.broadcast(offs), on=[group_col, "__b"])
+        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast(sum_type))
+        .drop("__b", "__local", "__off")
+    )

@@ -477,8 +477,12 @@ def mixture_build_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrts (exact, order-independent — the temperature_resample_counts
     trick), so the doubles that reach round(·,6) are bitwise
     reproducible. Plan shape: one corpus scan for token counts, a
-    5-row stats aggregate broadcast back, one per-source window for
-    the admission cumsum — no extra corpus passes at 100 TB."""
+    5-row stats aggregate broadcast back, and the admission cumsum via
+    ``grouped_prefix_sum`` (operators/partitioning.py) — range-bucketed
+    windows WITHIN each source, never a per-source single-reducer
+    window: at 100 TB the dominant source (web crawl is always the
+    head domain) would otherwise sort most of the corpus on one task.
+    Plan-pinned in tests/test_plan_contracts.py."""
     toks = read_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens")
     )
@@ -502,12 +506,17 @@ def mixture_build_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("budget_tokens"),
     )
-    w = (
-        W.partitionBy("source")
-        .orderBy(F.col("n_tokens").desc(), "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
+
+    cum = grouped_prefix_sum(
+        toks.withColumn("__nk", -F.col("n_tokens")),
+        group_col="source",
+        bucket_key="__nk",
+        order_cols=[F.col("n_tokens").desc(), F.col("doc_id")],
+        value_col="n_tokens",
+        out_col="cum_tokens",
+        inclusive=True,
+    ).drop("__nk")
     admitted = (
         cum.join(F.broadcast(budgets.select("source", "budget_tokens")), "source")
         .filter(F.col("cum_tokens") <= F.col("budget_tokens"))

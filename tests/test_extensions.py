@@ -897,3 +897,60 @@ def test_pagerank_deep_iteration_flat_plan(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_grouped_prefix_sum_matches_plain_window(spark):
+    """Range-bucketed grouped scan == the naive per-group window,
+    inclusive and exclusive, including single-row and equal-key
+    groups; null bucket keys raise."""
+    import pytest as _pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
+
+    rows = [
+        ("a", i, (i * 7) % 13 + 1) for i in range(200)
+    ] + [("b", i, 5) for i in range(40)] + [("c", 0, 9)]
+    df = spark.createDataFrame(rows, "g string, id int, v int")
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("v").desc(), "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.g, r.id): r.cs
+        for r in df.withColumn("cs", F.sum("v").over(w)).collect()
+    }
+    got_df = grouped_prefix_sum(
+        df.withColumn("nk", -F.col("v")),
+        group_col="g",
+        bucket_key="nk",
+        order_cols=[F.col("v").desc(), F.col("id")],
+        value_col="v",
+        out_col="cs",
+        buckets=8,
+        inclusive=True,
+    )
+    got = {(r.g, r.id): r.cs for r in got_df.collect()}
+    assert got == want
+    # exclusive mode: shift by the row's own value
+    got_ex = {
+        (r.g, r.id): r.cs
+        for r in grouped_prefix_sum(
+            df.withColumn("nk", -F.col("v")),
+            group_col="g", bucket_key="nk",
+            order_cols=[F.col("v").desc(), F.col("id")],
+            value_col="v", out_col="cs", buckets=8,
+        ).collect()
+    }
+    vals = {(r.g, r.id): r.v for r in df.collect()}
+    assert got_ex == {k: want[k] - vals[k] for k in want}
+    # contract: null bucket key fails loudly, executor-side
+    bad = df.withColumn(
+        "nk", F.when(F.col("id") == 3, None).otherwise(-F.col("v"))
+    )
+    with _pytest.raises(Exception, match="non-null"):
+        grouped_prefix_sum(
+            bad, "g", "nk", [F.col("v").desc(), F.col("id")], "v"
+        ).collect()

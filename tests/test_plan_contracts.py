@@ -547,3 +547,23 @@ def test_bloom_history_dedup_plan(spark, sf_dir):
     # survivor filter sits below the join: the join input is pre-pruned
     # on the verdict expression, i.e. the bitmap-probe conjunction
     assert plan.count("element_at") >= 3  # k probes inlined as JVM exprs
+
+
+def test_mixture_admission_cumsum_is_bucketed(spark, sf_dir):
+    """The admission cumsum must never run a per-source single-reducer
+    window over the corpus-sized frame: every corpus-sized Window in
+    the plan partitions by (source, __b) — the range bucket — so a
+    dominant source splits across reducers."""
+    df = QUERIES["mixture_build_plan"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "__b" in plan  # bucketed windows present
+    import re
+
+    # every Window whose frame orders by n_tokens (the corpus-sized
+    # admission scan) must carry __b in its partition spec; the only
+    # source-only window allowed is the buckets-row offsets chain
+    for m in re.finditer(r"Window \[[^\]]*n_tokens[^\]]*\], \[([^\]]*)\]", plan):
+        part = m.group(1)
+        if "__b" not in part:
+            # offsets window: sums __t over <= buckets rows per source
+            assert "__t" in m.group(0), m.group(0)
