@@ -571,7 +571,14 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       exactly the generations BELOW it (never its own half-written
       output) and rewrites ``verdicts/epoch={N}`` and
       ``hist/gen_epoch{N}`` in place — re-running a batch is a no-op
-      and the output is effectively exactly-once.
+      and the output is effectively exactly-once;
+    - generations don't sprawl on an always-on stream: once more than
+      ``keep_gens`` dirs are live, the batch folds everything below
+      its epoch into an epoch-keyed base snapshot
+      (streaming/history.py — readers ignore dirs below the fold
+      boundary, so partial cleanups are invisible and replays read
+      the identical fingerprint set). Steady-state reads touch at
+      most ``keep_gens + 1`` dirs regardless of uptime.
 
     Lot consumption itself rides on the name-map stream offsets; the
     flag-last write guarantee means a mid-upload lot is never
@@ -580,9 +587,11 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the whole multi-lot evolution is deterministic given the
     (lot, doc_id) arrival order, so plain SQL reproduces it with
     first-occurrence windows over the union of streamed lots."""
-    import os
-
     from logicash_etl_spark.sources.lot_datasource import register_lot_source
+    from logicash_etl_spark.streaming.history import (
+        incremental_dedup_batch_fn,
+        write_history_base,
+    )
 
     register_lot_source(spark)
     # fingerprints at the ingest edge: md5 over text, NULL-safe (the
@@ -594,58 +603,16 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # history generation 0: fingerprints of the pre-existing corpus
     hist_dir = f"{root}/hist"
-    hist0 = (
+    write_history_base(
         docs.filter(F.col("doc_id") % 10 < 8)
         .select("fp")
         .distinct()
-        .withColumn("origin", F.lit("base"))
+        .withColumn("origin", F.lit("base")),
+        hist_dir,
     )
-    hist0.write.mode("overwrite").parquet(f"{hist_dir}/base")
     verdicts = f"{root}/verdicts"
     lots_root = f"{root}/lots"
-
-    from pyspark.sql.window import Window
-
-    def _generations_below(epoch_id: int) -> list[str]:
-        out = [f"{hist_dir}/base"]
-        for d in sorted(os.listdir(hist_dir)):
-            if d.startswith("gen_epoch") and int(d[len("gen_epoch"):]) < epoch_id:
-                out.append(f"{hist_dir}/{d}")
-        return out
-
-    def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
-        # reads span exactly the generations below this epoch; writes
-        # key on epoch_id and overwrite — a retried epoch reads the
-        # same input state and rewrites the same outputs (idempotent
-        # under foreachBatch's at-least-once)
-        cur = spark.read.parquet(*_generations_below(epoch_id))
-        first = F.min("doc_id").over(Window.partitionBy("fp"))
-        out = (
-            bdf.join(cur, "fp", "left")
-            .withColumn("__first", first)
-            .select(
-                "doc_id",
-                "source",
-                "fp",
-                F.when(F.col("origin") == "base", "dup_of_history")
-                .when(F.col("origin") == "stream", "dup_of_earlier_lot")
-                .when(F.col("doc_id") > F.col("__first"), "dup_in_lot")
-                .otherwise("new_unique")
-                .alias("status"),
-            )
-        )
-        out.select("doc_id", "source", "status").write.mode("overwrite").parquet(
-            f"{verdicts}/epoch={epoch_id}"
-        )
-        # append-only history: ONLY this lot's fresh fingerprints
-        (
-            out.filter(F.col("status") == "new_unique")
-            .select("fp")
-            .distinct()
-            .withColumn("origin", F.lit("stream"))
-            .write.mode("overwrite")
-            .parquet(f"{hist_dir}/gen_epoch{epoch_id}")
-        )
+    apply_batch = incremental_dedup_batch_fn(spark, hist_dir, verdicts)
 
     stream_docs = docs.filter(F.col("doc_id") % 10 >= 8)
     for tag in ("08", "09"):

@@ -477,3 +477,141 @@ def test_lot_stream_rejects_consumed_lot_deletion(spark, tmp_path):
     shutil.rmtree(f"{root}/lot_a")
     with _pytest.raises(Exception, match="deleted|mutated|StreamingQueryException"):
         drain()
+
+
+def test_history_compaction_bounds_dirs_and_preserves_verdicts(spark, tmp_path):
+    """The always-on dedup stream must not sprawl one generation dir
+    per epoch forever: with keep_gens=K, after 2K+ epochs at most K+1
+    generation dirs are live — and the per-doc verdicts are IDENTICAL
+    to an uncompacted (keep_gens=inf) run, including a replayed epoch
+    reading the same fingerprint set after a fold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.streaming.history import (
+        history_dirs,
+        incremental_dedup_batch_fn,
+        write_history_base,
+    )
+
+    K, epochs = 3, 8
+
+    def run(tag, keep_gens):
+        hist = str(tmp_path / f"hist_{tag}")
+        verd = str(tmp_path / f"verd_{tag}")
+        base = spark.createDataFrame(
+            [(f"fp_base_{i}",) for i in range(5)], "fp string"
+        ).withColumn("origin", F.lit("base"))
+        write_history_base(base, hist)
+        fn = incremental_dedup_batch_fn(spark, hist, verd, keep_gens=keep_gens)
+        for e in range(epochs):
+            # each epoch: one base dup, one dup of epoch e-1, one
+            # within-batch dup pair, one unique
+            rows = [
+                (100 * e + 1, "s", f"fp_base_{e % 5}"),
+                (100 * e + 2, "s", f"fp_new_{max(e - 1, 0)}"),
+                (100 * e + 3, "s", f"fp_pair_{e}"),
+                (100 * e + 4, "s", f"fp_pair_{e}"),
+                (100 * e + 5, "s", f"fp_new_{e}"),
+            ]
+            fn(
+                spark.createDataFrame(
+                    rows, "doc_id long, source string, fp string"
+                ),
+                e,
+            )
+        return hist, verd
+
+    hist_c, verd_c = run("c", K)
+    hist_u, verd_u = run("u", 10**9)
+    got_c = {
+        (r.doc_id, r.status)
+        for r in spark.read.parquet(verd_c).collect()
+    }
+    got_u = {
+        (r.doc_id, r.status)
+        for r in spark.read.parquet(verd_u).collect()
+    }
+    assert got_c == got_u
+    assert len(got_c) == epochs * 5
+    # dir sprawl bounded: the compacted store's live view is at most
+    # K+1 gen dirs + 1 base; the uncompacted one grew one per epoch
+    live_c = history_dirs(hist_c, epochs)
+    assert len(live_c) <= K + 2, live_c
+    assert len(history_dirs(hist_u, epochs)) == epochs + 1
+    n_gen_dirs = sum(
+        1 for d in os.listdir(hist_c) if d.startswith("gen_epoch")
+    )
+    assert n_gen_dirs <= K + 1, sorted(os.listdir(hist_c))
+    # replay invariance: re-running the LAST epoch against the
+    # compacted store rewrites identical verdicts
+    fn = incremental_dedup_batch_fn(spark, hist_c, verd_c, keep_gens=K)
+    e = epochs - 1
+    rows = [
+        (100 * e + 1, "s", f"fp_base_{e % 5}"),
+        (100 * e + 2, "s", f"fp_new_{max(e - 1, 0)}"),
+        (100 * e + 3, "s", f"fp_pair_{e}"),
+        (100 * e + 4, "s", f"fp_pair_{e}"),
+        (100 * e + 5, "s", f"fp_new_{e}"),
+    ]
+    fn(
+        spark.createDataFrame(rows, "doc_id long, source string, fp string"),
+        e,
+    )
+    got_replay = {
+        (r.doc_id, r.status)
+        for r in spark.read.parquet(verd_c).collect()
+    }
+    assert got_replay == got_u
+
+
+def test_drain_backlog_in_batches(spark, tmp_path):
+    """Restart-after-downtime: a 5-lot backlog under maxLotsPerTrigger=2
+    drains in exactly ceil(5/2)=3 bounded batches, exactly-once rows;
+    a follow-up call with nothing new consumes 0 batches; a late lot
+    drains in 1 more."""
+    import os
+
+    from logicash_etl_spark.sources.lot_datasource import (
+        drain_backlog_in_batches,
+        register_lot_source,
+    )
+
+    register_lot_source(spark)
+    root = str(tmp_path / "lots")
+    for i in range(5):
+        spark.range(10 * i, 10 * i + 3).write.format("logicash_lot").mode(
+            "append"
+        ).option("path", f"{root}/lot_{i:03d}").save()
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def start_drain():
+        return (
+            spark.readStream.format("logicash_lot")
+            .schema("id long")
+            .option("path", root)
+            .option("maxLotsPerTrigger", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    n = drain_backlog_in_batches(start_drain)
+    assert n == 3, n
+    want = sorted(x for i in range(5) for x in range(10 * i, 10 * i + 3))
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == want
+    # idempotent: empty backlog -> zero advancing batches, no rows
+    assert drain_backlog_in_batches(start_drain) == 0
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == want
+    # a late lot drains in one more capped batch
+    spark.range(90, 92).write.format("logicash_lot").mode("append").option(
+        "path", f"{root}/lot_zz"
+    ).save()
+    assert drain_backlog_in_batches(start_drain) == 1
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == sorted(
+        want + [90, 91]
+    )
