@@ -427,3 +427,133 @@ def banded_hamming_pairs(
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (suffix-run) dedup — Lee et al., "Deduplicating
+# Training Data Makes Language Models Better" (the ExactSubstr pass)
+# ---------------------------------------------------------------------------
+
+def repeated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Maximal token spans of ``>= min_tokens`` that occur MORE THAN
+    ONCE anywhere in the corpus — the exact-substring dedup operator
+    production LM curation runs (Lee et al. 2022 remove any repeated
+    50-token substring; the reference implementation builds a corpus
+    suffix array).
+
+    Spark-first reformulation: a substring of length >= L repeats iff
+    at least one of its L-token shingles repeats, and the maximal
+    repeated span through position p is the maximal RUN of consecutive
+    positions whose L-shingles are all corpus-duplicated. So:
+
+    1. per doc, hash every L-token shingle at its position — pure JVM
+       ``transform``/``slice``/``md5``, one row per token position;
+    2. corpus-duplicated shingles = groupBy(shingle) HAVING count>1 —
+       partial aggregation absorbs hot (boilerplate) shingles
+       map-side; only (shingle, count) ever shuffles;
+    3. keep duplicated positions via a shingle-keyed semi join, then
+       gaps-and-islands per doc (``pos - row_number()``) to fuse
+       consecutive positions into runs; a run [a, b] covers tokens
+       [a, b + L - 1].
+
+    Returns one row per maximal span: (id, span_start, span_end,
+    span_tokens), token positions 1-based inclusive. Spans of the same
+    doc can OVERLAP when two runs sit closer than L apart (each span
+    extends L-1 past its run) — union their lengths with
+    ``merge_spans_stats`` before counting cut tokens.
+
+    100 TB shape: the only corpus-sized shuffles key on the shingle
+    hash (the agg and the semi join) — the same O(total tokens) work
+    class as suffix-array construction, but embarrassingly parallel
+    and with no giant sorted index to materialize. The per-doc
+    islands window is bounded by document length, never corpus size.
+    """
+    from pyspark.sql import Window
+
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {L}")
+    toks = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t")
+    )
+    # guard: sequence(1, 0) would DESCEND in Spark, fabricating
+    # positions for short docs — emit an empty shingle array instead
+    sh = toks.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"if(size(__t) >= {L}, "
+                f"transform(sequence(1, size(__t) - {L - 1}), "
+                f"i -> md5(array_join(slice(__t, i, {L}), ' '))), "
+                "array())"
+            )
+        ).alias("__p0", "__s"),
+    ).select(
+        id_col, (F.col("__p0") + 1).alias("pos"), F.col("__s").alias("s")
+    )
+    dup = sh.groupBy("s").agg(F.count("*").alias("__n")).filter(
+        F.col("__n") > 1
+    )
+    dpos = sh.join(dup.select("s"), on="s", how="left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = dpos.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (L - 1)).cast("bigint").alias("span_end"),
+        )
+        .withColumn(
+            "span_tokens",
+            (F.col("span_end") - F.col("span_start") + 1).cast("bigint"),
+        )
+        .drop("__grp")
+    )
+
+
+def merge_spans_stats(
+    spans: DataFrame, id_col: str,
+    start_col: str = "span_start", end_col: str = "span_end",
+) -> DataFrame:
+    """Union overlapping [start, end] intervals per id and return one
+    row per id with the UNION length (``tokens_cut``) and interval
+    count — the piece that turns repeated-substring spans into honest
+    per-doc cut accounting (overlapping spans must not double-count).
+
+    Classic running-max islands: a new island starts when an
+    interval's start exceeds the max end seen so far. Windows
+    partition per id (bounded by spans-per-doc), never corpus-wide."""
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy(id_col).orderBy(start_col, end_col)
+    islands = spans.withColumn(
+        "__pmax", F.max(end_col).over(w_prev)
+    ).withColumn(
+        "__isl",
+        F.sum(
+            F.when(
+                F.col("__pmax").isNull()
+                | (F.col(start_col) > F.col("__pmax")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    merged = islands.groupBy(id_col, "__isl").agg(
+        F.min(start_col).alias("__s"), F.max(end_col).alias("__e")
+    )
+    return merged.groupBy(id_col).agg(
+        F.sum(F.col("__e") - F.col("__s") + 1).cast("bigint").alias("tokens_cut"),
+        F.count("*").cast("bigint").alias("n_spans_merged"),
+    )

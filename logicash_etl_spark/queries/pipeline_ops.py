@@ -998,3 +998,152 @@ def lot_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "repeated_substring_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+7], ' ')) AS s
+      FROM toks, unnest(generate_series(1, GREATEST(len(t) - 7, 0))) AS u(i)
+    ), dup AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) > 1
+    ), d AS (
+      SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)
+    ), r AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens
+    FROM r GROUP BY doc_id, grp
+    """,
+)
+def repeated_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring corpus dedup, the Lee-et-al ExactSubstr pass
+    (arXiv:2107.06499): every maximal >= 8-token span that occurs more
+    than once ANYWHERE in the corpus, reported per document with
+    1-based token positions. Doc-level dedup (exact/MinHash/SimHash)
+    misses these — boilerplate headers, license blocks, templated
+    paragraphs repeat across otherwise-distinct documents and an LM
+    memorizes them at scale. The reference pass builds a corpus
+    suffix array; here the same spans fall out of shingle-run fusion
+    (operators/dedup.py:repeated_substring_spans): a >= L-token
+    substring repeats iff all its L-shingles repeat, so corpus-
+    duplicated shingle positions fused into consecutive runs ARE the
+    maximal repeated spans. All corpus-sized shuffles key on the
+    shingle hash; the islands window is per-doc. The oracle rebuilds
+    the identical md5 shingle stream and run fusion in SQL."""
+    from logicash_etl_spark.operators.dedup import repeated_substring_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repeated_substring_spans(
+        docs, id_col="doc_id", text_col="text", min_tokens=8
+    )
+
+
+@query(
+    "exact_substring_cut_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+7], ' ')) AS s
+      FROM toks, unnest(generate_series(1, GREATEST(len(t) - 7, 0))) AS u(i)
+    ), dup AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) > 1
+    ), d AS (
+      SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)
+    ), r AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM d
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS ss, MAX(pos) + 7 AS se
+      FROM r GROUP BY doc_id, grp
+    ), pm AS (
+      SELECT doc_id, ss, se,
+             MAX(se) OVER (PARTITION BY doc_id ORDER BY ss, se
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM spans
+    ), isl AS (
+      SELECT doc_id, ss, se,
+             SUM(CASE WHEN pmax IS NULL OR ss > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY ss, se) AS island
+      FROM pm
+    ), u AS (
+      SELECT doc_id, island, MIN(ss) AS us, MAX(se) AS ue
+      FROM isl GROUP BY doc_id, island
+    ), cut AS (
+      SELECT doc_id, SUM(ue - us + 1) AS tokens_cut
+      FROM u GROUP BY doc_id
+    )
+    SELECT k.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.tokens_cut IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_affected,
+           CAST(SUM(len(k.t)) AS BIGINT) AS tokens_total,
+           CAST(SUM(COALESCE(c.tokens_cut, 0)) AS BIGINT) AS tokens_cut,
+           round(SUM(COALESCE(c.tokens_cut, 0))
+                 / CAST(SUM(len(k.t)) AS DOUBLE), 6) AS cut_ratio
+    FROM toks k LEFT JOIN cut c USING (doc_id)
+    GROUP BY k.source
+    """,
+)
+def exact_substring_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the ExactSubstr pass would REMOVE, accounted per source:
+    total tokens, tokens inside any repeated >= 8-token span (union —
+    overlapping spans never double-count, via the running-max interval
+    merge in operators/dedup.py:merge_spans_stats), affected doc
+    count, and the cut ratio. This is the go/no-go report a curation
+    run reads before committing a destructive dedup pass: a cut_ratio
+    spike on one source means templated boilerplate, not diversity.
+    Same shingle-keyed shuffles as repeated_substring_spans; the
+    interval-merge windows are per-doc, bounded by spans-per-doc."""
+    from logicash_etl_spark.operators.dedup import (
+        merge_spans_stats,
+        repeated_substring_spans,
+    )
+    from logicash_etl_spark.operators.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = repeated_substring_spans(
+        docs, id_col="doc_id", text_col="text", min_tokens=8
+    )
+    cut = merge_spans_stats(spans, "doc_id")
+    per_doc = docs.select(
+        "doc_id", "source",
+        token_count(F.lower(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    return (
+        per_doc.join(cut, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("tokens_cut").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_docs_affected"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.sum(F.coalesce("tokens_cut", F.lit(0))).cast("bigint").alias(
+                "tokens_cut"
+            ),
+            F.round(
+                F.sum(F.coalesce("tokens_cut", F.lit(0))).cast("double")
+                / F.sum("n_tok").cast("double"),
+                6,
+            ).alias("cut_ratio"),
+        )
+    )

@@ -148,3 +148,49 @@ def test_chunk_output_deterministic_across_runs(spark, sf_dir):
     a = {tuple(r) for r in QUERIES["doc_chunking"](spark, sf_dir).collect()}
     b = {tuple(r) for r in QUERIES["doc_chunking"](spark, sf_dir).collect()}
     assert a == b and a
+
+
+def test_repeated_substring_spans_handcrafted(spark):
+    """Known-answer exact-substring dedup: a 10-token block shared by
+    two docs yields one maximal span in each; a doc shorter than L
+    yields nothing (and must not fabricate positions via Spark's
+    descending sequence()); overlapping spans union without
+    double-counting."""
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.dedup import (
+        merge_spans_stats,
+        repeated_substring_spans,
+    )
+
+    block = " ".join(f"w{i}" for i in range(10))  # 10 shared tokens
+    docs = spark.createDataFrame(
+        [
+            # doc 1: 5 unique tokens + block + 5 unique
+            (1, "a1 a2 a3 a4 a5 " + block + " a6 a7 a8 a9 a10"),
+            # doc 2: block at the very start, then unique tail
+            (2, block + " b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),
+            # doc 3: too short for any 8-shingle
+            (3, "c1 c2 c3 c4 c5"),
+            # doc 4: unique throughout — no spans
+            (4, " ".join(f"d{i}" for i in range(25))),
+        ],
+        "doc_id int, text string",
+    )
+    spans = repeated_substring_spans(
+        docs, "doc_id", "text", min_tokens=8
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in spans.collect()
+    }
+    # doc 1: block occupies tokens 6..15 -> shingle run 6..8, span 6..15
+    # doc 2: block at tokens 1..10 -> span 1..10
+    assert got == {1: (6, 15, 10), 2: (1, 10, 10)}
+    # overlap union: two spans [1,10] and [6,13] cut 13 tokens, not 18
+    overlap = spark.createDataFrame(
+        [(9, 1, 10), (9, 6, 13), (9, 20, 25)],
+        "doc_id int, span_start long, span_end long",
+    )
+    m = merge_spans_stats(overlap, "doc_id").first()
+    assert (m.tokens_cut, m.n_spans_merged) == (13 + 6, 2)
