@@ -603,38 +603,50 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # history generation 0: fingerprints of the pre-existing corpus
     hist_dir = f"{root}/hist"
+    # fixture lots are kilobytes: size the tmp-store writes to the
+    # data (4 files), not the 32-partition shuffle default — the
+    # partitions-follow-volume rule _state_parts applies to state
     write_history_base(
         docs.filter(F.col("doc_id") % 10 < 8)
         .select("fp")
         .distinct()
-        .withColumn("origin", F.lit("base")),
+        .withColumn("origin", F.lit("base"))
+        .coalesce(4),
         hist_dir,
     )
     verdicts = f"{root}/verdicts"
     lots_root = f"{root}/lots"
-    apply_batch = incremental_dedup_batch_fn(spark, hist_dir, verdicts)
+    apply_batch = incremental_dedup_batch_fn(
+        spark, hist_dir, verdicts, out_partitions=4
+    )
 
     stream_docs = docs.filter(F.col("doc_id") % 10 >= 8)
+    # producer side: the lot DataSource's two-phase writer (parts
+    # staged, _READY last) lands both lots BEFORE the consumer wakes —
+    # the restart-after-downtime shape. ONE stream session then drains
+    # the backlog under maxLotsPerTrigger=1 admission: lot_08 is
+    # micro-batch/epoch 0, lot_09 epoch 1 (sorted-name admission
+    # order), identical per-epoch evolution to one-drain-per-lot but
+    # paying stream start/stop machinery once instead of per lot.
     for tag in ("08", "09"):
-        # producer side: the lot DataSource's two-phase writer (parts
-        # staged, _READY last) — each lot lands, then one drain
-        # consumes exactly the newly flagged lots from the checkpoint
         stream_docs.filter(F.col("doc_id") % 10 == int(tag)).write.format(
             "logicash_lot"
         ).mode("append").option("path", f"{lots_root}/lot_{tag}").save()
-        stream = (
-            spark.readStream.format("logicash_lot")
-            .schema("doc_id long, source string, fp string")
-            .option("path", lots_root)
-            .load()
-        )
-        q = (
-            stream.writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        spark.readStream.format("logicash_lot")
+        .schema("doc_id long, source string, fp string")
+        .option("path", lots_root)
+        .option("maxLotsPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # blocks until the source offset stops advancing — both epochs done
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
 
     # epoch=N partition dirs add an inferred partition column — keep
     # only the verdict columns the oracle models

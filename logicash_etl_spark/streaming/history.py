@@ -102,13 +102,23 @@ def incremental_dedup_batch_fn(
     hist_dir: str,
     verdicts_dir: str,
     keep_gens: int = 8,
+    out_partitions: int | None = None,
 ):
     """The foreachBatch body of the continuous-ingest dedup: join the
     lot against the fingerprint store below this epoch, write
     epoch-keyed verdicts, append the lot's fresh fingerprints as a new
     generation, then compact if the store has sprawled. Every write is
-    epoch-keyed + overwrite, so at-least-once retries are no-ops."""
+    epoch-keyed + overwrite, so at-least-once retries are no-ops.
+
+    ``out_partitions``: coalesce the per-epoch verdict/generation
+    writes (partitions-follow-volume rule: a kilobyte lot under the
+    32-partition shuffle default otherwise writes 32 near-empty files
+    per epoch, pure filesystem bookkeeping). Leave ``None`` on a real
+    cluster where lots are partition-sized already."""
     from pyspark.sql.window import Window
+
+    def _sized(df: DataFrame) -> DataFrame:
+        return df.coalesce(out_partitions) if out_partitions else df
 
     def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
         cur = spark.read.parquet(*history_dirs(hist_dir, epoch_id))
@@ -127,17 +137,26 @@ def incremental_dedup_batch_fn(
                 .alias("status"),
             )
         )
-        out.select("doc_id", "source", "status").write.mode(
-            "overwrite"
-        ).parquet(f"{verdicts_dir}/epoch={epoch_id}")
-        (
-            out.filter(F.col("status") == "new_unique")
-            .select("fp")
-            .distinct()
-            .withColumn("origin", F.lit("stream"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(hist_dir, f"{_GEN}{epoch_id}"))
-        )
+        # one epoch, two consumers (verdict sink + fresh-fp generation):
+        # persist the O(lot) verdict frame so the store join runs once,
+        # released before the batch returns
+        out = out.persist()
+        try:
+            _sized(out.select("doc_id", "source", "status")).write.mode(
+                "overwrite"
+            ).parquet(f"{verdicts_dir}/epoch={epoch_id}")
+            (
+                _sized(
+                    out.filter(F.col("status") == "new_unique")
+                    .select("fp")
+                    .distinct()
+                    .withColumn("origin", F.lit("stream"))
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(hist_dir, f"{_GEN}{epoch_id}"))
+            )
+        finally:
+            out.unpersist()
         compact_history(spark, hist_dir, epoch_id, keep_gens)
 
     return apply_batch
