@@ -307,3 +307,256 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word", "n", "est", (F.col("est") - F.col("n")).alias("overcount")
         )
     )
+
+
+# KMV (k-minimum-values / theta) sketch plumbing: the bottom-k
+# DISTINCT values of a uniform content hash. 12 md5 hex chars = 48
+# bits -> exact in a double, engine-portable, collision-safe at
+# corpus scale (2^-48 per pair).
+_KMV_DENOM = float(1 << 48)
+
+
+def _kmv_u(col, salt: str = "kmv"):
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("double") / F.lit(
+        _KMV_DENOM
+    )
+
+
+def kmv_sketch(df: DataFrame, value_col: str, k: int, salt: str = "kmv") -> DataFrame:
+    """Bottom-k distinct hash draws of ``value_col`` — a KMV/theta
+    distinct-count sketch as a k-row DataFrame of ``u`` in [0,1).
+
+    The ``orderBy(u).limit(k)`` pair compiles to
+    ``TakeOrderedAndProject`` (per-partition bottom-k heaps + one
+    k-row merge — never a global sort), so sketching a 100 TB column
+    moves k doubles per partition. Sketches MERGE exactly: bottom-k
+    of the union of per-partition bottom-k samples IS the global
+    bottom-k (each partial retains its group's share of the global
+    answer), the property ``kmv_partial_merge`` hash-proves."""
+    u = _kmv_u(F.col(value_col), salt).alias("u")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(u)
+        .distinct()
+        .orderBy("u")
+        .limit(k)
+    )
+
+
+@query(
+    "kmv_set_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT l_orderkey AS v FROM lineitem WHERE l_returnflag = 'R'
+    ), b AS (
+      SELECT DISTINCT l_orderkey AS v FROM lineitem WHERE l_quantity >= 40
+    ), ka AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5('kmv' || CAST(v AS VARCHAR)),
+                            1, 12)) AS BIGINT) / 281474976710656.0 AS u
+      FROM a ORDER BY u LIMIT 256
+    ), kb AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5('kmv' || CAST(v AS VARCHAR)),
+                            1, 12)) AS BIGINT) / 281474976710656.0 AS u
+      FROM b ORDER BY u LIMIT 256
+    ), ku AS (
+      SELECT DISTINCT u FROM (SELECT u FROM ka UNION SELECT u FROM kb)
+      ORDER BY u LIMIT 256
+    ), sa AS (SELECT count(*) AS n, MAX(u) AS m FROM ka),
+    sb AS (SELECT count(*) AS n, MAX(u) AS m FROM kb),
+    su AS (SELECT count(*) AS n, MAX(u) AS m FROM ku),
+    th AS (
+      SELECT LEAST(CASE WHEN sa.n < 256 THEN 1.0 ELSE sa.m END,
+                   CASE WHEN sb.n < 256 THEN 1.0 ELSE sb.m END) AS theta
+      FROM sa, sb
+    ), ni AS (
+      SELECT count(*) AS n
+      FROM ka JOIN kb USING (u), th WHERE ka.u < th.theta
+    )
+    SELECT CAST(256 AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
+           CAST((SELECT count(*) FROM a JOIN b USING (v)) AS BIGINT)
+             AS exact_inter,
+           round(CASE WHEN sa.n < 256 THEN CAST(sa.n AS DOUBLE)
+                      ELSE 255.0 / sa.m END, 6) AS est_a,
+           round(CASE WHEN sb.n < 256 THEN CAST(sb.n AS DOUBLE)
+                      ELSE 255.0 / sb.m END, 6) AS est_b,
+           round(CASE WHEN su.n < 256 THEN CAST(su.n AS DOUBLE)
+                      ELSE 255.0 / su.m END, 6) AS est_union,
+           round(CAST(ni.n AS DOUBLE) / th.theta, 6) AS est_inter
+    FROM sa, sb, su, th, ni
+    """,
+)
+def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: estimated distinct counts of two fact
+    key sets (orders with a returned line vs orders with a bulk line), their UNION,
+    and — the operation HLL cannot do — their INTERSECTION, from two
+    256-row bottom-k hash sketches. theta = min of the sketches'
+    k-th minima; samples below theta act as a coordinated uniform
+    sample of each set, so |matching draws| / theta estimates the
+    overlap (Dasgupta et al., the DataSketches theta model). Exact
+    counts ride along so the driver hash pins both the estimator
+    arithmetic AND its inputs bit-for-bit (md5 draws, IEEE division —
+    DuckDB reproduces every digit). At 100 TB each set costs one
+    TakeOrderedAndProject scan (k doubles per partition, no global
+    sort), and the sketches are kilobytes forever after —
+    set-overlap questions (contamination, audience overlap, join
+    cardinality forecasts) answer from sketch storage alone."""
+    li = read_table(spark, sf_dir, "lineitem")
+    K = 256
+    a = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("v"))
+        .distinct()
+    )
+    b = (
+        li.filter(F.col("l_quantity") >= 40)
+        .select(F.col("l_orderkey").alias("v"))
+        .distinct()
+    )
+    ka = kmv_sketch(a, "v", K)
+    kb = kmv_sketch(b, "v", K)
+    ku = ka.unionByName(kb).distinct().orderBy("u").limit(K)
+    sa = ka.agg(F.count("*").alias("na"), F.max("u").alias("ma"))
+    sb = kb.agg(F.count("*").alias("nb"), F.max("u").alias("mb"))
+    su = ku.agg(F.count("*").alias("nu"), F.max("u").alias("mu"))
+    theta = F.least(
+        F.when(F.col("na") < K, F.lit(1.0)).otherwise(F.col("ma")),
+        F.when(F.col("nb") < K, F.lit(1.0)).otherwise(F.col("mb")),
+    ).alias("theta")
+    # every frame below is <= k rows or 1 row: broadcast everything
+    scalars = sa.crossJoin(F.broadcast(sb)).select("*", theta)
+    ni = (
+        ka.join(kb, "u")
+        .crossJoin(F.broadcast(scalars.select("theta")))
+        .filter(F.col("u") < F.col("theta"))
+        .agg(F.count("*").alias("ninter"))
+    )
+    exacts = (
+        a.agg(F.count("*").alias("exact_a"))
+        .crossJoin(F.broadcast(b.agg(F.count("*").alias("exact_b"))))
+        .crossJoin(
+            F.broadcast(a.join(b, "v").agg(F.count("*").alias("exact_inter")))
+        )
+    )
+    est = (
+        scalars.crossJoin(F.broadcast(su))
+        .crossJoin(F.broadcast(ni))
+        .select(
+            F.lit(K).cast("bigint").alias("k"),
+            F.round(
+                F.when(F.col("na") < K, F.col("na").cast("double")).otherwise(
+                    F.lit(float(K - 1)) / F.col("ma")
+                ),
+                6,
+            ).alias("est_a"),
+            F.round(
+                F.when(F.col("nb") < K, F.col("nb").cast("double")).otherwise(
+                    F.lit(float(K - 1)) / F.col("mb")
+                ),
+                6,
+            ).alias("est_b"),
+            F.round(
+                F.when(F.col("nu") < K, F.col("nu").cast("double")).otherwise(
+                    F.lit(float(K - 1)) / F.col("mu")
+                ),
+                6,
+            ).alias("est_union"),
+            F.round(
+                F.col("ninter").cast("double") / F.col("theta"), 6
+            ).alias("est_inter"),
+        )
+    )
+    return F.broadcast(exacts).crossJoin(est).select(
+        "k", "exact_a", "exact_b", "exact_inter",
+        "est_a", "est_b", "est_union", "est_inter",
+    )
+
+
+@query(
+    "kmv_partial_merge",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT o_custkey AS v FROM orders
+    ), kd AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5('kmv' || CAST(v AS VARCHAR)),
+                            1, 12)) AS BIGINT) / 281474976710656.0 AS u
+      FROM d ORDER BY u LIMIT 128
+    ), s AS (SELECT count(*) AS n, MAX(u) AS m FROM kd)
+    SELECT CAST(128 AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM d) AS BIGINT) AS exact_distinct,
+           round(CASE WHEN s.n < 128 THEN CAST(s.n AS DOUBLE)
+                      ELSE 127.0 / s.m END, 6) AS est_distinct,
+           TRUE AS merge_equals_direct
+    FROM s
+    """,
+)
+def kmv_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV mergeability, hash-proved: bottom-128 sketches built
+    INDEPENDENTLY per o_orderpriority (5 partials, 128 doubles each)
+    and merged — bottom-k of the union of the partial samples — must
+    equal the sketch built directly over all orders, row for row
+    (each partial necessarily retains its group's members of the
+    global bottom-k). ``merge_equals_direct`` compares the two
+    128-row samples by full outer join in-query; the estimate and the
+    exact count come from the MERGED sketch, and the oracle recomputes
+    both from raw rows — so a broken merge path fails the driver hash
+    two ways. This is the invariant that lets a 100 TB pipeline keep
+    per-day / per-source sketch partials and answer distinct-count
+    and overlap questions by k-row unions, never re-scanning."""
+    K = 128
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_custkey").alias("v")
+    )
+    # partials: one bottom-k sketch per priority group
+    u = _kmv_u(F.col("v")).alias("u")
+    ranked = (
+        od.filter(F.col("v").isNotNull())
+        .select("o_orderpriority", u)
+        .distinct()
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("o_orderpriority").orderBy("u")
+            ),
+        )
+        .filter(F.col("rk") <= K)
+        .select("o_orderpriority", "u")
+    )
+    merged = ranked.select("u").distinct().orderBy("u").limit(K)
+    direct = kmv_sketch(
+        read_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("v")
+        ),
+        "v",
+        K,
+    )
+    mism = (
+        merged.withColumn("l", F.lit(1))
+        .join(direct.withColumn("r", F.lit(1)), "u", "full_outer")
+        .filter(F.col("l").isNull() | F.col("r").isNull())
+        .agg(F.count("*").alias("n_mismatch"))
+    )
+    s = merged.agg(F.count("*").alias("n"), F.max("u").alias("m"))
+    exact = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .agg(F.count("*").alias("exact_distinct"))
+    )
+    return (
+        s.crossJoin(F.broadcast(mism))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(K).cast("bigint").alias("k"),
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            F.round(
+                F.when(F.col("n") < K, F.col("n").cast("double")).otherwise(
+                    F.lit(float(K - 1)) / F.col("m")
+                ),
+                6,
+            ).alias("est_distinct"),
+            (F.col("n_mismatch") == 0).alias("merge_equals_direct"),
+        )
+    )

@@ -567,3 +567,18 @@ def test_mixture_admission_cumsum_is_bucketed(spark, sf_dir):
         if "__b" not in part:
             # offsets window: sums __t over <= buckets rows per source
             assert "__t" in m.group(0), m.group(0)
+
+
+def test_kmv_sketch_never_global_sorts(spark, sf_dir):
+    """A bottom-k hash sketch over a fact column must compile to
+    TakeOrderedAndProject (per-partition heaps + k-row merge), never a
+    global Sort — the property that makes sketching a 100 TB column a
+    single cheap scan."""
+    from logicash_etl_spark.queries.mergeable import kmv_sketch
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("v")
+    )
+    sk = kmv_sketch(li, "v", 256)
+    assert has_take_ordered(sk)
+    assert sk.count() == 256
