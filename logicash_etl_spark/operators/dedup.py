@@ -81,6 +81,37 @@ def _signatures_from_exploded(sh: DataFrame, id_col: str, num_hashes: int) -> Da
     )
 
 
+def _banded_keys(
+    with_sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, __mh0..__mh{k-1}) signatures -> (id, band, bhash) LSH
+    bucket keys: one xxhash64 over each band's signature slice."""
+    rows_per_band = num_hashes // bands
+    return with_sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"__mh{i}")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -101,33 +132,13 @@ def minhash_lsh_candidates(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
     if shingles is not None:
         exploded = shingles.select(F.col(id_col), F.explode("sh").alias("__s"))
         with_sig = _signatures_from_exploded(exploded, id_col, num_hashes)
     else:
         with_sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = scoped_persist(
-        with_sig.select(
-            id_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[
-                                    F.col(f"__mh{i}")
-                                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                                ]
-                            ).alias("bhash"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        )
-        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+        _banded_keys(with_sig, id_col, num_hashes, bands)
         # persist: both self-join sides otherwise recompute the whole
         # signature pipeline (explode + k-agg groupBy). bands rows x
         # 20 bytes per doc; freed by the innermost cache_scope (callers
@@ -556,4 +567,85 @@ def merge_spans_stats(
     return merged.groupBy(id_col).agg(
         F.sum(F.col("__e") - F.col("__s") + 1).cast("bigint").alias("tokens_cut"),
         F.count("*").cast("bigint").alias("n_spans_merged"),
+    )
+
+
+def minhash_probe_pairs(
+    incoming: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC MinHash-LSH probe: near-dup pairs between an
+    incoming lot and a (much larger) history corpus — the incremental
+    form of ``minhash_dedup_pairs``, and the shape continuous
+    curation actually runs: the history side's (id, band, bhash)
+    bucket keys are a STORED index in production (bands x 20 bytes
+    per doc, built once, appended per lot), so each arriving lot
+    costs its own signatures plus one equi-join against the index —
+    never a corpus self-join, never re-signing history.
+
+    Candidates collide on (band, bhash) exactly as in the symmetric
+    operator (same s-curve); verification re-scores every candidate
+    at exact Jaccard on the full shingle arrays, so precision is
+    100% by construction. Returns (id_in, id_hist, jaccard).
+
+    Skew note: a viral boilerplate bucket fans out |lot-bucket| x
+    |hist-bucket|; both sides of the join carry only (id, band,
+    bhash) so AQE's skew split applies, and the verify join caps the
+    damage at candidate count, not pair count squared."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    sh_in = scoped_persist(
+        scale_out(incoming.select(id_col, text_col)).select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+        )
+    )
+    sh_hist = scoped_persist(
+        scale_out(history.select(id_col, text_col)).select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+        )
+    )
+
+    def banded(sh: DataFrame) -> DataFrame:
+        exploded = sh.select(F.col(id_col), F.explode("sh").alias("__s"))
+        return _banded_keys(
+            _signatures_from_exploded(exploded, id_col, num_hashes),
+            id_col,
+            num_hashes,
+            bands,
+        )
+
+    cands = (
+        banded(sh_in)
+        .select(F.col(id_col).alias("id_in"), "band", "bhash")
+        .join(
+            banded(sh_hist).select(
+                F.col(id_col).alias("id_hist"), "band", "bhash"
+            ),
+            on=["band", "bhash"],
+        )
+        .select("id_in", "id_hist")
+        .distinct()
+    )
+    a = sh_in.select(F.col(id_col).alias("id_in"), F.col("sh").alias("sh_a"))
+    b = sh_hist.select(
+        F.col(id_col).alias("id_hist"), F.col("sh").alias("sh_b")
+    )
+    return (
+        cands.join(a, "id_in")
+        .join(b, "id_hist")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_in", "id_hist", "jaccard")
     )

@@ -29,6 +29,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from logicash_etl_spark.operators.caching import cache_scope
@@ -361,3 +362,97 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     pairs = _exact_pairs(spark, sf_dir)
     return dedup_clusters(pairs.select("id_a", "id_b"), docs, "doc_id")
+
+
+# Exact cross-split (incoming vs history) near-dup verdict SQL —
+# ground truth for incremental_minhash_dedup: every incoming doc's
+# exact history matches at Jaccard >= 0.35, folded to per-doc
+# verdicts. Mirrors _EXACT_PAIRS_SQL's tokenization exactly.
+_INCR_NEARDUP_SQL = r"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 3
+                    THEN list_transform(generate_series(1, len(ws) - 2),
+                                        i -> array_to_string(ws[i:i+2], ' '))
+                    ELSE [] END)) AS s
+      FROM w
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), cand AS (
+      SELECT DISTINCT i.doc_id AS id_in, h.doc_id AS id_hist
+      FROM sh i JOIN sh h ON i.s = h.s
+      WHERE i.doc_id % 10 >= 8 AND h.doc_id % 10 < 8
+    ), inter AS (
+      SELECT c.id_in, c.id_hist, count(*) AS n
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.id_in
+        JOIN sh b ON b.doc_id = c.id_hist AND b.s = a.s
+      GROUP BY c.id_in, c.id_hist
+    ), j AS (
+      SELECT id_in, id_hist,
+             CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) AS jac
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_in
+        JOIN sizes sb ON sb.doc_id = id_hist
+      WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.35
+    ), per AS (
+      SELECT id_in, CAST(count(*) AS BIGINT) AS n_hist_matches,
+             MAX(jac) AS best_jaccard
+      FROM j GROUP BY id_in
+    )
+    SELECT d.doc_id, d.source,
+           COALESCE(p.n_hist_matches, 0) AS n_hist_matches,
+           COALESCE(p.best_jaccard, 0.0) AS best_jaccard,
+           CASE WHEN p.id_in IS NOT NULL THEN 'near_dup_of_history'
+                ELSE 'new' END AS status
+    FROM documents d LEFT JOIN per p ON p.id_in = d.doc_id
+    WHERE d.doc_id % 10 >= 8
+"""
+
+
+@query("incremental_minhash_dedup", oracle=_INCR_NEARDUP_SQL)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: each incoming doc probed against the
+    history corpus through an asymmetric MinHash-LSH join
+    (operators/dedup.py:minhash_probe_pairs) — the near-dup sibling
+    of ``incremental_lot_dedup`` (exact fp) and
+    ``bloom_history_dedup`` (membership), completing the incremental
+    family: in production the history side is a STORED (id, band,
+    bhash) index that each lot appends to, so a new lot costs its own
+    signatures + one equi-join on bucket keys — history is never
+    re-signed and never self-joined. Candidates are exact-Jaccard
+    verified (precision 1.0 by construction); recall is empirically
+    100% at these settings (64 hashes x 16 bands at J >= 0.35 — the
+    same s-curve minhash_lsh_dups pins corpus-wide), so the per-doc
+    verdicts EQUAL the SQL-exact cross-split answer and the driver
+    hash catches any signature/banding regression."""
+    from logicash_etl_spark.operators.dedup import minhash_probe_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 10 < 8)
+    incoming = docs.filter(F.col("doc_id") % 10 >= 8)
+    pairs = minhash_probe_pairs(
+        incoming, hist, "doc_id", "text",
+        threshold=0.35, num_hashes=64, bands=16, shingle_n=3,
+    )
+    per = pairs.groupBy("id_in").agg(
+        F.count("*").cast("bigint").alias("n_hist_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    return incoming.join(
+        per, incoming["doc_id"] == per["id_in"], "left"
+    ).select(
+        "doc_id",
+        "source",
+        F.coalesce("n_hist_matches", F.lit(0)).cast("bigint").alias(
+            "n_hist_matches"
+        ),
+        F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+        F.when(F.col("id_in").isNotNull(), "near_dup_of_history")
+        .otherwise("new")
+        .alias("status"),
+    )
