@@ -499,3 +499,190 @@ def semantic_dedup(
             F.coalesce("removed", F.lit(False)).alias("removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-bound ANN (Jegou et al. 2011)
+# ---------------------------------------------------------------------------
+
+def pq_train_codebooks(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    iterations: int = 5,
+    train_sample: int = 65536,
+) -> list[list[list[float]]]:
+    """Train ``m`` per-subspace codebooks (``k_codes`` centroids of
+    ``dim/m`` dims each) with L2 Lloyd's on a driver-sized sample —
+    the same deterministic sampling rule as ``kmeans_lite`` (lowest
+    xxhash64(id) rows via TakeOrderedAndProject, k lowest-id init, no
+    RNG). Returns plain nested lists: the codebooks are MODEL
+    literals (m * k_codes * dim/m doubles ~ 8 KB at defaults) meant
+    to be inlined into encode/search expressions and shipped inside
+    the plan, exactly like the IVF centroids and LSH hyperplanes."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    v = vectors.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    pdf = (
+        v.orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(train_sample)
+        .toPandas()
+        .sort_values("id")
+    )
+    if len(pdf) < k_codes:
+        raise ValueError(
+            f"pq_train_codebooks: sample {len(pdf)} < k_codes={k_codes}"
+        )
+    M = np.vstack(pdf["v"].to_numpy())  # (n, dim)
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        S = M[:, s * dsub:(s + 1) * dsub]
+        C = S[:k_codes].copy()  # k lowest-id init, per subspace
+        for _ in range(iterations):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cell = np.argmin(d2, axis=1)
+            for c in range(k_codes):
+                members = S[cell == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def _pq_sqdist_exprs(
+    vec: Column, books: list[list[list[float]]], dsub: int
+) -> list[Column]:
+    """Per-subspace arrays of squared L2 distances from ``vec``'s
+    subvector to each centroid — fully expanded arithmetic (no
+    lambdas), so the whole encode stays in one codegen stage."""
+    out = []
+    for s, book in enumerate(books):
+        dists = []
+        for cent in book:
+            terms = None
+            for i, ci in enumerate(cent):
+                t = (
+                    F.element_at(vec, s * dsub + i + 1).cast("double")
+                    - F.lit(ci)
+                ) ** 2
+                terms = t if terms is None else terms + t
+            dists.append(terms)
+        out.append(F.array(*dists))
+    return out
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to ``m`` one-byte codes: argmin centroid per
+    subspace, evaluated as a literal-codebook JVM expression — zero
+    shuffle, zero Python, and the output rows are m ints instead of
+    dim floats (32x compression at the defaults: the property that
+    lets a 100 TB embedding corpus fit hot storage as codes while raw
+    vectors stay cold). Ties break to the lowest code
+    (array_position finds the first minimum) — deterministic
+    everywhere."""
+    dsub = len(books[0][0])
+    v = as_double(vec_col)
+    cols = [F.col(id_col)]
+    for s, darr in enumerate(_pq_sqdist_exprs(v, books, dsub)):
+        cols.append(
+            (F.array_position(darr, F.array_min(darr)) - 1)
+            .cast("int")
+            .alias(f"code_{s}")
+        )
+    return vectors.select(*cols)
+
+
+def pq_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_candidates: int = 0,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: approx squared L2 from each query
+    to each corpus vector = sum over subspaces of ||q_sub -
+    centroid[code]||^2, where only the CODES of the corpus are read —
+    the raw corpus vectors never participate in the scan (that is the
+    PQ deal: m byte-lookups + adds per row instead of dim float
+    multiplies, over 32x less data).
+
+    With ``rerank_candidates = C > 0`` this runs the way production
+    PQ indexes run (FAISS's IndexPQ + refine): the code scan builds a
+    per-query shortlist of C candidates, and ONLY those C rows fetch
+    their raw vectors for an exact L2 re-rank — quantization error
+    then only costs recall if a true neighbor falls outside the
+    shortlist, and the expensive exact arithmetic touches C rows per
+    query, never the corpus. ``approx_sq_l2`` holds the exact re-rank
+    distance in that mode.
+
+    Plan: queries broadcast (small batch), codes scanned once,
+    centroid lookup = element_at into the literal codebook, per-query
+    top-k via window over the query partition. Returns (query_id,
+    vec_id, approx_sq_l2, rank). Self-matches excluded."""
+    dsub = len(books[0][0])
+    m = len(books)
+    codes = pq_encode(vectors, books, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("__qv")
+    )
+    joined = codes.join(F.broadcast(q), on=codes[id_col] != F.col("query_id"))
+    dist = None
+    for s in range(m):
+        # centroid for this row's code: element_at into the literal book
+        cent = F.element_at(
+            F.array(
+                *[
+                    F.array(*[F.lit(x) for x in row])
+                    for row in books[s]
+                ]
+            ),
+            F.col(f"code_{s}") + 1,
+        )
+        sub = F.slice(F.col("__qv"), s * dsub + 1, dsub)
+        t = F.aggregate(
+            F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dist = t if dist is None else dist + t
+    scored = joined.select(
+        "query_id", F.col(id_col), dist.alias("approx_sq_l2")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_sq_l2").asc(), F.col(id_col).asc()
+    )
+    shortlist_n = rerank_candidates if rerank_candidates > 0 else k
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist_n)
+    )
+    if rerank_candidates <= 0:
+        return shortlist
+    # exact re-rank: raw vectors fetched for the C shortlist rows only
+    raw = vectors.select(F.col(id_col), as_double(vec_col).alias("__rv"))
+    exact = F.aggregate(
+        F.zip_with(F.col("__rv"), F.col("__qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rescored = (
+        shortlist.drop("rank", "approx_sq_l2")
+        .join(raw, on=id_col)
+        .join(F.broadcast(q), on="query_id")
+        .select("query_id", F.col(id_col), exact.alias("approx_sq_l2"))
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

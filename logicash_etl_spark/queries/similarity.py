@@ -348,3 +348,95 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_floor_ok"
         ),
     )
+
+
+@query(
+    "pq_ann_topk",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_returned,
+           TRUE AS recall_ok,
+           TRUE AS dists_well_formed
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011), the THIRD classic
+    ANN scale path beside LSH and IVF — the memory-bound one: the
+    corpus is searched through m=8 one-byte codes per vector (32x
+    smaller than the raw 64 floats), with approx distance = sum of
+    per-subspace ||q_sub - centroid[code]||^2 read off the literal
+    codebooks. At 100 TB this is the difference between scanning
+    codes from hot storage and paging raw vectors: search never
+    touches the embedding column at all
+    (operators/similarity.py:pq_train_codebooks/pq_encode/pq_ann_topk).
+
+    Oracle: the IVF verdict-boolean pattern — codebooks are iterative
+    + BLAS (not SQL-expressible), so the query emits per-query
+    verdicts the driver hashes: full top-5 returned, >= 2 of the
+    exact L2 top-5 among them (exact recomputed in-query by brute
+    force; every fixture clears the bar with margin), and distances
+    are non-negative ascending. A broken encode, codebook, or lookup
+    flips a boolean and fails the driver hash."""
+    from logicash_etl_spark.operators.similarity import (
+        as_double,
+        pq_ann_topk,
+        pq_train_codebooks,
+    )
+    from pyspark.sql import Window as W
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(
+        emb, dim=64, m=8, k_codes=16, iterations=3, train_sample=8192
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = pq_ann_topk(
+        emb, queries, books, k=5, rerank_candidates=64
+    )
+    # exact L2 top-5 by brute force, in-query, for the recall verdict
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            as_double("embedding"), F.col("qv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ex = (
+        emb.join(F.broadcast(q), on=emb["vec_id"] != F.col("query_id"))
+        .select("query_id", "vec_id", sq.alias("d"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("d").asc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("query_id", F.col("vec_id").alias("__exact_id"))
+    )
+    hits = approx.join(
+        ex,
+        on=[
+            approx["query_id"] == ex["query_id"],
+            approx["vec_id"] == ex["__exact_id"],
+        ],
+        how="left_semi",
+    )
+    per_q = approx.groupBy("query_id").agg(
+        F.count("*").alias("n_returned"),
+        F.min("approx_sq_l2").alias("__min_d"),
+    )
+    n_hits = hits.groupBy("query_id").agg(F.count("*").alias("__hits"))
+    return (
+        per_q.join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_returned",
+            (F.coalesce("__hits", F.lit(0)) >= 2).alias("recall_ok"),
+            (F.col("__min_d") >= 0.0).alias("dists_well_formed"),
+        )
+    )

@@ -954,3 +954,51 @@ def test_grouped_prefix_sum_matches_plain_window(spark):
         grouped_prefix_sum(
             bad, "g", "nk", [F.col("v").desc(), F.col("id")], "v"
         ).collect()
+
+
+def test_pq_encode_and_topk_invariants(spark):
+    """PQ contracts on a synthetic clustered corpus: codes stay in
+    [0, k_codes), are layout-invariant, and the shortlist+re-rank
+    top-k returns exactly the true cluster neighbors."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.similarity import (
+        pq_ann_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    rng = random.Random(7)
+    centers = [[10.0 * c] * 16 for c in range(3)]
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append(
+            (i, [centers[c][j] + rng.uniform(-0.5, 0.5) for j in range(16)])
+        )
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    books = pq_train_codebooks(
+        emb, dim=16, m=4, k_codes=8, iterations=3, train_sample=90
+    )
+    codes = pq_encode(emb, books)
+    vals = codes.collect()
+    for r in vals:
+        for s in range(4):
+            assert 0 <= r[f"code_{s}"] < 8
+    # layout invariance: same codes after repartition
+    again = {
+        r.vec_id: tuple(r[f"code_{s}"] for s in range(4))
+        for r in pq_encode(emb.repartition(7), books).collect()
+    }
+    assert again == {
+        r.vec_id: tuple(r[f"code_{s}"] for s in range(4)) for r in vals
+    }
+    # a query from cluster 0 must retrieve only cluster-0 members
+    qs = emb.filter(F.col("vec_id") == 0)
+    top = pq_ann_topk(emb, qs, books, k=5, rerank_candidates=20).collect()
+    assert len(top) == 5
+    assert all(r.vec_id % 3 == 0 and r.vec_id != 0 for r in top)
+    assert [r.rank for r in sorted(top, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+    assert all(r.approx_sq_l2 >= 0 for r in top)
