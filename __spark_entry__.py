@@ -39,46 +39,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # not-yet-checked queries are ordered first; long-green ones rotate to
 # the back (their local parity tests still run every session).
 #
-# Round-5 rotation: every r04-green query joins the set; the queries
-# NOT listed are this round's changes and additions, ordered first so
-# CORRECTNESS_r05 records them: the two fixed oracles
-# (token_budget_sample, token_balanced_shards — r4 HUGEINT->float64
-# hash failures), the seven rows-only -> oracle upgrades
-# (minhash_lsh_dups, dedup_clusters, simhash_dups, ann_lsh_topk,
-# ivf_ann_topk, semantic_dedup_stats, bpe_merges_report), two whose
-# implementations changed (media_phash_dups via banded_hamming_pairs,
-# lot_datasource_rollup via the lot source), one whose drain moved to
-# a parquet sink (streaming_dedup_counts), the four round-5 queries
-# (bpe_token_counts, token_budget_sample_bpe,
-# streaming_incremental_dedup, mixture_build_plan), and the
-# second-sweep additions (audio_chunk_inventory, weighted_sample_topk,
-# quantile_sketch_merge, bloom_join_prune_stats, bloom_pruned_revenue,
-# nation_trade_pagerank, cms_heavy_hitters) — 23 total, within the
+# Round-6 rotation: every r05-green query joins the set; NOT listed —
+# and therefore ordered first for CORRECTNESS_r06 — are the four
+# queries whose implementations changed (bloom_history_dedup now
+# splits on the row-level literal-probe verdict, weighted_sample_topk
+# u==0 guard, mixture_build_plan grouped-prefix-sum cumsum,
+# streaming_incremental_dedup single-session capped drain + history
+# compaction) and the six additions (repeated_substring_spans,
+# exact_substring_cut_stats, kmv_set_overlap, kmv_partial_merge,
+# incremental_minhash_dedup, pq_ann_topk, incremental_agg_maintenance)
+# — 11 total, well inside the
 # driver's 50-row snapshot.
 _DRIVER_GREEN = {
-    'approx_sketches', 'array_function_surface', 'asof_last_purchase',
+    'ann_lsh_topk', 'approx_sketches', 'array_function_surface',
+    'asof_last_purchase', 'audio_chunk_inventory',
     'benchmark_contamination', 'big_ticket_orders',
-    'bilateral_trade_volume', 'brand_set_ops', 'calendar_gap_fill',
+    'bilateral_trade_volume', 'bloom_join_prune_stats',
+    'bloom_pruned_revenue', 'bpe_merges_report', 'bpe_token_counts',
+    'brand_set_ops', 'calendar_gap_fill', 'cms_heavy_hitters',
     'collocation_lift_top20', 'conditional_counts', 'conversion_funnel',
     'cosine_topk_bruteforce', 'cube_order_stats',
     'customer_order_distribution', 'customers_without_orders',
-    'daily_balance_pivot', 'daily_order_summary', 'date_function_surface',
-    'dedup_clusters_exact', 'discount_band_revenue',
-    'disjunctive_predicate_revenue', 'distinct_catalog', 'doc_chunking',
-    'doc_fingerprints', 'doc_length_histogram', 'doc_quality_flags',
-    'doc_repetition_score', 'domain_mixture_weights',
-    'dq_violation_report', 'embedding_dup_pairs',
-    'embedding_norms_pandas_udf', 'embedding_quantization_error',
-    'event_delivery_dedup', 'event_value_deltas', 'exact_dedup_docs',
+    'daily_balance_pivot', 'daily_order_summary',
+    'date_function_surface', 'dedup_clusters', 'dedup_clusters_exact',
+    'discount_band_revenue', 'disjunctive_predicate_revenue',
+    'distinct_catalog', 'doc_chunking', 'doc_fingerprints',
+    'doc_length_histogram', 'doc_quality_flags', 'doc_repetition_score',
+    'domain_mixture_weights', 'dq_violation_report',
+    'embedding_dup_pairs', 'embedding_norms_pandas_udf',
+    'embedding_quantization_error', 'event_delivery_dedup',
+    'event_value_deltas', 'exact_dedup_docs',
     'exact_dup_rate_by_source', 'excess_share_suppliers',
     'flagship_top_customers', 'frame_navigation_surface',
-    'frame_sample_inventory', 'fuzzy_name_match', 'gopher_quality_suite',
-    'grouping_sets_report', 'hll_partial_merge_counts',
-    'hourly_event_windows', 'hourly_moving_value', 'hourly_ohlc_resample',
-    'important_parts_value', 'incremental_lot_dedup',
+    'frame_sample_inventory', 'fuzzy_name_match',
+    'gopher_quality_suite', 'grouping_sets_report',
+    'hll_partial_merge_counts', 'hourly_event_windows',
+    'hourly_moving_value', 'hourly_ohlc_resample',
+    'important_parts_value', 'incremental_lot_dedup', 'ivf_ann_topk',
     'jaccard_threshold_sweep', 'json_extraction', 'knn_label_vote',
-    'lang_id_confusion', 'map_function_surface', 'media_decode_meta',
-    'media_inventory', 'min_cost_supplier', 'nation_market_share',
+    'lang_id_confusion', 'lot_datasource_rollup',
+    'map_function_surface', 'media_decode_meta', 'media_inventory',
+    'media_phash_dups', 'min_cost_supplier', 'minhash_lsh_dups',
+    'nation_market_share', 'nation_trade_pagerank',
     'near_dup_keep_decisions', 'ngram_diversity_by_source',
     'ngram_jaccard_dups', 'ntile_distribution_surface',
     'null_audit_orders', 'null_safe_join_audit',
@@ -86,28 +88,33 @@ _DRIVER_GREEN = {
     'per_user_event_profile', 'pii_scrub_stats', 'pivot_native_daily',
     'price_band_range_join', 'pricing_summary', 'priority_order_exists',
     'product_margin_by_nation_year', 'promo_revenue_share',
-    'quality_scan_lineitem', 'ranking_function_surface',
-    'repeated_passage_report', 'returned_item_report',
-    'revenue_by_nation_region', 'rich_idle_customers', 'rollup_returns',
-    'scalar_functions', 'scd1_latest_event', 'scd2_dimension_report',
+    'quality_scan_lineitem', 'quantile_sketch_merge',
+    'ranking_function_surface', 'repeated_passage_report',
+    'returned_item_report', 'revenue_by_nation_region',
+    'rich_idle_customers', 'rollup_returns', 'scalar_functions',
+    'scd1_latest_event', 'scd2_dimension_report',
     'schema_evolution_union', 'segment_top_names_listagg',
-    'sentence_explode_udtf', 'sequence_packing_stats',
-    'shipping_priority_top10', 'skew_salted_supplier_revenue',
-    'small_quantity_revenue', 'snapshot_diff_cdc', 'stat_moments_by_flag',
+    'semantic_dedup_stats', 'sentence_explode_udtf',
+    'sequence_packing_stats', 'shipping_priority_top10', 'simhash_dups',
+    'skew_salted_supplier_revenue', 'small_quantity_revenue',
+    'snapshot_diff_cdc', 'stat_moments_by_flag',
     'stratified_sample_counts', 'stream_static_enrich',
-    'streaming_interval_join',
+    'streaming_dedup_counts', 'streaming_interval_join',
     'streaming_session_windows', 'streaming_stateful_counts',
     'streaming_tumbling_counts', 'streaming_upsert_scd1',
     'string_function_surface', 'supplier_count_by_part',
     'supplier_ranking_report', 'suppliers_with_returns',
     'temperature_resample_counts', 'tfidf_top_terms',
-    'token_stats_by_source', 'top3_orders_per_segment',
-    'top_revenue_supplier', 'train_test_split_stats', 'unigram_entropy',
+    'token_balanced_shards', 'token_budget_sample',
+    'token_budget_sample_bpe', 'token_stats_by_source',
+    'top3_orders_per_segment', 'top_revenue_supplier',
+    'train_test_split_stats', 'unigram_entropy',
     'unigram_surprisal_score', 'unpivot_daily_metrics', 'user_sessions',
     'value_outlier_mad', 'value_percentiles', 'value_trend_stats',
     'variant_json_surface', 'waiting_suppliers',
     'weekly_retention_cohorts', 'weekly_rollup_from_daily',
-    'width_bucket_histogram', 'winnowing_fingerprints', 'word_count_top20',
+    'width_bucket_histogram', 'winnowing_fingerprints',
+    'word_count_top20',
 }
 
 

@@ -560,3 +560,83 @@ def kmv_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_mismatch") == 0).alias("merge_equals_direct"),
         )
     )
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    WITH updated AS (
+      SELECT * FROM orders
+      WHERE o_orderkey % 10 = 0
+         OR (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0)
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM updated GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance with SIGNED deltas:
+    yesterday's per-priority aggregate (built from the base table) is
+    brought up to date by merging a CDC delta — inserts weighted +1,
+    deletes weighted -1 — so the refresh costs O(delta) + a
+    #groups-row merge, never a rescan of the table. This is the
+    aggregation-side sibling of the incremental dedup family (and of
+    weekly_rollup_from_daily's append-only rollup — here deletes are
+    first-class, the case plain re-aggregation can't absorb).
+
+    The driver hash proves maintained == direct: the oracle computes
+    the aggregate straight from the updated table, so a sign error,
+    a missed delete, or double-counted insert fails the row. Fixture
+    CDC: base = orderkeys not divisible by 10; delta inserts the
+    %10==0 rows and deletes base rows with orderkey %7==0. Decimal
+    sums keep the merge order-independent (functions/money.py
+    policy); counts that reach zero would drop the group row on both
+    sides identically (HAVING n > 0 semantics)."""
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    base = od.filter(F.col("o_orderkey") % 10 != 0)
+    inserts = od.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "sign", F.lit(1)
+    )
+    deletes = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "sign", F.lit(-1)
+    )
+    # yesterday's materialized aggregate: O(base), computed once
+    old_agg = base.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"), F.sum("p").alias("total_price")
+    )
+    # today's refresh: O(delta) group sums, signed
+    delta_agg = (
+        inserts.unionByName(deletes)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("sign").cast("bigint").alias("dn"),
+            F.sum(F.col("p") * F.col("sign")).alias("dp"),
+        )
+    )
+    merged = (
+        old_agg.join(delta_agg, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce("n_orders", F.lit(0))
+                + F.coalesce("dn", F.lit(0))
+            ).cast("bigint").alias("n_orders"),
+            (
+                F.coalesce(F.col("total_price"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("dp"), F.lit(0).cast("decimal(18,2)"))
+            ).alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+    )
