@@ -47,8 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # streaming_incremental_dedup single-session capped drain + history
 # compaction) and the six additions (repeated_substring_spans,
 # exact_substring_cut_stats, kmv_set_overlap, kmv_partial_merge,
-# incremental_minhash_dedup, pq_ann_topk, incremental_agg_maintenance)
-# — 11 total, well inside the
+# incremental_minhash_dedup, pq_ann_topk, incremental_agg_maintenance,
+# key_skew_report) — 12 total, well inside the
 # driver's 50-row snapshot.
 _DRIVER_GREEN = {
     'ann_lsh_topk', 'approx_sketches', 'array_function_surface',

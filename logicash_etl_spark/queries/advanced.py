@@ -686,3 +686,76 @@ def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "key_skew_report",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(MAX(n) AS BIGINT) AS max_key_rows
+      FROM per
+    ), top AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS top10_rows
+      FROM (SELECT n FROM per ORDER BY n DESC, key LIMIT 10)
+    )
+    SELECT t.total_rows, t.n_keys, t.max_key_rows,
+           round(CAST(t.total_rows AS DOUBLE) / t.n_keys, 6)
+             AS avg_key_rows,
+           round(t.max_key_rows
+                 / (CAST(t.total_rows AS DOUBLE) / t.n_keys), 6)
+             AS skew_ratio,
+           round(CAST(p.top10_rows AS DOUBLE) / t.total_rows, 6)
+             AS top10_share,
+           CAST(LEAST(CEIL(t.max_key_rows
+                 / (CAST(t.total_rows AS DOUBLE) / t.n_keys)), 32)
+                AS BIGINT) AS recommended_salt_buckets
+    FROM tot t, top p
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the operational companion to
+    ``join_with_skew_salt`` (operators/joins.py): before shuffling a
+    100 TB fact table on a key, measure how lopsided the key really
+    is. One groupBy pass yields rows-per-key; a second #keys-row
+    aggregate folds it to max/avg ``skew_ratio``, the share held by
+    the 10 heaviest keys (TakeOrderedAndProject, no global sort), and
+    a recommended salt-bucket count (ceil(max/avg), capped at 32 —
+    the factor that levels the heaviest reducer). At scale the only
+    data-sized shuffle is the per-key count; everything downstream is
+    #keys rows. The thresholds a pipeline would alert on
+    (skew_ratio > ~4 means AQE skew-split or salting territory) read
+    straight off the row, and the driver hash pins every number."""
+    per = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_key_rows"),
+    )
+    top = (
+        per.orderBy(F.col("n").desc(), "key")
+        .limit(10)
+        .agg(F.sum("n").cast("bigint").alias("top10_rows"))
+    )
+    avg = F.col("total_rows").cast("double") / F.col("n_keys")
+    return tot.crossJoin(F.broadcast(top)).select(
+        "total_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round(avg, 6).alias("avg_key_rows"),
+        F.round(F.col("max_key_rows") / avg, 6).alias("skew_ratio"),
+        F.round(
+            F.col("top10_rows").cast("double") / F.col("total_rows"), 6
+        ).alias("top10_share"),
+        F.least(F.ceil(F.col("max_key_rows") / avg), F.lit(32))
+        .cast("bigint")
+        .alias("recommended_salt_buckets"),
+    )
