@@ -681,14 +681,12 @@ def bloom_history_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     )
-    from logicash_etl_spark.operators.caching import scoped_persist
-
-    # persist the store: the literal probe's bitmap collect (one
-    # bounded job at plan-build) and the survivor join both read it —
-    # without the persist the fingerprint pipeline would run twice
-    hist = scoped_persist(
-        docs.filter(F.col("doc_id") % 10 < 8).select("fp").distinct()
-    )
+    # the store pipeline is read twice (the literal probe's bitmap
+    # collect — one bounded job at plan-build — and the survivor
+    # join); recomputing beats persisting at fixture scale, and at
+    # 100 TB the store is a materialized parquet table anyway, so
+    # both reads are plain scans of it
+    hist = docs.filter(F.col("doc_id") % 10 < 8).select("fp").distinct()
     incoming = docs.filter(F.col("doc_id") % 10 >= 8)
     bloom = bloom_filter_build(hist, "fp", m_bits=m_bits, k_hashes=k)
     probed = bloom_filter_probe_literal(
