@@ -759,3 +759,101 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recommended_salt_buckets"),
     )
+
+
+@query(
+    "copurchase_lift_top20",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), freq AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM items
+      GROUP BY l_partkey
+    ), tot AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM items
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    ), lifted AS (
+      SELECT p.part_a, p.part_b, p.n_ab,
+             round(CAST(p.n_ab AS DOUBLE) * t.n_orders
+                   / (fa.n * fb.n), 6) AS lift
+      FROM pairs p
+        JOIN freq fa ON fa.l_partkey = p.part_a
+        JOIN freq fb ON fb.l_partkey = p.part_b, tot t
+    )
+    SELECT part_a, part_b, n_ab, lift FROM lifted
+    ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+)
+def copurchase_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with support pruning — the a-priori
+    first pass, distributed: items co-ordered in the same basket
+    self-join ON THE BASKET KEY (co-partitioned equi-join — pair
+    fan-out is C(lines-per-order, 2) per basket, bounded by basket
+    size, never cross-basket), the support filter (>= 3 shared
+    orders) runs BEFORE any frequency join, and the surviving pairs
+    — a vanishing fraction — broadcast-join the per-item frequencies
+    for lift = P(a,b) / (P(a) P(b)). At 100 TB the only data-sized
+    shuffles are the basket self-join (on the basket key the scan is
+    often already bucketed by) and the item-frequency count; the
+    token-domain sibling is collocation_lift_top20. Top-20 by lift
+    via TakeOrderedAndProject with a full deterministic tiebreak."""
+    items = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = items.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = items.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("n").alias("__na")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("n").alias("__nb")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )

@@ -922,3 +922,86 @@ def audio_chunk_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max_by(n_samples, chunk_idx)").alias("last_chunk_samples"),
         )
     )
+
+
+@query(
+    "bigram_surprisal_score",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                 x -> x <> '') AS ws
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS b
+      FROM w WHERE len(ws) >= 2
+    ), tok AS (
+      SELECT doc_id, unnest(ws) AS word FROM w
+    ), c1 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word
+    ), c2 AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY b
+    ), vocab AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM c1
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(SUM(-ln((CAST(c2.c AS DOUBLE) + 1)
+                         / (c1.c + (SELECT v FROM vocab)))) / count(*), 6)
+             AS mean_nll
+    FROM bg g
+      JOIN c2 ON c2.b = g.b
+      JOIN c1 ON c1.word = string_split(g.b, ' ')[1]
+    GROUP BY g.doc_id
+    """,
+)
+def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy (the step past unigram_surprisal_
+    score toward a real KenLM gate): per-doc mean negative log of
+    P(w_i | w_{i-1}) = (c(bigram)+1) / (c(w_{i-1}) + V), add-one
+    smoothed over the corpus vocabulary. Low = templated/boilerplate
+    transitions, high = incoherent or rare text — the CCNet-style
+    quality axis that unigram stats miss (a doc of common words in
+    nonsense ORDER scores high here, not there).
+
+    Plan: bigrams extracted from the token array by pure JVM
+    transform (no window, no self-join), two mergeable count passes
+    (bigram + unigram tables — model TRAINING is two groupBys), and
+    a broadcast scoring join of |vocab|-sized count tables against
+    the token stream. At 100 TB the count tables come from a
+    frequency cutoff (or the CMS sketch) and the join shape is
+    unchanged; everything is map-side except the two count shuffles
+    keyed on the n-gram."""
+    docs = scale_out(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    w = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("ws"))
+    bg = w.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS w1, "
+                "concat(element_at(ws, i), ' ', element_at(ws, i+1)) AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.b").alias("b"))
+    tok = w.select("doc_id", F.explode("ws").alias("word"))
+    c1 = tok.groupBy("word").agg(F.count("*").cast("bigint").alias("c1"))
+    c2 = bg.groupBy("b").agg(F.count("*").cast("bigint").alias("c2"))
+    v = c1.agg(F.count("*").cast("bigint").alias("v"))
+    scored = (
+        bg.join(F.broadcast(c2), "b")
+        .join(
+            F.broadcast(c1.withColumnRenamed("word", "w1")), "w1"
+        )
+        .crossJoin(F.broadcast(v))
+    )
+    nll = -F.log(
+        (F.col("c2").cast("double") + 1) / (F.col("c1") + F.col("v"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum(nll) / F.count("*"), 6).alias("mean_nll"),
+    )

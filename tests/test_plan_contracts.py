@@ -582,3 +582,21 @@ def test_kmv_sketch_never_global_sorts(spark, sf_dir):
     sk = kmv_sketch(li, "v", 256)
     assert has_take_ordered(sk)
     assert sk.count() == 256
+
+
+def test_pq_encode_zero_shuffle(spark, sf_dir):
+    """PQ encoding is a pure literal-codebook expression over the
+    scan: no Exchange, no Join — the property that makes encoding a
+    100 TB embedding corpus a single map-only pass."""
+    from logicash_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(
+        emb, dim=64, m=4, k_codes=8, iterations=1, train_sample=512
+    )
+    codes = pq_encode(emb, books)
+    assert count_exchanges(codes) == 0
+    assert "Join" not in plan_string(codes)
