@@ -48,8 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # compaction) and the six additions (repeated_substring_spans,
 # exact_substring_cut_stats, kmv_set_overlap, kmv_partial_merge,
 # incremental_minhash_dedup, pq_ann_topk, incremental_agg_maintenance,
-# key_skew_report, copurchase_lift_top20, bigram_surprisal_score) —
-# 14 total, well inside the
+# key_skew_report, copurchase_lift_top20, bigram_surprisal_score,
+# exact_substring_dedup_apply) — 15 total, well inside the
 # driver's 50-row snapshot.
 _DRIVER_GREEN = {
     'ann_lsh_topk', 'approx_sketches', 'array_function_surface',

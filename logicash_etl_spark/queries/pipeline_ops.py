@@ -1147,3 +1147,102 @@ def exact_substring_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cut_ratio"),
         )
     )
+
+
+@query(
+    "exact_substring_dedup_apply",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+7], ' ')) AS s
+      FROM toks, unnest(generate_series(1, GREATEST(len(t) - 7, 0))) AS u(i)
+    ), dup AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) > 1
+    ), d AS (
+      SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)
+    ), r AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM d
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS ss, MAX(pos) + 7 AS se
+      FROM r GROUP BY doc_id, grp
+    ), tokpos AS (
+      SELECT doc_id, i AS pos, t[i] AS w
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+    ), cut AS (
+      SELECT DISTINCT tp.doc_id, tp.pos
+      FROM tokpos tp JOIN spans sp
+        ON sp.doc_id = tp.doc_id AND tp.pos BETWEEN sp.ss AND sp.se
+    ), kept AS (
+      SELECT tp.doc_id, tp.pos, tp.w
+      FROM tokpos tp LEFT JOIN cut c
+        ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+      WHERE c.doc_id IS NULL
+    )
+    SELECT k.doc_id,
+           string_agg(k.w, ' ' ORDER BY k.pos) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_tokens_kept
+    FROM kept k
+    GROUP BY k.doc_id
+    HAVING count(*) > 0
+    """,
+)
+def exact_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr pass APPLIED, not just reported: rebuild each
+    document with every repeated >= 8-token span removed — the
+    destructive step a curation pipeline runs after
+    exact_substring_cut_stats signs off. Token positions inside any
+    span are dropped via a per-doc range join against the span list
+    (spans per doc are few — the range join's fan-out is bounded by
+    span count, never tokens x spans corpus-wide), and surviving
+    tokens re-assemble ORDER-SAFELY: array_sort over (pos, word)
+    structs then array_join — collect_list alone has no ordering
+    guarantee and would be nondeterministic under retries/speculation.
+    Docs whose every token is cut disappear (nothing left to train
+    on). The oracle rebuilds identical strings with an ordered
+    string_agg, so the driver hash pins the reconstruction
+    byte-for-byte."""
+    from logicash_etl_spark.operators.dedup import repeated_substring_spans
+    from logicash_etl_spark.operators.text import tokens as tok_fn
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = repeated_substring_spans(
+        docs, id_col="doc_id", text_col="text", min_tokens=8
+    )
+    tokpos = docs.select(
+        "doc_id",
+        F.posexplode(tok_fn(F.lower(F.col("text")))).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    cut = (
+        tokpos.join(
+            spans,
+            on=[
+                tokpos["doc_id"] == spans["doc_id"],
+                tokpos["pos"].between(
+                    F.col("span_start"), F.col("span_end")
+                ),
+            ],
+        )
+        .select(tokpos["doc_id"], tokpos["pos"])
+        .distinct()
+    )
+    kept = tokpos.join(cut, on=["doc_id", "pos"], how="left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").cast("bigint").alias("n_tokens_kept"),
+        )
+    )
