@@ -600,3 +600,20 @@ def test_pq_encode_zero_shuffle(spark, sf_dir):
     codes = pq_encode(emb, books)
     assert count_exchanges(codes) == 0
     assert "Join" not in plan_string(codes)
+
+
+def test_copurchase_basket_join_is_equi(spark, sf_dir):
+    """The market-basket self-join must key on the basket (equi join
+    with the partkey ordering as a residual condition), never a
+    cartesian/nested-loop over items; the only nested-loop allowed is
+    the single-row totals cross join."""
+    df = QUERIES["copurchase_lift_top20"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    strategies = join_strategies(df)
+    # exactly one nested-loop (the 1-row totals); the rest hash joins
+    assert strategies.count("BroadcastNestedLoopJoin") <= 1
+    assert all(
+        "Hash" in s or s == "BroadcastNestedLoopJoin" for s in strategies
+    ), strategies
+    assert has_take_ordered(df)
