@@ -225,3 +225,43 @@ def grouped_prefix_sum(
         .withColumn(out_col, (F.col("__local") + F.col("__off")).cast(sum_type))
         .drop("__b", "__local", "__off")
     )
+
+
+def grouped_bottom_k(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Bottom-k rows per group WITHOUT a per-group single-reducer
+    window — the per-group analog of TakeOrderedAndProject, built the
+    two-phase way: rows first split into ``salt_buckets``
+    deterministic sub-partitions (hash of the order value — content,
+    not layout, so the result is partitioning-invariant), a window
+    keeps the bottom-k of each (group, salt) slice (each slice is
+    ~1/salt_buckets of the group — bounded, parallel), then a second
+    window over the surviving <= k * salt_buckets rows per group
+    picks the global bottom-k. A plain Window.partitionBy(group)
+    would sort each group's ENTIRE row set on one reducer — the exact
+    skew trap when one group dominates (cf. grouped_prefix_sum).
+
+    Returns the input columns of the winning rows (no rank). Ties in
+    ``order_col`` break arbitrarily BETWEEN equal values across salt
+    slices — pass a total-order column (distinct values) for
+    deterministic results, as sketch draws are."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    salted = df.withColumn(
+        "__bk_salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(group_col, "__bk_salt").orderBy(order_col)
+    w2 = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        salted.withColumn("__bk_r1", F.row_number().over(w1))
+        .filter(F.col("__bk_r1") <= k)
+        .withColumn("__bk_r2", F.row_number().over(w2))
+        .filter(F.col("__bk_r2") <= k)
+        .drop("__bk_salt", "__bk_r1", "__bk_r2")
+    )

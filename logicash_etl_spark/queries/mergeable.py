@@ -509,21 +509,21 @@ def kmv_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = read_table(spark, sf_dir, "orders").select(
         "o_orderpriority", F.col("o_custkey").alias("v")
     )
-    # partials: one bottom-k sketch per priority group
+    # partials: one bottom-k sketch per priority group, built with the
+    # two-phase salted bottom-k (grouped_bottom_k) — a plain per-group
+    # window would sort each group's entire distinct-key set on one
+    # reducer, the skew trap when one group dominates at scale
+    from logicash_etl_spark.operators.partitioning import grouped_bottom_k
+
     u = _kmv_u(F.col("v")).alias("u")
-    ranked = (
+    ranked = grouped_bottom_k(
         od.filter(F.col("v").isNotNull())
         .select("o_orderpriority", u)
-        .distinct()
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("o_orderpriority").orderBy("u")
-            ),
-        )
-        .filter(F.col("rk") <= K)
-        .select("o_orderpriority", "u")
-    )
+        .distinct(),
+        group_col="o_orderpriority",
+        order_col="u",
+        k=K,
+    ).select("o_orderpriority", "u")
     merged = ranked.select("u").distinct().orderBy("u").limit(K)
     direct = kmv_sketch(
         read_table(spark, sf_dir, "orders").select(

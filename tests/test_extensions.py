@@ -1002,3 +1002,34 @@ def test_pq_encode_and_topk_invariants(spark):
     assert all(r.vec_id % 3 == 0 and r.vec_id != 0 for r in top)
     assert [r.rank for r in sorted(top, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
     assert all(r.approx_sq_l2 >= 0 for r in top)
+
+
+def test_grouped_bottom_k_matches_plain_window(spark):
+    """Two-phase salted bottom-k == the naive per-group window for
+    distinct order values, and is layout-invariant."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.partitioning import grouped_bottom_k
+
+    rows = [("g%d" % (i % 3), i, (i * 131) % 997) for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, id int, v int")
+    w = Window.partitionBy("g").orderBy("v")
+    want = {
+        (r.g, r.v)
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 7)
+        .collect()
+    }
+    got = {
+        (r.g, r.v)
+        for r in grouped_bottom_k(df, "g", "v", 7, salt_buckets=8).collect()
+    }
+    assert got == want
+    got2 = {
+        (r.g, r.v)
+        for r in grouped_bottom_k(
+            df.repartition(11), "g", "v", 7, salt_buckets=8
+        ).collect()
+    }
+    assert got2 == want
