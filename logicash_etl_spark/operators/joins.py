@@ -478,6 +478,15 @@ def bloom_filter_probe_literal(
         raise ValueError(
             f"m_bits must be a positive multiple of 32, got {m_bits}"
         )
+    if m_bits > (1 << 20):
+        # the bitmap ships as a literal inside every serialized task;
+        # beyond ~128 KB of words the key-level probe's broadcast
+        # join is the right tool — fail loudly instead of bloating
+        # the plan silently
+        raise ValueError(
+            f"m_bits={m_bits} too large to inline as a plan literal "
+            "(max 2^20); use bloom_filter_probe (broadcast join) instead"
+        )
     n_words = m_bits // 32
     # bounded driver collect: exactly m_bits/32 rows (128 at default)
     words = {int(r["word"]): int(r["bits"]) for r in bloom.collect()}

@@ -678,7 +678,8 @@ def pq_ann_topk(
     w = W.partitionBy("query_id").orderBy(
         F.col("approx_sq_l2").asc(), F.col(id_col).asc()
     )
-    shortlist_n = rerank_candidates if rerank_candidates > 0 else k
+    # a shortlist smaller than k could only shrink the answer set
+    shortlist_n = max(rerank_candidates, k) if rerank_candidates > 0 else k
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= shortlist_n)
