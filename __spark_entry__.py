@@ -49,7 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact_substring_cut_stats, kmv_set_overlap, kmv_partial_merge,
 # incremental_minhash_dedup, pq_ann_topk, incremental_agg_maintenance,
 # key_skew_report, copurchase_lift_top20, bigram_surprisal_score,
-# exact_substring_dedup_apply) — 15 total, well inside the
+# exact_substring_dedup_apply, curation_funnel_report) plus
+# token_budget_sample (cumsum moved to grouped_prefix_sum) —
+# 17 total, well inside the
 # driver's 50-row snapshot.
 _DRIVER_GREEN = {
     'ann_lsh_topk', 'approx_sketches', 'array_function_surface',
@@ -106,7 +108,7 @@ _DRIVER_GREEN = {
     'string_function_surface', 'supplier_count_by_part',
     'supplier_ranking_report', 'suppliers_with_returns',
     'temperature_resample_counts', 'tfidf_top_terms',
-    'token_balanced_shards', 'token_budget_sample',
+    'token_balanced_shards',
     'token_budget_sample_bpe', 'token_stats_by_source',
     'top3_orders_per_segment', 'top_revenue_supplier',
     'train_test_split_stats', 'unigram_entropy',

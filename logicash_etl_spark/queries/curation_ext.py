@@ -176,20 +176,27 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (longest-first, doc_id tie-break) until an 800-token budget is
     spent — the how-much-of-each-domain-fits cut every mixture build
     makes after the weights are chosen (cf. domain_mixture_weights).
-    One shuffle on source for the running-sum window; the token count
-    is computed in the same pass as the scan (no second read). Skewed
-    giant sources bound the window cost by their own row count only."""
+    The running sum is ``grouped_prefix_sum`` (range-bucketed windows
+    WITHIN each source — the de-skewed scan mixture_build_plan uses),
+    so a dominant source never lands its whole doc set on one
+    reducer; the token count is computed in the same pass as the
+    scan (no second read)."""
+    from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
+
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens")
     )
-    w = (
-        W.partitionBy("source")
-        .orderBy(F.col("n_tokens").desc(), "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
     return (
-        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        grouped_prefix_sum(
+            toks.withColumn("__nk", -F.col("n_tokens")),
+            group_col="source",
+            bucket_key="__nk",
+            order_cols=[F.col("n_tokens").desc(), F.col("doc_id")],
+            value_col="n_tokens",
+            out_col="cum_tokens",
+            inclusive=True,
+        ).drop("__nk")
         .filter(F.col("cum_tokens") <= 800)
     )
 
@@ -709,3 +716,164 @@ def bloom_history_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fast.unionByName(checked)
+
+
+@query(
+    "curation_funnel_report",
+    oracle=r"""
+    WITH feat AS (
+      SELECT doc_id, text,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '')) AS BIGINT) AS n_tokens,
+        length(text) AS nc,
+        len(regexp_extract_all(text, '[0-9]')) AS nd,
+        len(regexp_extract_all(text, '\s')) AS nsp
+      FROM documents
+    ), q AS (
+      SELECT doc_id, text, n_tokens FROM feat
+      WHERE n_tokens >= 10
+        AND (CASE WHEN n_tokens > 0
+                  THEN CAST(nc - nsp AS DOUBLE) / n_tokens
+                  ELSE 0.0 END) <= 12.0
+        AND CAST(nd AS DOUBLE) / greatest(nc, 1) <= 0.3
+    ), e AS (
+      SELECT q.doc_id, q.text, q.n_tokens FROM q
+      JOIN (
+        SELECT min(doc_id) AS doc_id FROM (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+          FROM q)
+        GROUP BY h
+      ) k USING (doc_id)
+    ), w2 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM e
+    ), sh2 AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 3
+                    THEN list_transform(generate_series(1, len(ws) - 2),
+                                        i -> array_to_string(ws[i:i+2], ' '))
+                    ELSE [] END)) AS s
+      FROM w2
+    ), sizes2 AS (
+      SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id
+    ), idx2 AS (
+      SELECT doc_id, s FROM sh2
+      WHERE s NOT IN (SELECT s FROM sh2 GROUP BY s HAVING count(*) > 100)
+    ), cand2 AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx2 a JOIN idx2 b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), inter2 AS (
+      SELECT c.id_a, c.id_b, count(*) AS n
+      FROM cand2 c
+        JOIN sh2 a ON a.doc_id = c.id_a
+        JOIN sh2 b ON b.doc_id = c.id_b AND b.s = a.s
+      GROUP BY c.id_a, c.id_b
+    ), dropids AS (
+      SELECT DISTINCT i.id_b AS doc_id
+      FROM inter2 i
+        JOIN sizes2 sa ON sa.doc_id = i.id_a
+        JOIN sizes2 sb ON sb.doc_id = i.id_b
+      WHERE CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) >= 0.35
+    ), nd_surv AS (
+      SELECT e.doc_id, e.n_tokens FROM e
+      LEFT JOIN dropids d ON d.doc_id = e.doc_id
+      WHERE d.doc_id IS NULL
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+      FROM nd_surv
+    ), adm AS (
+      SELECT doc_id, n_tokens FROM cum WHERE ct <= 50000
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_idx, 'ingest' AS stage,
+             CAST(count(*) AS BIGINT) AS docs_out,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_out FROM feat
+      UNION ALL
+      SELECT 2, 'quality_gate', CAST(count(*) AS BIGINT),
+             CAST(SUM(n_tokens) AS BIGINT) FROM q
+      UNION ALL
+      SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT),
+             CAST(SUM(n_tokens) AS BIGINT) FROM e
+      UNION ALL
+      SELECT 4, 'near_dup', CAST(count(*) AS BIGINT),
+             CAST(SUM(n_tokens) AS BIGINT) FROM nd_surv
+      UNION ALL
+      SELECT 5, 'token_budget', CAST(count(*) AS BIGINT),
+             CAST(SUM(n_tokens) AS BIGINT) FROM adm
+    )
+    """,
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline END TO END as one accounted funnel —
+    the showpiece composition a corpus team actually ships: ingest →
+    Gopher quality gate → exact dedup (md5 keep-min) → near-dup drop
+    (exact 3-gram Jaccard >= 0.35 against a LOWER-id survivor;
+    pairwise keep-earliest, deliberately not transitive closure —
+    dedup_clusters covers that) → greedy longest-first token-budget
+    admission (50k), with (docs, tokens) surviving each stage. Every
+    stage is the library operator the catalog already proves
+    (quality_features/quality_flag, exact_dedup via content_hash,
+    jaccard_pairs with the hot-shingle prune, grouped_prefix_sum for
+    the admission cumsum — bucketed, no single-reducer sort), so the
+    funnel doubles as an integration test of their composition, and
+    the oracle recomputes all five stages in SQL so the driver hash
+    pins the whole pipeline's arithmetic. At 100 TB each stage is the
+    operator's own documented plan; the funnel adds only 5 count
+    rows."""
+    from logicash_etl_spark.operators.caching import scoped_persist
+    from logicash_etl_spark.operators.dedup import exact_dedup, jaccard_pairs
+    from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
+    from logicash_etl_spark.operators.text import (
+        quality_features,
+        quality_flag,
+        token_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feat = scoped_persist(
+        docs.withColumn("n_tokens", token_count("text").cast("bigint"))
+    )
+    q = scoped_persist(
+        quality_flag(quality_features(docs))
+        .filter(F.col("quality_keep"))
+        .select("doc_id", "text", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+    )
+    e = scoped_persist(exact_dedup(q, "doc_id", "text"))
+    drops = (
+        jaccard_pairs(
+            e, "doc_id", "text", shingle_n=3, threshold=0.35, max_doc_freq=100
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    nd = scoped_persist(e.join(drops, "doc_id", "left_anti"))
+    adm = grouped_prefix_sum(
+        nd.withColumn("__g", F.lit(1)).withColumn("__nk", -F.col("n_tokens")),
+        group_col="__g",
+        bucket_key="__nk",
+        order_cols=[F.col("n_tokens").desc(), F.col("doc_id")],
+        value_col="n_tokens",
+        out_col="ct",
+        inclusive=True,
+    ).filter(F.col("ct") <= 50000)
+
+    def stage(idx: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("bigint").alias("docs_out"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_out"),
+        )
+
+    return (
+        stage(1, "ingest", feat)
+        .unionByName(stage(2, "quality_gate", q))
+        .unionByName(stage(3, "exact_dedup", e))
+        .unionByName(stage(4, "near_dup", nd))
+        .unionByName(stage(5, "token_budget", adm))
+    )
