@@ -49,9 +49,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact_substring_cut_stats, kmv_set_overlap, kmv_partial_merge,
 # incremental_minhash_dedup, pq_ann_topk, incremental_agg_maintenance,
 # key_skew_report, copurchase_lift_top20, bigram_surprisal_score,
-# exact_substring_dedup_apply, curation_funnel_report) plus
-# token_budget_sample (cumsum moved to grouped_prefix_sum) —
-# 17 total, well inside the
+# exact_substring_dedup_apply, curation_funnel_report) plus the
+# queries whose cumsums/bottom-k moved to the de-skewed scans
+# (token_budget_sample, token_budget_sample_bpe,
+# sequence_packing_stats, weighted_sample_topk) — 19 total, well
+# inside the
 # driver's 50-row snapshot.
 _DRIVER_GREEN = {
     'ann_lsh_topk', 'approx_sketches', 'array_function_surface',
@@ -98,7 +100,7 @@ _DRIVER_GREEN = {
     'scd1_latest_event', 'scd2_dimension_report',
     'schema_evolution_union', 'segment_top_names_listagg',
     'semantic_dedup_stats', 'sentence_explode_udtf',
-    'sequence_packing_stats', 'shipping_priority_top10', 'simhash_dups',
+    'shipping_priority_top10', 'simhash_dups',
     'skew_salted_supplier_revenue', 'small_quantity_revenue',
     'snapshot_diff_cdc', 'stat_moments_by_flag',
     'stratified_sample_counts', 'stream_static_enrich',
@@ -109,7 +111,7 @@ _DRIVER_GREEN = {
     'supplier_ranking_report', 'suppliers_with_returns',
     'temperature_resample_counts', 'tfidf_top_terms',
     'token_balanced_shards',
-    'token_budget_sample_bpe', 'token_stats_by_source',
+    'token_stats_by_source',
     'top3_orders_per_segment', 'top_revenue_supplier',
     'train_test_split_stats', 'unigram_entropy',
     'unigram_surprisal_score', 'unpivot_daily_metrics', 'user_sessions',

@@ -174,8 +174,8 @@ def grouped_prefix_sum(
     if isinstance(sum_type, T.NullType):
         sum_type = T.LongType()
     rng = df.groupBy(group_col).agg(
-        F.min(bucket_key).cast("double").alias("__lo"),
-        F.max(bucket_key).cast("double").alias("__hi"),
+        F.min(bucket_key).cast("double").alias("__gps_lo"),
+        F.max(bucket_key).cast("double").alias("__gps_hi"),
     )
     key = (
         F.when(
@@ -190,40 +190,40 @@ def grouped_prefix_sum(
         .otherwise(F.col(bucket_key).cast("double"))
     )
     span = F.greatest(
-        (F.col("__hi") - F.col("__lo")) / buckets, F.lit(1e-9)
+        (F.col("__gps_hi") - F.col("__gps_lo")) / buckets, F.lit(1e-9)
     )
     bucketed = df.join(F.broadcast(rng), on=group_col).withColumn(
-        "__b",
+        "__gps_b",
         F.least(
             F.lit(buckets - 1),
-            F.floor((key - F.col("__lo")) / span),
+            F.floor((key - F.col("__gps_lo")) / span),
         ).cast("int"),
-    ).drop("__lo", "__hi")
+    ).drop("__gps_lo", "__gps_hi")
     w_local = (
-        Window.partitionBy(group_col, "__b")
+        Window.partitionBy(group_col, "__gps_b")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
     )
     local = bucketed.withColumn(
-        "__local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+        "__gps_local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
     )
     # exclusive running total of bucket sums: each window partition is
     # <= buckets rows, so this second window is trivially bounded
     w_off = (
         Window.partitionBy(group_col)
-        .orderBy("__b")
+        .orderBy("__gps_b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = (
-        bucketed.groupBy(group_col, "__b")
-        .agg(F.sum(value_col).alias("__t"))
-        .withColumn("__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0)))
-        .drop("__t")
+        bucketed.groupBy(group_col, "__gps_b")
+        .agg(F.sum(value_col).alias("__gps_t"))
+        .withColumn("__gps_off", F.coalesce(F.sum("__gps_t").over(w_off), F.lit(0)))
+        .drop("__gps_t")
     )
     return (
-        local.join(F.broadcast(offs), on=[group_col, "__b"])
-        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast(sum_type))
-        .drop("__b", "__local", "__off")
+        local.join(F.broadcast(offs), on=[group_col, "__gps_b"])
+        .withColumn(out_col, (F.col("__gps_local") + F.col("__gps_off")).cast(sum_type))
+        .drop("__gps_b", "__gps_local", "__gps_off")
     )
 
 
@@ -233,6 +233,7 @@ def grouped_bottom_k(
     order_col: str,
     k: int,
     salt_buckets: int = 32,
+    tiebreak_cols: list | None = None,
 ) -> DataFrame:
     """Bottom-k rows per group WITHOUT a per-group single-reducer
     window — the per-group analog of TakeOrderedAndProject, built the
@@ -246,18 +247,20 @@ def grouped_bottom_k(
     would sort each group's ENTIRE row set on one reducer — the exact
     skew trap when one group dominates (cf. grouped_prefix_sum).
 
-    Returns the input columns of the winning rows (no rank). Ties in
-    ``order_col`` break arbitrarily BETWEEN equal values across salt
-    slices — pass a total-order column (distinct values) for
-    deterministic results, as sketch draws are."""
+    Returns the input columns of the winning rows (no rank). Equal
+    ``order_col`` values hash to the SAME salt slice, so passing
+    ``tiebreak_cols`` (a list of Columns/names refining the order)
+    makes ties fully deterministic; without it, ties between equal
+    values break arbitrarily."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    ties = list(tiebreak_cols or [])
     salted = df.withColumn(
         "__bk_salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
     )
-    w1 = Window.partitionBy(group_col, "__bk_salt").orderBy(order_col)
-    w2 = Window.partitionBy(group_col).orderBy(order_col)
+    w1 = Window.partitionBy(group_col, "__bk_salt").orderBy(order_col, *ties)
+    w2 = Window.partitionBy(group_col).orderBy(order_col, *ties)
     return (
         salted.withColumn("__bk_r1", F.row_number().over(w1))
         .filter(F.col("__bk_r1") <= k)

@@ -80,23 +80,36 @@ def weighted_topk_sample(
     weighted-without-replacement semantics curation pipelines need
     ("sample 1M docs proportional to length/quality score").
 
-    Scale: one window per group partition — no global sort, no
-    driver state; the draw is the content hash, so the sample is
-    identical across cluster sizes and engines. Rows with
+    Scale: the per-group bottom-k runs through the two-phase salted
+    scan (``grouped_bottom_k`` — bounded windows per (group, salt)
+    slice, then a window over <= k x slices survivors), so a dominant
+    group never sorts its whole row set on one reducer; no global
+    sort, no driver state. The draw is the content hash, so the
+    sample is identical across cluster sizes and engines. Rows with
     non-positive or null weights are excluded (they would yield
-    negative/undefined rates). u == 0 (p = 2^-32 per row, so it
-    WILL occur at billions of rows) is guarded explicitly: the key
-    is NULL and ordered NULLS LAST — the row is never sampled.
-    Without the guard the engines diverge: Spark ln(0) returns NULL
-    (which asc() would sort FIRST), DuckDB ln(0) raises; the guard +
-    asc_nulls_last makes both produce the same deterministic answer."""
+    negative/undefined rates), and so are u == 0 draws (p = 2^-32
+    per row, so they WILL occur at billions of rows): their key is
+    undefined and the row is never sampled — explicitly filtered so
+    a small group cannot backfill with them. Without the guard the
+    engines diverge: Spark ln(0) returns NULL (which asc() would
+    sort FIRST), DuckDB ln(0) raises."""
+    from logicash_etl_spark.operators.partitioning import grouped_bottom_k
+
     u = _u(F.col(id_col), salt)
-    key = F.when(u > 0, -F.log(u) / F.col(weight_col))
+    key = -F.log(u) / F.col(weight_col)
+    pos = (
+        df.filter((F.col(weight_col) > 0) & (u > 0))
+        .withColumn("__es_key", key)
+    )
+    winners = grouped_bottom_k(
+        pos, group_col, "__es_key", k, tiebreak_cols=[F.col(id_col).asc()]
+    )
+    # final rank over <= k rows per group: trivially bounded
     w = Window.partitionBy(group_col).orderBy(
-        key.asc_nulls_last(), F.col(id_col).asc()
+        F.col("__es_key").asc(), F.col(id_col).asc()
     )
     return (
-        df.filter(F.col(weight_col) > 0)
-        .withColumn(rank_col, F.row_number().over(w))
+        winners.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
+        .drop("__es_key")
     )

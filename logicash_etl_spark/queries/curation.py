@@ -198,20 +198,25 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous-stream sequence packing (GPT-style): per source,
     docs concatenate in doc_id order into one token stream; a doc's
     bin is its start offset / 2048 (context length). The running
-    offset is a window cumsum PARTITIONED BY SOURCE — packing within
-    shards keeps the window parallel (an unpartitioned global cumsum
-    would serialize the corpus through one task at 100 TB)."""
+    offset is ``grouped_prefix_sum`` (range-bucketed windows WITHIN
+    each source) — packing stays parallel even when one source holds
+    most of the corpus, where a plain per-source window would
+    serialize it through one task at 100 TB."""
+    from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
+
     docs = scale_out(read_table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     t = docs.select("doc_id", "source", F.size(tokens("text")).alias("n_tokens"))
-    w = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    packed = t.select(
+    packed = grouped_prefix_sum(
+        t,
+        group_col="source",
+        bucket_key="doc_id",
+        order_cols=[F.col("doc_id")],
+        value_col="n_tokens",
+        out_col="__off",
+    ).select(
         "source",
         "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("bigint").alias("bin"),
+        F.floor(F.col("__off") / 2048).cast("bigint").alias("bin"),
     )
     return packed.groupBy("source", "bin").agg(
         F.count("*").alias("n_docs"),

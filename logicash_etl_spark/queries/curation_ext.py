@@ -274,13 +274,19 @@ def token_budget_sample_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("__n_sym"), F.lit(0)).cast("bigint").alias("n_tokens")
         )
     )
-    w = (
-        W.partitionBy("source")
-        .orderBy(F.col("n_tokens").desc(), "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
+
     return (
-        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        grouped_prefix_sum(
+            toks.withColumn("__nk", -F.col("n_tokens")),
+            group_col="source",
+            bucket_key="__nk",
+            order_cols=[F.col("n_tokens").desc(), F.col("doc_id")],
+            value_col="n_tokens",
+            out_col="cum_tokens",
+            inclusive=True,
+        )
+        .drop("__nk")
         .filter(F.col("cum_tokens") <= 4000)
     )
 
@@ -559,13 +565,12 @@ def mixture_build_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 4294967296.0 AS u
       FROM documents WHERE n_chars > 0
     ), k AS (
-      SELECT source, doc_id,
-             CASE WHEN u > 0 THEN -ln(u) / n_chars ELSE NULL END AS ekey
-      FROM d
+      SELECT source, doc_id, -ln(u) / n_chars AS ekey
+      FROM d WHERE u > 0
     ), r AS (
       SELECT source, doc_id,
              CAST(row_number() OVER (
-               PARTITION BY source ORDER BY ekey ASC NULLS LAST, doc_id ASC
+               PARTITION BY source ORDER BY ekey ASC, doc_id ASC
              ) AS INT) AS rk
       FROM k
     )

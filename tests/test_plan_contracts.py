@@ -556,7 +556,7 @@ def test_mixture_admission_cumsum_is_bucketed(spark, sf_dir):
     dominant source splits across reducers."""
     df = QUERIES["mixture_build_plan"](spark, sf_dir)
     plan = plan_string(df)
-    assert "__b" in plan  # bucketed windows present
+    assert "__gps_b" in plan  # bucketed windows present
     import re
 
     # every Window whose frame orders by n_tokens (the corpus-sized
@@ -564,9 +564,9 @@ def test_mixture_admission_cumsum_is_bucketed(spark, sf_dir):
     # source-only window allowed is the buckets-row offsets chain
     for m in re.finditer(r"Window \[[^\]]*n_tokens[^\]]*\], \[([^\]]*)\]", plan):
         part = m.group(1)
-        if "__b" not in part:
-            # offsets window: sums __t over <= buckets rows per source
-            assert "__t" in m.group(0), m.group(0)
+        if "__gps_b" not in part:
+            # offsets window: sums bucket totals over <= buckets rows
+            assert "__gps_t" in m.group(0), m.group(0)
 
 
 def test_kmv_sketch_never_global_sorts(spark, sf_dir):
