@@ -52,7 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact_substring_dedup_apply, curation_funnel_report) plus the
 # queries whose cumsums/bottom-k moved to the de-skewed scans
 # (token_budget_sample, token_budget_sample_bpe,
-# sequence_packing_stats, weighted_sample_topk) — 19 total, well
+# sequence_packing_stats, weighted_sample_topk) and
+# format_roundtrip_scan — 20 total, well
 # inside the
 # driver's 50-row snapshot.
 _DRIVER_GREEN = {

@@ -967,3 +967,65 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=2, block_cols=["p_brand"], prefix_len=4, suffix_len=4,
         collapse_exact=True,
     )
+
+
+@query(
+    "format_roundtrip_scan",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source
+    """,
+)
+def format_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format breadth, driver-proved: the corpus splits across
+    a JSONL shard (doc_id % 5 == 0) and an ORC shard (the rest),
+    reads back through the library's schema-first readers
+    (sources/readers.py: read_json_lines — PERMISSIVE with a named
+    corrupt-record column, never silent row drops; read_orc —
+    validate-after-read), and re-unions into per-source aggregates
+    that must hash-match the original parquet exactly. This pins the
+    full fidelity chain — JSON string escaping, ORC type mapping,
+    schema validation — not just that the readers parse: one
+    corrupted character anywhere fails the driver hash. At scale both
+    formats scan with the same split parallelism as parquet; JSONL is
+    the wire format lots actually arrive in, ORC the other columnar
+    store a warehouse migration meets."""
+    from pyspark.sql import types as T
+
+    from logicash_etl_spark.sources.readers import (
+        read_json_lines,
+        read_orc,
+    )
+    from logicash_etl_spark.tmp import session_tmpdir
+
+    docs = read_table(spark, sf_dir, "documents")
+    root = session_tmpdir("lq_fmt_rt_")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+    docs.filter(F.col("doc_id") % 5 == 0).select(*cols).write.mode(
+        "overwrite"
+    ).json(f"{root}/jsonl")
+    docs.filter(F.col("doc_id") % 5 != 0).select(*cols).write.mode(
+        "overwrite"
+    ).orc(f"{root}/orc")
+    j = read_json_lines(spark, f"{root}/jsonl", schema).select(*cols)
+    o = read_orc(spark, f"{root}/orc", schema)
+    return (
+        j.unionByName(o)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+    )
