@@ -434,11 +434,22 @@ def test_incremental_lot_dedup_reads_minimum(spark, sf_dir):
     assert count_exchanges(df) <= 2
 
 
-def test_token_budget_sample_single_shuffle(spark, sf_dir):
-    """One shuffle (the per-source window); documents read as exactly
-    (doc_id, source, text)."""
+def test_token_budget_sample_deskewed(spark, sf_dir):
+    """The admission cumsum runs the range-bucketed grouped scan: the
+    corpus-sized window partitions by (source, bucket), never by
+    source alone, and documents read as exactly (doc_id, source,
+    text). Extra exchanges vs the old single-window plan all move
+    bounded frames (per-group ranges, bucket totals)."""
+    import re
+
     df = QUERIES["token_budget_sample"](spark, sf_dir)
-    assert_plan(df, max_shuffles=1, read_cols_at_most={"documents": 3})
+    plan = plan_string(df)
+    assert "__gps_b" in plan
+    for m in re.finditer(r"Window \[[^\]]*n_tokens[^\]]*\], \[([^\]]*)\]", plan):
+        part = m.group(1)
+        if "__gps_b" not in part:
+            assert "__gps_t" in m.group(0), m.group(0)
+    assert_plan(df, read_cols_at_most={"documents": 3})
 
 
 def test_gopher_suite_is_map_only(spark, sf_dir):
