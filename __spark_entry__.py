@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries whose cumsums/bottom-k moved to the de-skewed scans
 # (token_budget_sample, token_budget_sample_bpe,
 # sequence_packing_stats, weighted_sample_topk) and
-# format_roundtrip_scan — 20 total, well
+# format_roundtrip_scan and nation_trade_communities — 21 total, well
 # inside the
 # driver's 50-row snapshot.
 _DRIVER_GREEN = {

@@ -296,3 +296,56 @@ def pagerank_int(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Weighted SYNCHRONOUS label propagation (Raghavan et al. 2007,
+    determinized): labels init to the node id; each round every node
+    adopts the label carrying the max total incident weight among its
+    in-neighbors' PREVIOUS-round labels, ties to the smallest label;
+    isolated nodes keep theirs. Communities = the fixed labels.
+
+    Why this variant: classic async LPA is order-dependent (results
+    vary run to run — useless for a hash-checked engine). Synchronous
+    updates + integer weights + the (weight desc, label asc) argmax
+    make every round a pure function of the previous one, so a fixed
+    iteration count is exactly reproducible in SQL (the pagerank_int
+    playbook; ``nation_trade_communities`` hash-matches an
+    unrolled-CTE oracle).
+
+    Scale: each round is one join of labels against the edge list
+    (shuffle on src) + a groupBy (dst, label) + a per-NODE window
+    over its candidate labels (bounded by degree, never graph-sized).
+    Lineage is localCheckpoint()ed every ``checkpoint_every`` rounds
+    — the iteration rule connected_components and pagerank_int pin.
+
+    ``edges``: (src, dst, w) directed — symmetrize first for
+    undirected community semantics."""
+    from pyspark.sql import Window
+
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(iterations):
+        contrib = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("w").alias("__ws"))
+        )
+        w_ = Window.partitionBy("node").orderBy(
+            F.col("__ws").desc(), F.col("label").asc()
+        )
+        best = (
+            contrib.withColumn("__r", F.row_number().over(w_))
+            .filter(F.col("__r") == 1)
+            .select("node", F.col("label").alias("__new"))
+        )
+        labels = labels.join(best, "node", "left").select(
+            "node", F.coalesce("__new", "label").alias("label")
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            labels = labels.localCheckpoint()
+    return labels

@@ -579,3 +579,112 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("rank_scaled"),
         F.row_number().over(w).cast("int").alias("rk"),
     )
+
+
+def _lpa_oracle(iterations: int = 3) -> str:
+    """Unrolled synchronous-LPA CTE chain over the symmetrized nation
+    trade graph — one (c_i, b_i, l_i) triple per round, integer
+    weights and a deterministic (weight desc, label asc) argmax, so
+    DuckDB reproduces the Spark loop label-for-label."""
+    sql = """
+    WITH pair AS (
+      SELECT nc.n_name AS src, ns.n_name AS dst,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+      WHERE ns.n_nationkey <> nc.n_nationkey
+      GROUP BY src, dst
+    ), sym AS (
+      SELECT src, dst, CAST(SUM(n) AS BIGINT) AS w FROM (
+        SELECT src, dst, n FROM pair
+        UNION ALL
+        SELECT dst AS src, src AS dst, n FROM pair
+      ) GROUP BY src, dst
+    ), nodes AS (
+      SELECT n_name AS node FROM nation
+    ), l0 AS (
+      SELECT node, node AS label FROM nodes
+    )"""
+    for i in range(1, iterations + 1):
+        sql += f""", c{i} AS (
+      SELECT e.dst AS node, l.label, CAST(SUM(e.w) AS BIGINT) AS ws
+      FROM sym e JOIN l{i - 1} l ON l.node = e.src
+      GROUP BY e.dst, l.label
+    ), b{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY ws DESC, label ASC) AS r
+        FROM c{i})
+      WHERE r = 1
+    ), l{i} AS (
+      SELECT n.node, COALESCE(b.label, l.label) AS label
+      FROM nodes n
+        JOIN l{i - 1} l USING (node)
+        LEFT JOIN b{i} b USING (node)
+    )"""
+    sql += f"""
+    SELECT node AS nation, label AS community,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_members
+    FROM l{iterations}
+    """
+    return sql
+
+
+@query("nation_trade_communities", oracle=_lpa_oracle())
+def nation_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the nation trade graph: weighted
+    synchronous label propagation (operators/graph.py:
+    label_propagation), three rounds on the SYMMETRIZED trade-volume
+    edges — trading blocs fall out as the fixed labels. Async LPA is
+    order-dependent and useless for a hash-checked engine; this
+    variant's sync updates + integer weights + deterministic argmax
+    make the iterative result hash-match an unrolled-CTE oracle, the
+    same playbook as nation_trade_pagerank. Scale: edge derivation is
+    the Q7 join; each round shuffles only the edge list, and the
+    per-node argmax window is bounded by degree."""
+    from logicash_etl_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    pair = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(ns), su.s_nationkey == ns.s_nk)
+        .join(F.broadcast(nc), cu.c_nationkey == nc.c_nk)
+        .filter(F.col("s_nk") != F.col("c_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    sym = (
+        pair.select("src", "dst", "n")
+        .unionByName(
+            pair.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "n"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("n").cast("bigint").alias("w"))
+    )
+    nodes = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("node"))
+    labels = label_propagation(nodes, sym, iterations=3)
+    # community sizes: a window over #nations rows — driver-scale
+    w = W.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("nation"),
+        F.col("label").alias("community"),
+        F.count("*").over(w).cast("bigint").alias("n_members"),
+    )

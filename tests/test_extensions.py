@@ -1033,3 +1033,40 @@ def test_grouped_bottom_k_matches_plain_window(spark):
         ).collect()
     }
     assert got2 == want
+
+
+def test_label_propagation_known_communities(spark):
+    """Two dense triangles joined by one weak bridge: LPA must settle
+    each triangle on its min label, layout-invariantly; a 12-round run
+    stays flat-planned via the checkpoint cadence."""
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.graph import label_propagation
+
+    tri = [("a", "b"), ("b", "c"), ("a", "c"),
+           ("x", "y"), ("y", "z"), ("x", "z")]
+    bridge = [("c", "x")]
+    rows = [(s, d, 10) for s, d in tri] + [(s, d, 1) for s, d in bridge]
+    rows += [(d, s, w) for s, d, w in rows]  # symmetrize
+    edges = spark.createDataFrame(rows, "src string, dst string, w int")
+    nodes = spark.createDataFrame(
+        [(n,) for n in "abcxyz"], "node string"
+    )
+    got = {
+        r.node: r.label
+        for r in label_propagation(nodes, edges, iterations=4).collect()
+    }
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "x"
+    again = {
+        r.node: r.label
+        for r in label_propagation(
+            nodes.repartition(3), edges.repartition(5), iterations=4
+        ).collect()
+    }
+    assert again == got
+    # deep run completes with bounded plan (checkpoint every 5 rounds)
+    deep = label_propagation(nodes, edges, iterations=12)
+    plan = deep._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Join") <= 30
+    assert {r.label for r in deep.collect()} == {"a", "x"}
