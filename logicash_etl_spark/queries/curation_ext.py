@@ -754,7 +754,7 @@ def bloom_history_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\s+'),
                          x -> x <> '') AS ws
-      FROM e
+      FROM documents
     ), sh2 AS (
       SELECT doc_id, unnest(list_distinct(
                CASE WHEN len(ws) >= 3
@@ -782,6 +782,8 @@ def bloom_history_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sizes2 sa ON sa.doc_id = i.id_a
         JOIN sizes2 sb ON sb.doc_id = i.id_b
       WHERE CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) >= 0.35
+        AND i.id_a IN (SELECT doc_id FROM e)
+        AND i.id_b IN (SELECT doc_id FROM e)
     ), nd_surv AS (
       SELECT e.doc_id, e.n_tokens FROM e
       LEFT JOIN dropids d ON d.doc_id = e.doc_id
@@ -849,9 +851,21 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", F.col("n_tokens").cast("bigint").alias("n_tokens"))
     )
     e = scoped_persist(exact_dedup(q, "doc_id", "text"))
+    # near-dup evidence comes from the corpus-wide exact-Jaccard pair
+    # lot (shared + materialized once per process — the same evidence
+    # ngram_jaccard_dups/dedup_clusters read), restricted to pairs
+    # whose BOTH endpoints survived the earlier stages: a survivor
+    # drops iff a lower-id survivor is near-duplicate to it
+    from logicash_etl_spark.queries.dedup import _exact_pairs
+
+    surv_ids = e.select("doc_id")
+    pairs = _exact_pairs(spark, sf_dir)
     drops = (
-        jaccard_pairs(
-            e, "doc_id", "text", shingle_n=3, threshold=0.35, max_doc_freq=100
+        pairs.join(
+            surv_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+        )
+        .join(
+            surv_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi"
         )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
