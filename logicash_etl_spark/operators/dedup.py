@@ -451,16 +451,27 @@ def repeated_substring_spans(
     text_col: str = "text",
     min_tokens: int = 8,
 ) -> DataFrame:
-    """Maximal token spans of ``>= min_tokens`` that occur MORE THAN
-    ONCE anywhere in the corpus — the exact-substring dedup operator
-    production LM curation runs (Lee et al. 2022 remove any repeated
-    50-token substring; the reference implementation builds a corpus
-    suffix array).
+    """Maximal token spans every position of which lies inside SOME
+    repeated ``>= min_tokens``-token substring — exactly the REMOVAL
+    SET of the exact-substring dedup pass production LM curation runs
+    (Lee et al. 2022 cut any repeated 50-token substring; the
+    reference implementation builds a corpus suffix array).
 
-    Spark-first reformulation: a substring of length >= L repeats iff
-    at least one of its L-token shingles repeats, and the maximal
-    repeated span through position p is the maximal RUN of consecutive
-    positions whose L-shingles are all corpus-duplicated. So:
+    Semantics note: the fused span itself need not repeat as a whole.
+    Two adjacent shingles can be duplicated against DIFFERENT partner
+    documents, fusing into one maximal span that occurs only here —
+    but every token in it belongs to some >= L-token substring that
+    does repeat, so cutting the span is precisely Lee et al.'s
+    removal semantics (and what exact_substring_cut_stats /
+    exact_substring_dedup_apply account and apply). Consumers needing
+    per-span "this exact string repeats" evidence should re-verify
+    span text, not assume it.
+
+    Spark-first reformulation: a duplicated L-shingle IS a repeated
+    L-token substring, and any repeated >= L-token substring is
+    covered by its (all duplicated) L-shingles — so the union of
+    duplicated-shingle windows equals the removal set exactly, and it
+    materializes as maximal RUNS of consecutive duplicated positions:
 
     1. per doc, hash every L-token shingle at its position — pure JVM
        ``transform``/``slice``/``md5``, one row per token position;

@@ -339,6 +339,19 @@ def join_with_skew_salt(
     return out.drop("__salt")
 
 
+def _bf_hashes(key, salt: str) -> tuple:
+    """The Bloom family's shared md5 double-hash: (h1, h2) = the first
+    two 32-bit words of md5(salt || key). Build, key-level probe, and
+    row-level literal probe MUST stay bit-identical (a drifted copy
+    means silent false negatives) — one definition keeps them
+    structurally in sync."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint"),
+    )
+
+
 def bloom_filter_build(
     keys: DataFrame, key_col: str, m_bits: int = 4096, k_hashes: int = 3,
     salt: str = "bf",
@@ -367,9 +380,7 @@ def bloom_filter_build(
         )
     if k_hashes < 1:
         raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
-    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    h1, h2 = _bf_hashes(F.col(key_col), salt)
     # null keys carry no information (a Bloom filter stores value
     # hashes) and would add a junk null-word row to the bitmap
     probes = keys.filter(F.col(key_col).isNotNull()).select(
@@ -400,9 +411,7 @@ def bloom_filter_probe(
     extra. Null keys cannot be members (a Bloom filter stores hashes
     of values): they get ``bloom_pass = False``. False positives
     possible (rate ~ (1-e^{-kn/m})^k), false negatives impossible."""
-    h = F.md5(F.concat(F.lit(salt), F.col("__key").cast("string")))
-    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    h1, h2 = _bf_hashes(F.col("__key"), salt)
     probes = (
         df.select(F.col(key_col).alias("__key"))
         .filter(F.col("__key").isNotNull())
@@ -494,11 +503,11 @@ def bloom_filter_probe_literal(
         *[F.lit(words.get(i, 0)).cast("bigint") for i in range(n_words)]
     )
     t = "__bfp"
-    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    h1, h2 = _bf_hashes(F.col(key_col), salt)
     out = (
         df.withColumn(f"{t}_words", arr)
-        .withColumn(f"{t}_h1", F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"))
-        .withColumn(f"{t}_h2", F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint"))
+        .withColumn(f"{t}_h1", h1)
+        .withColumn(f"{t}_h2", h2)
     )
     hit = F.lit(True)
     for i in range(k_hashes):

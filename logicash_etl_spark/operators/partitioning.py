@@ -234,6 +234,7 @@ def grouped_bottom_k(
     k: int,
     salt_buckets: int = 32,
     tiebreak_cols: list | None = None,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Bottom-k rows per group WITHOUT a per-group single-reducer
     window — the per-group analog of TakeOrderedAndProject, built the
@@ -247,11 +248,13 @@ def grouped_bottom_k(
     would sort each group's ENTIRE row set on one reducer — the exact
     skew trap when one group dominates (cf. grouped_prefix_sum).
 
-    Returns the input columns of the winning rows (no rank). Equal
-    ``order_col`` values hash to the SAME salt slice, so passing
-    ``tiebreak_cols`` (a list of Columns/names refining the order)
-    makes ties fully deterministic; without it, ties between equal
-    values break arbitrarily."""
+    Returns the input columns of the winning rows; with ``rank_col``
+    set, also their 1-based per-group rank (the second phase computes
+    it anyway — callers wanting ranks should take it here instead of
+    paying a third window). Equal ``order_col`` values hash to the
+    SAME salt slice, so passing ``tiebreak_cols`` (a list of
+    Columns/names refining the order) makes ties fully deterministic;
+    without it, ties between equal values break arbitrarily."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -261,10 +264,13 @@ def grouped_bottom_k(
     )
     w1 = Window.partitionBy(group_col, "__bk_salt").orderBy(order_col, *ties)
     w2 = Window.partitionBy(group_col).orderBy(order_col, *ties)
-    return (
+    out = (
         salted.withColumn("__bk_r1", F.row_number().over(w1))
         .filter(F.col("__bk_r1") <= k)
         .withColumn("__bk_r2", F.row_number().over(w2))
         .filter(F.col("__bk_r2") <= k)
-        .drop("__bk_salt", "__bk_r1", "__bk_r2")
+        .drop("__bk_salt", "__bk_r1")
     )
+    if rank_col is not None:
+        return out.withColumnRenamed("__bk_r2", rank_col)
+    return out.drop("__bk_r2")

@@ -16,7 +16,7 @@ across cluster sizes, re-runs, engines, and even re-implementations
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # md5 hex prefix as a uniform draw in [0, 1): 8 hex chars = 32 bits
@@ -101,15 +101,13 @@ def weighted_topk_sample(
         df.filter((F.col(weight_col) > 0) & (u > 0))
         .withColumn("__es_key", key)
     )
-    winners = grouped_bottom_k(
-        pos, group_col, "__es_key", k, tiebreak_cols=[F.col(id_col).asc()]
-    )
-    # final rank over <= k rows per group: trivially bounded
-    w = Window.partitionBy(group_col).orderBy(
-        F.col("__es_key").asc(), F.col(id_col).asc()
-    )
-    return (
-        winners.withColumn(rank_col, F.row_number().over(w))
-        .filter(F.col(rank_col) <= k)
-        .drop("__es_key")
-    )
+    # the bottom-k's own second-phase rank IS the sample rank — no
+    # third window
+    return grouped_bottom_k(
+        pos,
+        group_col,
+        "__es_key",
+        k,
+        tiebreak_cols=[F.col(id_col).asc()],
+        rank_col=rank_col,
+    ).drop("__es_key")

@@ -825,7 +825,7 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     admission (50k), with (docs, tokens) surviving each stage. Every
     stage is the library operator the catalog already proves
     (quality_features/quality_flag, exact_dedup via content_hash,
-    jaccard_pairs with the hot-shingle prune, grouped_prefix_sum for
+    the shared exact-Jaccard pair lot, grouped_prefix_sum for
     the admission cumsum — bucketed, no single-reducer sort), so the
     funnel doubles as an integration test of their composition, and
     the oracle recomputes all five stages in SQL so the driver hash
@@ -833,7 +833,7 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's own documented plan; the funnel adds only 5 count
     rows."""
     from logicash_etl_spark.operators.caching import scoped_persist
-    from logicash_etl_spark.operators.dedup import exact_dedup, jaccard_pairs
+    from logicash_etl_spark.operators.dedup import exact_dedup
     from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
     from logicash_etl_spark.operators.text import (
         quality_features,
@@ -842,9 +842,10 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    feat = scoped_persist(
-        docs.withColumn("n_tokens", token_count("text").cast("bigint"))
-    )
+    # single consumer (the ingest stage row): no persist — caching a
+    # corpus-sized text payload for one aggregate pass evicts caches
+    # that do have multiple readers (q / e / nd below)
+    feat = docs.select(token_count("text").cast("bigint").alias("n_tokens"))
     q = scoped_persist(
         quality_flag(quality_features(docs))
         .filter(F.col("quality_keep"))

@@ -327,13 +327,19 @@ def kmv_sketch(df: DataFrame, value_col: str, k: int, salt: str = "kmv") -> Data
     """Bottom-k distinct hash draws of ``value_col`` — a KMV/theta
     distinct-count sketch as a k-row DataFrame of ``u`` in [0,1).
 
-    The ``orderBy(u).limit(k)`` pair compiles to
+    Plan, honestly: the ``distinct()`` is one hash-aggregate shuffle
+    whose map side pre-dedups each partition (so the wire carries
+    per-partition DISTINCT keys — for ~unique keys like fingerprints
+    that is the data, for heavy-repeat keys it collapses first);
+    the ``orderBy(u).limit(k)`` then compiles to
     ``TakeOrderedAndProject`` (per-partition bottom-k heaps + one
-    k-row merge — never a global sort), so sketching a 100 TB column
-    moves k doubles per partition. Sketches MERGE exactly: bottom-k
-    of the union of per-partition bottom-k samples IS the global
-    bottom-k (each partial retains its group's share of the global
-    answer), the property ``kmv_partial_merge`` hash-proves."""
+    k-row merge — never a global sort), which moves only k doubles
+    per partition. Sketches MERGE exactly: bottom-k of the union of
+    per-partition bottom-k samples IS the global bottom-k (each
+    partial retains its group's share of the global answer), the
+    property ``kmv_partial_merge`` hash-proves — which is also the
+    escape hatch when the distinct shuffle is too big: sketch
+    partitions/groups independently and merge k-row samples."""
     u = _kmv_u(F.col(value_col), salt).alias("u")
     return (
         df.filter(F.col(value_col).isNotNull())

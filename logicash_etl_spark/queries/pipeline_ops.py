@@ -1030,19 +1030,20 @@ def lot_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repeated_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring corpus dedup, the Lee-et-al ExactSubstr pass
-    (arXiv:2107.06499): every maximal >= 8-token span that occurs more
-    than once ANYWHERE in the corpus, reported per document with
-    1-based token positions. Doc-level dedup (exact/MinHash/SimHash)
-    misses these — boilerplate headers, license blocks, templated
-    paragraphs repeat across otherwise-distinct documents and an LM
-    memorizes them at scale. The reference pass builds a corpus
-    suffix array; here the same spans fall out of shingle-run fusion
-    (operators/dedup.py:repeated_substring_spans): a >= L-token
-    substring repeats iff all its L-shingles repeat, so corpus-
-    duplicated shingle positions fused into consecutive runs ARE the
-    maximal repeated spans. All corpus-sized shuffles key on the
-    shingle hash; the islands window is per-doc. The oracle rebuilds
-    the identical md5 shingle stream and run fusion in SQL."""
+    (arXiv:2107.06499): per document, the maximal token spans whose
+    every position lies inside some >= 8-token substring repeated
+    elsewhere in the corpus — the pass's REMOVAL SET, reported with
+    1-based positions (a fused span need not repeat verbatim as a
+    whole; see the operator docstring). Doc-level dedup
+    (exact/MinHash/SimHash) misses these — boilerplate headers,
+    license blocks, templated paragraphs repeat across
+    otherwise-distinct documents and an LM memorizes them at scale.
+    The reference pass builds a corpus suffix array; here the same
+    removal set falls out of shingle-run fusion
+    (operators/dedup.py:repeated_substring_spans). All corpus-sized
+    shuffles key on the shingle hash; the islands window is per-doc.
+    The oracle rebuilds the identical md5 shingle stream and run
+    fusion in SQL."""
     from logicash_etl_spark.operators.dedup import repeated_substring_spans
 
     docs = read_table(spark, sf_dir, "documents")

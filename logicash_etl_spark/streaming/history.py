@@ -14,11 +14,14 @@ the previous base) into a single ``base_epoch{N}`` snapshot:
   the write overwrites, so a retried batch (foreachBatch is
   at-least-once) rewrites the identical snapshot — the same
   idempotency trick the verdict/generation writes use;
-- **readers pick the newest base at-or-below their epoch and ignore
-  any generation dir below that fold boundary** — so a crash between
-  snapshot write and old-dir cleanup leaves leftovers that are simply
-  invisible (never double-read) and get re-deleted by the next
-  compaction;
+- **readers pick the newest COMPLETE base at-or-below their epoch**
+  (complete = the committer's ``_SUCCESS`` marker exists — written
+  last, so a crash mid-fold leaves a marker-less partial dir that
+  readers skip and the replayed epoch's compaction re-folds and
+  overwrites) **and ignore any generation dir below that fold
+  boundary** — so a crash between snapshot write and old-dir cleanup
+  leaves leftovers that are simply invisible (never double-read) and
+  get re-deleted by the next compaction;
 - the fingerprint set visible below any epoch is INVARIANT across
   compactions, so a checkpoint replay of epoch N reads exactly the
   state the committed run read, compacted or not (pinned by
@@ -43,14 +46,22 @@ _GEN = "gen_epoch"
 _BASE_E = "base_epoch"
 
 
+def _complete(path: str) -> bool:
+    """A snapshot dir counts only once its committer marker exists:
+    the v1 committer writes ``_SUCCESS`` LAST, so a crash mid-fold
+    leaves a marker-less partial dir that readers must ignore (and
+    that the replayed epoch's compaction re-folds + overwrites)."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def _latest_base(hist_dir: str, epoch_id: int) -> tuple[str, int]:
-    """(path, fold_epoch) of the newest base snapshot at or below
-    ``epoch_id``; the initial ``base`` dir has fold epoch -1."""
+    """(path, fold_epoch) of the newest COMPLETE base snapshot at or
+    below ``epoch_id``; the initial ``base`` dir has fold epoch -1."""
     best, best_e = os.path.join(hist_dir, _BASE0), -1
     for d in os.listdir(hist_dir):
         if d.startswith(_BASE_E):
             e = int(d[len(_BASE_E):])
-            if best_e < e <= epoch_id:
+            if best_e < e <= epoch_id and _complete(os.path.join(hist_dir, d)):
                 best, best_e = os.path.join(hist_dir, d), e
     return best, best_e
 

@@ -615,3 +615,48 @@ def test_drain_backlog_in_batches(spark, tmp_path):
     assert sorted(r.id for r in spark.read.parquet(out).collect()) == sorted(
         want + [90, 91]
     )
+
+
+def test_history_compaction_ignores_partial_snapshot(spark, tmp_path):
+    """A crash mid-fold leaves a base_epoch dir WITHOUT the _SUCCESS
+    marker: readers must skip it (using the previous base + gens,
+    which deletion hasn't touched yet), and a replayed compaction must
+    re-fold over it rather than trusting the partial dir."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.streaming.history import (
+        compact_history,
+        history_dirs,
+        incremental_dedup_batch_fn,
+        write_history_base,
+    )
+
+    hist = str(tmp_path / "hist")
+    verd = str(tmp_path / "verd")
+    base = spark.createDataFrame(
+        [(f"fp_base_{i}",) for i in range(4)], "fp string"
+    ).withColumn("origin", F.lit("base"))
+    write_history_base(base, hist)
+    fn = incremental_dedup_batch_fn(spark, hist, verd, keep_gens=2)
+    for e in range(3):
+        rows = [(10 * e + 1, "s", f"fp_new_{e}"), (10 * e + 2, "s", f"fp_base_{e}")]
+        fn(
+            spark.createDataFrame(rows, "doc_id long, source string, fp string"),
+            e,
+        )
+    # simulate a crashed fold at epoch 3: partial dir, no _SUCCESS
+    partial = os.path.join(hist, "base_epoch3")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"\x00garbage")
+    before = history_dirs(hist, 3)
+    assert partial not in before  # partial snapshot invisible
+    # the replayed epoch's compaction re-folds and OVERWRITES it
+    assert compact_history(spark, hist, 3, keep_gens=0)
+    after = history_dirs(hist, 4)
+    assert after == [partial]  # now complete (re-written with _SUCCESS)
+    fps = {r.fp for r in spark.read.parquet(*after).collect()}
+    assert {f"fp_base_{i}" for i in range(4)} <= fps
+    assert {f"fp_new_{e}" for e in range(3)} <= fps
