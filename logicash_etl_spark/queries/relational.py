@@ -488,6 +488,80 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "session_peak_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    ), iv AS (
+      SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+      FROM sess GROUP BY user_id, session_id
+    ), bounds AS (
+      SELECT s AS ts, 1 AS d FROM iv
+      UNION ALL
+      SELECT e + INTERVAL 1 SECOND AS ts, -1 AS d FROM iv
+    ), net AS (
+      SELECT ts, CAST(SUM(d) AS BIGINT) AS net FROM bounds GROUP BY ts
+    ), run AS (
+      SELECT ts, SUM(net) OVER (ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM net
+    )
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(max(conc) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY day
+    """,
+)
+def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the interval sweep-line, the
+    capacity question ("how many users were on AT ONCE") that per-day
+    session counts can't answer because sessions overlap and straddle
+    midnight. Sessions become +1/-1 boundary events ([start, end]
+    inclusive: the -1 lands at end + 1s), net deltas aggregate per
+    timestamp (one shuffle, key = ts), and the running concurrency is
+    a GLOBAL cumulative sum — computed by the distributed two-pass
+    scan (operators/partitioning.py:global_prefix_sum, ordered on
+    epoch seconds, unique after the per-ts rollup), NEVER a
+    single-reducer ORDER BY window: at 100 TB the boundary frame is
+    2x sessions, and carrying the count across day boundaries is
+    exactly what a per-day window would get wrong. Daily peak = max
+    running value over the day's boundaries (concurrency is constant
+    between boundaries, so boundary maxima are exact)."""
+    from logicash_etl_spark.operators.partitioning import global_prefix_sum
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+    iv = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    bounds = iv.select(F.col("s").alias("ts"), F.lit(1).alias("d")).unionByName(
+        iv.select(
+            (F.col("e") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    net = bounds.groupBy("ts").agg(F.sum("d").cast("bigint").alias("net"))
+    # microsecond epoch: event timestamps carry sub-second precision,
+    # so a seconds-granularity key would collide (non-unique order
+    # keys break the two-pass scan's determinism contract)
+    keyed = net.withColumn("__ord", F.unix_micros("ts"))
+    run = global_prefix_sum(keyed, order_col="__ord", value_col="net", out_col="__excl")
+    return (
+        run.withColumn("conc", F.col("__excl") + F.col("net"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrent"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations (section 2.7)
 # ---------------------------------------------------------------------------

@@ -440,3 +440,92 @@ def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__min_d") >= 0.0).alias("dists_well_formed"),
         )
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=r"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS qlabel,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, e.vec_id, (e.label = q.qlabel) AS same,
+             list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))) AS sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ), best AS (
+      SELECT query_id, vec_id, same, sim,
+             row_number() OVER (PARTITION BY query_id, same
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT p.query_id,
+           p.vec_id AS pos_id, p.sim AS pos_sim,
+           n.vec_id AS neg_id, n.sim AS neg_sim,
+           p.sim - n.sim AS margin
+    FROM (SELECT * FROM best WHERE same AND rn = 1) p
+      JOIN (SELECT * FROM best WHERE NOT same AND rn = 1) n
+      USING (query_id)
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each query vector, its nearest SAME-label neighbor (the positive)
+    and its nearest DIFFERENT-label neighbor (the hard negative — the
+    impostor that makes the best training signal), plus the margin
+    between them. Rows with small or negative margin are exactly the
+    pairs a triplet/InfoNCE fine-tune needs most — the curation step
+    between raw embeddings and a training set.
+
+    Same execution scheme as the brute-force top-k: queries broadcast
+    with their labels, corpus streams once, JVM sequential-fold dot
+    products (bitwise-deterministic doubles), one window per
+    (query, side). At 100 TB the scored frame is corpus x Q rows —
+    bound Q per pass and use the LSH/IVF shortlist (ann_lsh_topk /
+    ivf_ann_topk) as the candidate generator, with this exact scorer
+    re-ranking; the per-(query, side) argmax then runs over shortlist
+    rows, not the corpus."""
+    from logicash_etl_spark.operators.partitioning import scale_out
+    from logicash_etl_spark.operators.similarity import _dot, _norm, as_double
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        as_double("embedding").alias("__qv"),
+        _norm(as_double("embedding")).alias("__qn"),
+    )
+    c = scale_out(emb.select("vec_id", "label", "embedding")).select(
+        "vec_id",
+        "label",
+        as_double("embedding").alias("__cv"),
+        _norm(as_double("embedding")).alias("__cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("label") == F.col("qlabel")).alias("same"),
+            (_dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    pos = best.filter(F.col("same")).select(
+        "query_id", F.col("vec_id").alias("pos_id"), F.col("sim").alias("pos_sim")
+    )
+    neg = best.filter(~F.col("same")).select(
+        "query_id", F.col("vec_id").alias("neg_id"), F.col("sim").alias("neg_sim")
+    )
+    return pos.join(neg, on="query_id").withColumn(
+        "margin", F.col("pos_sim") - F.col("neg_sim")
+    )

@@ -688,3 +688,177 @@ def nation_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("community"),
         F.count("*").over(w).cast("bigint").alias("n_members"),
     )
+
+
+_TRADE_EDGE_SQL = """
+    WITH pair AS (
+      SELECT nc.n_name AS src, ns.n_name AS dst,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+      WHERE ns.n_nationkey <> nc.n_nationkey
+      GROUP BY src, dst
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_n,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pair
+    ), edges AS (
+      SELECT src, dst FROM pair, tot WHERE n * n_pairs > total_n
+    )"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed above-average trade edges cust_nation -> supp_nation —
+    the shared graph-fixture derivation (the Q7 join; dims broadcast;
+    the multiply-don't-divide threshold keeps it integer-exact). The
+    SQL twin is ``_TRADE_EDGE_SQL``."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    pair = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(ns), su.s_nationkey == ns.s_nk)
+        .join(F.broadcast(nc), cu.c_nationkey == nc.c_nk)
+        .filter(F.col("s_nk") != F.col("c_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pair.agg(F.sum("n").alias("total_n"), F.count("*").alias("n_pairs"))
+    return (
+        pair.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * F.col("n_pairs") > F.col("total_n"))
+        .select("src", "dst")
+    )
+
+
+@query(
+    "trade_triangle_stats",
+    oracle=_TRADE_EDGE_SQL
+    + """
+    , und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM edges WHERE src <> dst
+    ), sym AS (
+      SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+    ), deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u
+    ), tri3 AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1
+        JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+    ), pv AS (
+      SELECT x AS u, CAST(count(*) AS BIGINT) AS tri FROM (
+        SELECT a AS x FROM tri3
+        UNION ALL SELECT b FROM tri3
+        UNION ALL SELECT c FROM tri3
+      ) GROUP BY x
+    )
+    SELECT n_name AS nation,
+           COALESCE(d.deg, 0) AS deg,
+           COALESCE(p.tri, 0) AS tri,
+           CAST(CASE WHEN COALESCE(d.deg, 0) >= 2
+                THEN (200 * COALESCE(p.tri, 0)) // (d.deg * (d.deg - 1))
+                ELSE 0 END AS BIGINT) AS lcc_pct
+    FROM nation
+      LEFT JOIN deg d ON d.u = n_name
+      LEFT JOIN pv p ON p.u = n_name
+    """,
+)
+def trade_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    undirected nation trade graph — the cohesion metric community
+    detection doesn't give (a nation embedded in a trading BLOC has
+    high LCC; a pure hub has low). Spark side runs the degree-ordered
+    compact-forward algorithm (operators/graph.py:triangle_counts):
+    every edge oriented from its (degree, id)-smaller endpoint, so
+    wedge fan-out is capped at O(sqrt(E)) per vertex and total
+    candidates at E^1.5 even under celebrity-vertex skew — at 100 TB
+    the naive shared-endpoint self-join dies on the first hub. The
+    per-vertex result is orientation-invariant, so the oracle counts
+    the same triangles with the simple id-canonical a<b<c join. LCC
+    reported as an integer percentage (200*tri // deg*(deg-1)) —
+    exact on both engines, no float division anywhere."""
+    from logicash_etl_spark.operators.graph import triangle_counts
+
+    edges = _trade_edges(spark, sf_dir)
+    stats = triangle_counts(edges, src="src", dst="dst")
+    nations = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("nation"))
+    return (
+        nations.join(stats, nations.nation == stats.id, "left")
+        .select(
+            "nation",
+            F.coalesce("deg", F.lit(0)).cast("bigint").alias("deg"),
+            F.coalesce("tri", F.lit(0)).cast("bigint").alias("tri"),
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                F.expr("(200 * coalesce(tri, 0)) div (deg * (deg - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("lcc_pct"),
+        )
+    )
+
+
+def _bfs_oracle(max_hops: int = 3) -> str:
+    """Unrolled BFS CTE chain: frontier_i = unvisited out-neighbors of
+    frontier_{i-1}; hop counts are integers, so the iterative Spark
+    loop hash-matches exactly."""
+    sql = _TRADE_EDGE_SQL + """
+    , v0 AS (
+      SELECT (SELECT min(n_name) FROM nation) AS node, 0 AS hops
+    )"""
+    prev_new, prev_vis = "v0", "v0"
+    for i in range(1, max_hops + 1):
+        sql += f""", f{i} AS (
+      SELECT DISTINCT e.dst AS node
+      FROM edges e JOIN {prev_new} p ON p.node = e.src
+    ), n{i} AS (
+      SELECT node, {i} AS hops FROM f{i}
+      WHERE node NOT IN (SELECT node FROM {prev_vis})
+    ), v{i} AS (
+      SELECT node, hops FROM {prev_vis} UNION ALL SELECT node, hops FROM n{i}
+    )"""
+        prev_new, prev_vis = f"n{i}", f"v{i}"
+    sql += f"""
+    SELECT n_name AS nation,
+           CAST(COALESCE(v.hops, -1) AS INT) AS hops
+    FROM nation LEFT JOIN {prev_vis} v ON v.node = n_name
+    """
+    return sql
+
+
+@query("trade_reach_hops", oracle=_bfs_oracle())
+def trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances over the directed trade graph from the
+    alphabetically-first nation — "how many trade legs until goods
+    from X can reach Y", the reachability question PageRank's scores
+    blur. Frontier-style Pregel supersteps
+    (operators/graph.py:bfs_hops): each round shuffles only
+    frontier x out-degree rows, never the visited set against the
+    graph; -1 marks nodes unreached within 3 hops. The source is the
+    min nation name — one driver-side lookup of a single value
+    (bounded, same class as the broadcast-threshold decisions).
+    Integer hop counts make the iterative loop hash-match the
+    unrolled-CTE oracle exactly."""
+    from logicash_etl_spark.operators.graph import bfs_hops
+
+    edges = _trade_edges(spark, sf_dir)
+    nodes = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("node"))
+    source = nodes.agg(F.min("node")).collect()[0][0]
+    out = bfs_hops(nodes, edges, source, max_hops=3)
+    return out.select(F.col("node").alias("nation"), "hops")

@@ -1070,3 +1070,56 @@ def test_label_propagation_known_communities(spark):
     plan = deep._jdf.queryExecution().analyzed().toString()
     assert plan.count("Join") <= 30
     assert {r.label for r in deep.collect()} == {"a", "x"}
+
+
+def test_triangle_counts_vs_bruteforce(spark):
+    """Degree-ordered compact-forward triangle counting must match a
+    naive all-triples enumeration on a seeded random graph (including
+    duplicate/self-loop/reversed-edge inputs, which the operator must
+    canonicalize away)."""
+    import itertools
+    import random
+
+    from logicash_etl_spark.operators.graph import triangle_counts
+
+    rng = random.Random(13)
+    n = 18
+    edges = set()
+    for _ in range(60):
+        u, v = rng.randrange(n), rng.randrange(n)
+        edges.add((u, v))
+    rows = list(edges) + [(v, u) for (u, v) in list(edges)[:10]] + [(3, 3)]
+    df = spark.createDataFrame(rows, "u bigint, v bigint")
+
+    und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expect_tri = dict.fromkeys(adj, 0)
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                expect_tri[x] += 1
+    got = {r.id: (r.deg, r.tri) for r in triangle_counts(df).collect()}
+    assert got == {x: (len(adj[x]), expect_tri[x]) for x in adj}
+
+
+def test_bfs_hops_chain_and_unreached(spark):
+    """Chain 0->1->2->3->4 plus an isolated node and a back-edge:
+    distances are exact, the bound truncates, direction respected,
+    unreached nodes get -1."""
+    from logicash_etl_spark.operators.graph import bfs_hops
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node bigint")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.hops for r in bfs_hops(nodes, edges, 0, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: -1, 5: -1}
+    # deeper bound reaches node 4; checkpoint cadence must not change results
+    got6 = {
+        r.node: r.hops
+        for r in bfs_hops(nodes, edges, 0, max_hops=6, checkpoint_every=2).collect()
+    }
+    assert got6 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: -1}
