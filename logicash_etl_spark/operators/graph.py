@@ -268,8 +268,15 @@ def pagerank_int(
     same iteration rule the connected-components loop above pins).
     One materialization per checkpoint is the price; flat per-round
     plan size is the win (tests/test_extensions.py pins a
-    20-iteration run)."""
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    20-iteration run).
+
+    The edge list (and the out-degree frame derived from it) is
+    localCheckpoint()ed ONCE before the loop: ``edges`` is usually a
+    derived frame (the trade graph is a 6-way TPC-H join), and a lazy
+    reference would re-run that derivation in every superstep — the
+    GraphX rule "persist the graph before iterating"."""
+    edges = edges.localCheckpoint()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
     for i in range(iterations):
@@ -392,7 +399,12 @@ def bfs_hops(
     ``checkpoint_every`` rounds (the iteration rule every loop in this
     module pins). A fixed ``max_hops`` makes the result exactly
     reproducible as an unrolled SQL CTE chain — hop counts are
-    integers, so there is no float drift anywhere."""
+    integers, so there is no float drift anywhere.
+
+    The edge list is localCheckpoint()ed ONCE before the loop — a
+    derived edge frame would otherwise be recomputed every
+    superstep."""
+    edges = edges.localCheckpoint()
     visited = nodes.filter(F.col("node") == source).select(
         "node", F.lit(0).cast("int").alias("hops")
     )
@@ -446,9 +458,12 @@ def label_propagation(
     — the iteration rule connected_components and pagerank_int pin.
 
     ``edges``: (src, dst, w) directed — symmetrize first for
-    undirected community semantics."""
+    undirected community semantics. The edge list is
+    localCheckpoint()ed ONCE before the loop — a derived edge frame
+    would otherwise be recomputed every round."""
     from pyspark.sql import Window
 
+    edges = edges.localCheckpoint()
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(iterations):
         contrib = (

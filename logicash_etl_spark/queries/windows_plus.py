@@ -132,3 +132,82 @@ def stat_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
     )
+
+
+@query(
+    "rolling_zscore_anomalies",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), framed AS (
+      SELECT user_id, cents,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(COALESCE(SUM(cents)         OVER w, 0) AS BIGINT) AS s,
+             CAST(COALESCE(SUM(cents * cents) OVER w, 0) AS BIGINT) AS sq
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_judged,
+           CAST(SUM(CASE WHEN n >= 5
+                          AND (n * cents - s) * (n * cents - s)
+                              > 9 * (n * sq - s * s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM framed
+    GROUP BY user_id
+    """,
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score anomaly detection: each event is judged
+    against the trailing window of its user's 10 PREVIOUS events
+    (ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING — the current row is
+    excluded so an outlier cannot vote on itself), flagged when
+    |x - mean| > 3 * stddev, judged only once >= 5 priors exist.
+
+    Entirely INTEGER arithmetic: values become exact cents, and the
+    z-test is algebraically cleared of division and square roots —
+    |x - s/n| > 3 * sqrt((n*sq - s^2)) / n  <=>
+    (n*x - s)^2 > 9 * (n*sq - s^2) — so every comparison is BIGINT
+    (worst case ~1e12, far inside int64) and the result hash-matches
+    DuckDB bit-for-bit; a float mean/stddev would drift in the last
+    ulp and flip boundary rows.
+
+    Scale: the window partitions by user_id (high-cardinality key —
+    parallelism is the user count) with a FRAME-BOUNDED spec, so
+    per-task state is 11 rows regardless of a user's history length;
+    one shuffle on user_id shared by the window and the final rollup.
+    This is the streaming-friendly shape: the same frame runs as an
+    applyInPandasWithState deque at ingest time."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    framed = ev.select(
+        "user_id",
+        "cents",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0)).cast("bigint").alias("s"),
+        F.coalesce(F.sum(F.col("cents") * F.col("cents")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("sq"),
+    )
+    judged = F.col("n") >= 5
+    anom = judged & (
+        (F.col("n") * F.col("cents") - F.col("s"))
+        * (F.col("n") * F.col("cents") - F.col("s"))
+        > 9 * (F.col("n") * F.col("sq") - F.col("s") * F.col("s"))
+    )
+    return framed.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(judged.cast("int")).cast("bigint").alias("n_judged"),
+        F.sum(anom.cast("int")).cast("bigint").alias("n_anomalies"),
+    )
