@@ -1123,3 +1123,41 @@ def test_bfs_hops_chain_and_unreached(spark):
         for r in bfs_hops(nodes, edges, 0, max_hops=6, checkpoint_every=2).collect()
     }
     assert got6 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: -1}
+
+
+def test_rolling_zscore_flags_spike_not_constant(spark, tmp_path):
+    """A flat series never flags; a single spike after enough priors
+    flags exactly once; the first 5 events are never judged (no
+    baseline). Exercises the integer-cleared z-test directly."""
+    import datetime as dt
+
+    from logicash_etl_spark.queries.windows_plus import rolling_zscore_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: constant 10.00 -> zero variance, spike later
+    for i in range(8):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, "click", 10.00, "{}"))
+    rows.append((8, base + dt.timedelta(minutes=8), 1, "click", 500.00, "{}"))
+    rows.append((9, base + dt.timedelta(minutes=9), 1, "click", 10.00, "{}"))
+    # user 2: too few events to ever be judged
+    for i in range(3):
+        rows.append((10 + i, base + dt.timedelta(minutes=i), 2, "view", 7.77, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+    out = {r.user_id: r for r in rolling_zscore_anomalies(spark, sf).collect()}
+    # user 1: 10 events; first 5 unjudged; the spike at index 8 flags
+    # (priors all 10.00 -> variance 0 -> any deviation flags); the
+    # post-spike 10.00 does NOT flag (spike inflates the rolling std
+    # enough that |10 - mean| < 3 sd in integer form)
+    assert (out[1].n_events, out[1].n_judged) == (10, 5)
+    assert out[1].n_anomalies == 1
+    # user 2: never judged, never flagged
+    assert (out[2].n_events, out[2].n_judged, out[2].n_anomalies) == (3, 0, 0)
