@@ -328,8 +328,15 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
 
     The per-vertex result is orientation-invariant, so an oracle may
     enumerate triangles with the simple id-canonical a<b<c join —
-    bit-identical output, different join fan-out."""
-    und = _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    bit-identical output, different join fan-out.
+
+    The canonical edge frame is localCheckpoint()ed: it feeds the
+    degree count, both wedge sides, and the closing semi-join — five
+    references in one DAG — and ``edges`` is usually itself a derived
+    frame that would otherwise be recomputed per reference."""
+    und = _canonical(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint()
     sym = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
