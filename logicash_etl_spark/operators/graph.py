@@ -271,12 +271,17 @@ def pagerank_int(
     20-iteration run).
 
     The edge list (and the out-degree frame derived from it) is
-    localCheckpoint()ed ONCE before the loop: ``edges`` is usually a
-    derived frame (the trade graph is a 6-way TPC-H join), and a lazy
-    reference would re-run that derivation in every superstep — the
-    GraphX rule "persist the graph before iterating"."""
-    edges = edges.localCheckpoint()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
+    localCheckpoint()ed ONCE before the loop — but only when the rank
+    checkpoints will split the run into multiple ACTIONS (iterations >
+    checkpoint_every): within a single action Spark's ReusedExchange
+    already dedups the identical edge subtree across supersteps, so an
+    eager materialization there is one pure extra evaluation; across
+    actions reuse cannot happen and a derived ``edges`` (the trade
+    graph is a 6-way TPC-H join) would re-run per segment — the GraphX
+    rule "persist the graph before iterating"."""
+    if iterations > checkpoint_every:
+        edges = edges.localCheckpoint()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
     for i in range(iterations):
@@ -330,13 +335,12 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
     enumerate triangles with the simple id-canonical a<b<c join —
     bit-identical output, different join fan-out.
 
-    The canonical edge frame is localCheckpoint()ed: it feeds the
-    degree count, both wedge sides, and the closing semi-join — five
-    references in one DAG — and ``edges`` is usually itself a derived
-    frame that would otherwise be recomputed per reference."""
-    und = _canonical(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint()
+    The canonical edge frame feeds the degree count, both wedge
+    sides, and the closing semi-join — five references in ONE action,
+    which Spark's ReusedExchange dedups for free (measured: an eager
+    localCheckpoint here is ~10% SLOWER — it adds a full extra
+    evaluation to save recomputes that were never happening)."""
+    und = _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     sym = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -408,10 +412,13 @@ def bfs_hops(
     reproducible as an unrolled SQL CTE chain — hop counts are
     integers, so there is no float drift anywhere.
 
-    The edge list is localCheckpoint()ed ONCE before the loop — a
-    derived edge frame would otherwise be recomputed every
-    superstep."""
-    edges = edges.localCheckpoint()
+    The edge list is localCheckpoint()ed ONCE before the loop when
+    the visited-set checkpoints will split the walk into multiple
+    ACTIONS (max_hops > checkpoint_every) — across actions a derived
+    edge frame re-runs per segment; within one action ReusedExchange
+    dedups it for free."""
+    if max_hops > checkpoint_every:
+        edges = edges.localCheckpoint()
     visited = nodes.filter(F.col("node") == source).select(
         "node", F.lit(0).cast("int").alias("hops")
     )
@@ -466,11 +473,15 @@ def label_propagation(
 
     ``edges``: (src, dst, w) directed — symmetrize first for
     undirected community semantics. The edge list is
-    localCheckpoint()ed ONCE before the loop — a derived edge frame
-    would otherwise be recomputed every round."""
+    localCheckpoint()ed ONCE before the loop when the label
+    checkpoints will split the run into multiple ACTIONS (iterations >
+    checkpoint_every) — across actions a derived edge frame re-runs
+    per segment; within one action ReusedExchange dedups it for
+    free."""
     from pyspark.sql import Window
 
-    edges = edges.localCheckpoint()
+    if iterations > checkpoint_every:
+        edges = edges.localCheckpoint()
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(iterations):
         contrib = (
