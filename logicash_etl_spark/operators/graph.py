@@ -503,3 +503,64 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             labels = labels.localCheckpoint()
     return labels
+
+
+def k_core(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """k-core decomposition by iterative degree peeling: each round
+    drops every vertex whose UNDIRECTED degree in the current
+    subgraph is < k (and every edge touching one), for a FIXED number
+    of ``rounds``. Returns ``(node, deg, in_core)`` for every node in
+    ``nodes``: degree within the surviving subgraph (0 when peeled or
+    isolated) and whether that degree still clears k.
+
+    Why it matters for curation: the k-core is the standard dense-
+    subgraph primitive — in a link/citation/interaction graph, spam
+    farms and bot rings live in high cores while organic long-tail
+    pages peel out early; conversely a document that survives peeling
+    has k independent corroborating neighbors. Peeling is monotone
+    (vertices only ever leave), so a fixed round count is a sound
+    UNDER-approximation of full convergence and — because each round
+    is a pure function of the last — exactly reproducible as an
+    unrolled SQL CTE chain, integer degrees throughout.
+
+    Scale: each round is one symmetrized groupBy (degree count,
+    map-side combinable) and two semi-joins of the edge list against
+    the kept-vertex set — all keyed shuffles on the SHRINKING edge
+    set, never all-pairs, no driver state. The same two loop rules as
+    every iteration in this module: state localCheckpoints every
+    ``checkpoint_every`` rounds, and the (derived) edge input is
+    materialized once only when those checkpoints split the run into
+    multiple actions."""
+    alive = _canonical(edges.select(F.col("u"), F.col("v")))
+    if rounds > checkpoint_every:
+        alive = alive.localCheckpoint()
+    for r in range(rounds):
+        sym = alive.unionByName(
+            alive.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count("*").alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select("u")
+        )
+        alive = alive.join(keep, on="u", how="left_semi").join(
+            keep.withColumnRenamed("u", "v"), on="v", how="left_semi"
+        ).select("u", "v")
+        if (r + 1) % checkpoint_every == 0 and (r + 1) < rounds:
+            alive = alive.localCheckpoint()
+    sym = alive.unionByName(
+        alive.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    return nodes.join(deg, nodes.node == deg.u, "left").select(
+        "node",
+        F.coalesce("deg", F.lit(0)).cast("bigint").alias("deg"),
+        (F.coalesce("deg", F.lit(0)) >= k).alias("in_core"),
+    )

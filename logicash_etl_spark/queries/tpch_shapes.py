@@ -862,3 +862,58 @@ def trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = nodes.agg(F.min("node")).collect()[0][0]
     out = bfs_hops(nodes, edges, source, max_hops=3)
     return out.select(F.col("node").alias("nation"), "hops")
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled k-core peeling CTE chain: round i keeps the edges
+    whose BOTH endpoints had degree >= k in round i-1's subgraph.
+    Integer degrees, so the iterative Spark loop hash-matches."""
+    sql = _TRADE_EDGE_SQL + """
+    , a0 AS (
+      SELECT DISTINCT greatest(src, dst) AS u, least(src, dst) AS v
+      FROM edges WHERE src <> dst
+    )"""
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        sql += f""", s{i} AS (
+      SELECT u, v FROM {prev} UNION ALL SELECT v AS u, u AS v FROM {prev}
+    ), k{i} AS (
+      SELECT u FROM s{i} GROUP BY u HAVING count(*) >= {k}
+    ), a{i} AS (
+      SELECT e.u, e.v FROM {prev} e
+        JOIN k{i} x ON x.u = e.u
+        JOIN k{i} y ON y.u = e.v
+    )"""
+        prev = f"a{i}"
+    sql += f"""
+    , sf AS (SELECT u, v FROM {prev} UNION ALL SELECT v AS u, u AS v FROM {prev})
+    , df AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sf GROUP BY u)
+    SELECT n_name AS nation,
+           COALESCE(d.deg, 0) AS deg,
+           COALESCE(d.deg, 0) >= {k} AS in_core
+    FROM nation LEFT JOIN df d ON d.u = n_name
+    """
+    return sql
+
+
+@query("trade_k_core", oracle=_kcore_oracle())
+def trade_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the undirected nation trade graph — the dense-
+    subgraph membership question ("which nations sit in a tightly
+    interlinked trading bloc, each with >= 4 intra-bloc partners"),
+    the peeling primitive that isolates spam farms / bot rings in
+    link graphs during corpus curation. Iterative degree peeling
+    (operators/graph.py:k_core): each round one map-side-combinable
+    degree count + two semi-joins on the SHRINKING edge set; peeling
+    is monotone, so the fixed 3-round result is a sound under-
+    approximation of convergence and hash-matches the unrolled-CTE
+    oracle exactly (integer degrees, no floats anywhere)."""
+    from logicash_etl_spark.operators.graph import k_core
+
+    edges = _trade_edges(spark, sf_dir).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    nodes = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("node"))
+    return k_core(nodes, edges, k=4, rounds=3).select(
+        F.col("node").alias("nation"), "deg", "in_core"
+    )

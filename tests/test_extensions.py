@@ -1161,3 +1161,25 @@ def test_rolling_zscore_flags_spike_not_constant(spark, tmp_path):
     assert out[1].n_anomalies == 1
     # user 2: never judged, never flagged
     assert (out[2].n_events, out[2].n_judged, out[2].n_anomalies) == (3, 0, 0)
+
+
+def test_k_core_peels_pendants_keeps_clique(spark):
+    """A 4-clique (everyone degree 3) survives a 3-core; a pendant
+    chain hanging off it peels — including the cascade: removing the
+    chain tip drops its parent below k the NEXT round. Reversed /
+    duplicate edges canonicalize away."""
+    from logicash_etl_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 4), (4, 5)]
+    edges = clique + chain + [(1, 0), (3, 2)]  # dup + reversed noise
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node bigint")
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    out = {r.node: (r.deg, r.in_core) for r in
+           k_core(nodes, df, k=3, rounds=3).collect()}
+    # 0,1,2 keep their 3 clique neighbors; 3 loses the chain edge but
+    # keeps 3 clique neighbors; 4,5 peel (4 has deg 2 in round 1, and
+    # once 5 is gone stays below k); 6 is isolated
+    assert out[0] == (3, True) and out[1] == (3, True) and out[2] == (3, True)
+    assert out[3] == (3, True)
+    assert out[4] == (0, False) and out[5] == (0, False) and out[6] == (0, False)
