@@ -243,3 +243,94 @@ def order_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_mismatch"),
         )
     )
+
+
+@query(
+    "revenue_concentration_gini",
+    oracle="""
+    WITH cr AS (
+      SELECT c_mktsegment, c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT c_mktsegment, cents,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY cents, c_custkey) AS BIGINT)
+               AS rnk
+      FROM cr
+    ), agg AS (
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sx,
+             CAST(SUM(rnk * cents) AS BIGINT) AS six
+      FROM rk GROUP BY 1
+    )
+    SELECT c_mktsegment AS segment,
+           n AS n_customers,
+           sx AS total_cents,
+           CAST((2 * six - (n + 1) * sx)
+                // greatest((sx * n) // 10000, 1) AS BIGINT) AS gini_bp
+    FROM agg
+    """,
+)
+def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment as a Gini coefficient
+    (basis points): 0 = every customer spends the same, ~10000 = one
+    whale owns the segment — the inequality KPI behind "top 1% of
+    customers drive N% of revenue" dashboards and, in corpus curation,
+    source-concentration checks on token budgets.
+
+    Exactness: Gini via the rank formulation
+    G = (2*Σ i*x_i - (n+1)*Σ x_i) / (n*Σ x_i) with revenues in BIGINT
+    cents and the rank i from an ASC (cents, custkey) total order —
+    every term is integer arithmetic, ties contribute a fixed rank-sum
+    regardless of intra-tie order, and the basis-point result uses
+    floor division on both engines, so the hash matches bit-for-bit.
+    Population = customers with >= 1 order (inner join; the Gini of
+    never-buyers is a different question).
+
+    Scale: the rank is NOT a per-segment ORDER BY window (5 segments x
+    most of the corpus on one reducer each) — it is the inclusive
+    grouped_prefix_sum of 1s, range-bucketed within each segment, the
+    same de-skewed scan the mixture/token-budget queries use. One
+    shuffle for the per-customer rollup, the bucketed rank scan, one
+    5-row aggregate. At corpus sizes where n*Σx nears 2^63, coarsen
+    the currency unit (Gini is scale-invariant; the floor-div
+    quantization is the only change) or lift to DECIMAL(38,0)."""
+    from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", money("o_totalprice").alias("__p")
+    )
+    cust_rev = o.groupBy("o_custkey").agg(
+        (F.sum("__p") * 100).cast("bigint").alias("cents")
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cr = cust_rev.join(
+        F.broadcast(c), cust_rev.o_custkey == c.c_custkey
+    ).select("c_mktsegment", "c_custkey", "cents", F.lit(1).alias("__one"))
+    ranked = grouped_prefix_sum(
+        cr,
+        group_col="c_mktsegment",
+        bucket_key="cents",
+        order_cols=[F.col("cents").asc(), F.col("c_custkey").asc()],
+        value_col="__one",
+        out_col="__rnk",
+        inclusive=True,
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.sum(F.col("__rnk") * F.col("cents")).cast("bigint").alias("six"),
+    )
+    return agg.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_cents"),
+        F.expr(
+            "CAST((2 * six - (n + 1) * sx)"
+            " div greatest((sx * n) div 10000, CAST(1 AS BIGINT)) AS BIGINT)"
+        ).alias("gini_bp"),
+    )
