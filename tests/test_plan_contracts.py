@@ -628,3 +628,36 @@ def test_copurchase_basket_join_is_equi(spark, sf_dir):
         "Hash" in s or s == "BroadcastNestedLoopJoin" for s in strategies
     ), strategies
     assert has_take_ordered(df)
+
+
+def test_gini_rank_is_bucketed_not_segment_window(spark, sf_dir):
+    """The Gini rank must come from the range-bucketed grouped prefix
+    scan: every Window ordering by the revenue column partitions by
+    (segment, __gps_b), never by segment alone — 5 segments over the
+    whole customer base would be 5 single-reducer sorts."""
+    import re
+
+    df = QUERIES["revenue_concentration_gini"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "__gps_b" in plan
+    for m in re.finditer(r"Window \[[^\]]*cents[^\]]*\], \[([^\]]*)\]", plan):
+        if "__gps_b" not in m.group(1):
+            # the only segment-only window is the buckets-row offsets chain
+            assert "__gps_t" in m.group(0), m.group(0)
+
+
+def test_k_core_peels_with_semi_joins_no_cartesian(spark, sf_dir):
+    """Every peeling round must filter edges via semi-joins against
+    the kept-vertex set (hash strategies, no cartesian); the degree
+    counts are hash aggregates of the symmetrized edge list."""
+    df = QUERIES["trade_k_core"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    strategies = join_strategies(df)
+    # keyed joins only (hash or sort-merge); the sole nested-loop shape
+    # allowed is the single-row trade-totals broadcast cross
+    assert all(
+        "Hash" in s or s == "SortMergeJoin" or s == "BroadcastNestedLoopJoin"
+        for s in strategies
+    ), strategies
