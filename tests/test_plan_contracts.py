@@ -647,17 +647,29 @@ def test_gini_rank_is_bucketed_not_segment_window(spark, sf_dir):
 
 
 def test_k_core_peels_with_semi_joins_no_cartesian(spark, sf_dir):
-    """Every peeling round must filter edges via semi-joins against
-    the kept-vertex set (hash strategies, no cartesian); the degree
-    counts are hash aggregates of the symmetrized edge list."""
-    df = QUERIES["trade_k_core"](spark, sf_dir)
-    plan = plan_string(df)
+    """A peel round must filter edges via semi-joins against the
+    kept-vertex set (keyed strategies, no cartesian). The round plan
+    is pinned on _peel_round directly — the loop localCheckpoints
+    every round (multiplicative self-reference), so the query's final
+    plan only shows the post-loop degree join, which must itself stay
+    keyed and cartesian-free."""
+    from logicash_etl_spark.operators.graph import _peel_round
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)] + [(0, 3), (1, 4)],
+        "u bigint, v bigint",
+    )
+    rnd = _peel_round(edges, k=2)
+    plan = plan_string(rnd)
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
-    strategies = join_strategies(df)
-    # keyed joins only (hash or sort-merge); the sole nested-loop shape
-    # allowed is the single-row trade-totals broadcast cross
     assert all(
-        "Hash" in s or s == "SortMergeJoin" or s == "BroadcastNestedLoopJoin"
-        for s in strategies
-    ), strategies
+        "Hash" in s or s == "SortMergeJoin" for s in join_strategies(rnd)
+    ), join_strategies(rnd)
+
+    df = QUERIES["trade_k_core"](spark, sf_dir)
+    final_plan = plan_string(df)
+    assert "CartesianProduct" not in final_plan
+    assert all(
+        "Hash" in s or s == "SortMergeJoin" for s in join_strategies(df)
+    ), join_strategies(df)
