@@ -1183,3 +1183,38 @@ def test_k_core_peels_pendants_keeps_clique(spark):
     assert out[0] == (3, True) and out[1] == (3, True) and out[2] == (3, True)
     assert out[3] == (3, True)
     assert out[4] == (0, False) and out[5] == (0, False) and out[6] == (0, False)
+
+
+def test_k_core_matches_bruteforce_fixpoint(spark):
+    """On a seeded random graph, 10 peel rounds reach the fixpoint an
+    in-Python peel computes by iterating to convergence — degrees and
+    membership match exactly for every vertex."""
+    import random
+
+    from logicash_etl_spark.operators.graph import k_core
+
+    rng = random.Random(7)
+    n, k = 16, 3
+    und = set()
+    for _ in range(40):
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            und.add((min(u, v), max(u, v)))
+    adj = {i: set() for i in range(n)}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    alive = {i for i in range(n) if adj[i]}
+    while True:
+        drop = {x for x in alive if len(adj[x] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    expect = {
+        i: (len(adj[i] & alive) if i in alive else 0) for i in range(n)
+    }
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    edges = spark.createDataFrame(sorted(und), "u bigint, v bigint")
+    got = {r.node: (r.deg, r.in_core) for r in
+           k_core(nodes, edges, k=k, rounds=10).collect()}
+    assert got == {i: (d, d >= k) for i, d in expect.items()}
