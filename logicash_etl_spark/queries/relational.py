@@ -464,7 +464,7 @@ def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
-             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+             CASE WHEN floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))::BIGINT > 1800
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
@@ -493,7 +493,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
-             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+             CASE WHEN floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))::BIGINT > 1800
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
@@ -505,19 +505,30 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), iv AS (
       SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
       FROM sess GROUP BY user_id, session_id
+    ), days AS (
+      SELECT s, e,
+             unnest(generate_series(CAST(s AS DATE), CAST(e AS DATE),
+                                    INTERVAL 1 DAY))::DATE AS day
+      FROM iv
+    ), clip AS (
+      SELECT day,
+             greatest(s, CAST(day AS TIMESTAMP)) AS cs,
+             least(e + INTERVAL 1 SECOND,
+                   CAST(day AS TIMESTAMP) + INTERVAL 1 DAY) AS ce
+      FROM days
     ), bounds AS (
-      SELECT s AS ts, 1 AS d FROM iv
+      SELECT day, cs AS ts, 1 AS d FROM clip
       UNION ALL
-      SELECT e + INTERVAL 1 SECOND AS ts, -1 AS d FROM iv
+      SELECT day, ce AS ts, -1 AS d FROM clip
     ), net AS (
-      SELECT ts, CAST(SUM(d) AS BIGINT) AS net FROM bounds GROUP BY ts
+      SELECT day, ts, CAST(SUM(d) AS BIGINT) AS net
+      FROM bounds GROUP BY day, ts
     ), run AS (
-      SELECT ts, SUM(net) OVER (ORDER BY ts
+      SELECT day, SUM(net) OVER (PARTITION BY day ORDER BY ts
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
       FROM net
     )
-    SELECT CAST(ts AS DATE) AS day,
-           CAST(max(conc) AS BIGINT) AS peak_concurrent
+    SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrent
     FROM run GROUP BY day
     """,
 )
@@ -525,40 +536,60 @@ def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per day — the interval sweep-line, the
     capacity question ("how many users were on AT ONCE") that per-day
     session counts can't answer because sessions overlap and straddle
-    midnight. Sessions become +1/-1 boundary events ([start, end]
-    inclusive: the -1 lands at end + 1s), net deltas aggregate per
-    timestamp (one shuffle, key = ts), and the running concurrency is
-    a GLOBAL cumulative sum — computed by the distributed two-pass
-    scan (operators/partitioning.py:global_prefix_sum, ordered on
-    epoch seconds, unique after the per-ts rollup), NEVER a
-    single-reducer ORDER BY window: at 100 TB the boundary frame is
-    2x sessions, and carrying the count across day boundaries is
-    exactly what a per-day window would get wrong. Daily peak = max
-    running value over the day's boundaries (concurrency is constant
-    between boundaries, so boundary maxima are exact)."""
-    from logicash_etl_spark.operators.partitioning import global_prefix_sum
+    midnight.
+
+    Each session interval [start, end+1s) is exploded into the DAYS it
+    touches and CLIPPED to each day's bounds, so a session that covers
+    a whole day contributes its +1 at that day's midnight — a day with
+    nothing but carried-in sessions still reports their concurrency
+    (sampling only in-day boundaries would under-report or drop such
+    days entirely). The explode is linear: a session touching d days
+    costs d rows, and sessions are gap-bounded so d is small. Within
+    each day, +1/-1 boundary deltas roll up per timestamp and the
+    running concurrency is grouped_prefix_sum's range-bucketed scan —
+    day-partitioned but NEVER a single-reducer per-day sort (one day
+    of a 100 TB event stream is still huge), and zero driver actions,
+    so the sessionize pipeline upstream is evaluated once. Daily
+    peak = max running value (concurrency is constant between
+    boundaries, so boundary maxima are exact)."""
+    from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
     s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
     iv = s.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
     )
-    bounds = iv.select(F.col("s").alias("ts"), F.lit(1).alias("d")).unionByName(
-        iv.select(
-            (F.col("e") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
-            F.lit(-1).alias("d"),
-        )
+    days = iv.select(
+        "s",
+        "e",
+        F.explode(F.sequence(F.to_date("s"), F.to_date("e"))).alias("day"),
     )
-    net = bounds.groupBy("ts").agg(F.sum("d").cast("bigint").alias("net"))
-    # microsecond epoch: event timestamps carry sub-second precision,
-    # so a seconds-granularity key would collide (non-unique order
-    # keys break the two-pass scan's determinism contract)
+    clip = days.select(
+        "day",
+        F.greatest(F.col("s"), F.col("day").cast("timestamp")).alias("cs"),
+        F.least(
+            F.col("e") + F.expr("INTERVAL 1 SECOND"),
+            F.date_add(F.col("day"), 1).cast("timestamp"),
+        ).alias("ce"),
+    )
+    bounds = clip.select(
+        "day", F.col("cs").alias("ts"), F.lit(1).alias("d")
+    ).unionByName(clip.select("day", F.col("ce").alias("ts"), F.lit(-1).alias("d")))
+    net = bounds.groupBy("day", "ts").agg(F.sum("d").cast("bigint").alias("net"))
+    # microsecond epoch order key: unique per (day, ts) after the
+    # rollup, non-null — the grouped scan's determinism contract
     keyed = net.withColumn("__ord", F.unix_micros("ts"))
-    run = global_prefix_sum(keyed, order_col="__ord", value_col="net", out_col="__excl")
-    return (
-        run.withColumn("conc", F.col("__excl") + F.col("net"))
-        .groupBy(F.to_date("ts").alias("day"))
-        .agg(F.max("conc").cast("bigint").alias("peak_concurrent"))
+    run = grouped_prefix_sum(
+        keyed,
+        group_col="day",
+        bucket_key="__ord",
+        order_cols=[F.col("__ord").asc()],
+        value_col="net",
+        out_col="__conc",
+        inclusive=True,
+    )
+    return run.groupBy("day").agg(
+        F.max("__conc").cast("bigint").alias("peak_concurrent")
     )
 
 

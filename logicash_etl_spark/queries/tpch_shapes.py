@@ -474,14 +474,7 @@ def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iterations: int = 3, scale: int = 10**9, d: int = 85) -> str:
-    """Unrolled integer-PageRank CTE chain — one (s_i, r_i) pair per
-    power iteration, floor division throughout, so DuckDB reproduces
-    the Spark loop bit-for-bit (every SUM is cast back to BIGINT: the
-    r4 lesson — DuckDB SUM(BIGINT) widens to HUGEINT which pandas
-    materializes as float64)."""
-    base = (100 - d) * scale // 100
-    sql = f"""
+_TRADE_PAIR_SQL = """
     WITH pair AS (
       SELECT nc.n_name AS src, ns.n_name AS dst,
              CAST(count(*) AS BIGINT) AS n
@@ -493,13 +486,68 @@ def _pagerank_oracle(iterations: int = 3, scale: int = 10**9, d: int = 85) -> st
         JOIN nation nc ON c_nationkey = nc.n_nationkey
       WHERE ns.n_nationkey <> nc.n_nationkey
       GROUP BY src, dst
-    ), tot AS (
+    )"""
+
+_TRADE_EDGE_SQL = _TRADE_PAIR_SQL + """
+    , tot AS (
       SELECT CAST(SUM(n) AS BIGINT) AS total_n,
              CAST(count(*) AS BIGINT) AS n_pairs
       FROM pair
     ), edges AS (
       SELECT src, dst FROM pair, tot WHERE n * n_pairs > total_n
-    ), nodes AS (
+    )"""
+
+
+def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed trade-volume pairs cust_nation -> supp_nation with
+    line counts — THE shared graph-fixture derivation (the Q7 join;
+    dims broadcast). Every trade-graph query builds on this frame:
+    LPA weights it, the others threshold it (``_trade_edges``). The
+    SQL twin is ``_TRADE_PAIR_SQL``."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(ns), su.s_nationkey == ns.s_nk)
+        .join(F.broadcast(nc), cu.c_nationkey == nc.c_nk)
+        .filter(F.col("s_nk") != F.col("c_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average trade edges: ``_trade_pairs`` thresholded by
+    n * n_pairs > total (multiply-don't-divide keeps it
+    integer-exact). The SQL twin is ``_TRADE_EDGE_SQL``."""
+    pair = _trade_pairs(spark, sf_dir)
+    tot = pair.agg(F.sum("n").alias("total_n"), F.count("*").alias("n_pairs"))
+    return (
+        pair.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * F.col("n_pairs") > F.col("total_n"))
+        .select("src", "dst")
+    )
+
+
+def _pagerank_oracle(iterations: int = 3, scale: int = 10**9, d: int = 85) -> str:
+    """Unrolled integer-PageRank CTE chain — one (s_i, r_i) pair per
+    power iteration, floor division throughout, so DuckDB reproduces
+    the Spark loop bit-for-bit (every SUM is cast back to BIGINT: the
+    r4 lesson — DuckDB SUM(BIGINT) widens to HUGEINT which pandas
+    materializes as float64)."""
+    base = (100 - d) * scale // 100
+    sql = _TRADE_EDGE_SQL + f"""
+    , nodes AS (
       SELECT n_name AS node FROM nation
     ), outdeg AS (
       SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
@@ -542,34 +590,7 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final ranking window is over #nodes rows — driver-scale."""
     from logicash_etl_spark.operators.graph import pagerank_int
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    ns = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
-    )
-    nc = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
-    )
-    pair = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .join(F.broadcast(ns), su.s_nationkey == ns.s_nk)
-        .join(F.broadcast(nc), cu.c_nationkey == nc.c_nk)
-        .filter(F.col("s_nk") != F.col("c_nk"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("n"))
-    )
-    tot = pair.agg(
-        F.sum("n").alias("total_n"), F.count("*").alias("n_pairs")
-    )
-    edges = (
-        pair.crossJoin(F.broadcast(tot))
-        .filter(F.col("n") * F.col("n_pairs") > F.col("total_n"))
-        .select("src", "dst")
-    )
+    edges = _trade_edges(spark, sf_dir)
     nodes = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("node"))
     ranks = pagerank_int(nodes, edges, iterations=3)
     # global ranking window over #nations rows — driver-scale frame
@@ -586,19 +607,8 @@ def _lpa_oracle(iterations: int = 3) -> str:
     trade graph — one (c_i, b_i, l_i) triple per round, integer
     weights and a deterministic (weight desc, label asc) argmax, so
     DuckDB reproduces the Spark loop label-for-label."""
-    sql = """
-    WITH pair AS (
-      SELECT nc.n_name AS src, ns.n_name AS dst,
-             CAST(count(*) AS BIGINT) AS n
-      FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation ns ON s_nationkey = ns.n_nationkey
-        JOIN nation nc ON c_nationkey = nc.n_nationkey
-      WHERE ns.n_nationkey <> nc.n_nationkey
-      GROUP BY src, dst
-    ), sym AS (
+    sql = _TRADE_PAIR_SQL + """
+    , sym AS (
       SELECT src, dst, CAST(SUM(n) AS BIGINT) AS w FROM (
         SELECT src, dst, n FROM pair
         UNION ALL
@@ -649,26 +659,7 @@ def nation_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node argmax window is bounded by degree."""
     from logicash_etl_spark.operators.graph import label_propagation
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    ns = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
-    )
-    nc = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
-    )
-    pair = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .join(F.broadcast(ns), su.s_nationkey == ns.s_nk)
-        .join(F.broadcast(nc), cu.c_nationkey == nc.c_nk)
-        .filter(F.col("s_nk") != F.col("c_nk"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("bigint").alias("n"))
-    )
+    pair = _trade_pairs(spark, sf_dir)
     sym = (
         pair.select("src", "dst", "n")
         .unionByName(
@@ -687,60 +678,6 @@ def nation_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("nation"),
         F.col("label").alias("community"),
         F.count("*").over(w).cast("bigint").alias("n_members"),
-    )
-
-
-_TRADE_EDGE_SQL = """
-    WITH pair AS (
-      SELECT nc.n_name AS src, ns.n_name AS dst,
-             CAST(count(*) AS BIGINT) AS n
-      FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation ns ON s_nationkey = ns.n_nationkey
-        JOIN nation nc ON c_nationkey = nc.n_nationkey
-      WHERE ns.n_nationkey <> nc.n_nationkey
-      GROUP BY src, dst
-    ), tot AS (
-      SELECT CAST(SUM(n) AS BIGINT) AS total_n,
-             CAST(count(*) AS BIGINT) AS n_pairs
-      FROM pair
-    ), edges AS (
-      SELECT src, dst FROM pair, tot WHERE n * n_pairs > total_n
-    )"""
-
-
-def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed above-average trade edges cust_nation -> supp_nation —
-    the shared graph-fixture derivation (the Q7 join; dims broadcast;
-    the multiply-don't-divide threshold keeps it integer-exact). The
-    SQL twin is ``_TRADE_EDGE_SQL``."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    ns = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
-    )
-    nc = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
-    )
-    pair = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .join(F.broadcast(ns), su.s_nationkey == ns.s_nk)
-        .join(F.broadcast(nc), cu.c_nationkey == nc.c_nk)
-        .filter(F.col("s_nk") != F.col("c_nk"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("n"))
-    )
-    tot = pair.agg(F.sum("n").alias("total_n"), F.count("*").alias("n_pairs"))
-    return (
-        pair.crossJoin(F.broadcast(tot))
-        .filter(F.col("n") * F.col("n_pairs") > F.col("total_n"))
-        .select("src", "dst")
     )
 
 

@@ -1218,3 +1218,39 @@ def test_k_core_matches_bruteforce_fixpoint(spark):
     got = {r.node: (r.deg, r.in_core) for r in
            k_core(nodes, edges, k=k, rounds=10).collect()}
     assert got == {i: (d, d >= k) for i, d in expect.items()}
+
+
+def test_peak_concurrency_reports_carried_in_days(spark, tmp_path):
+    """A session spanning three days must make the MIDDLE day report
+    its concurrency even though no boundary event falls inside it —
+    the day-clipped sweep's reason to exist."""
+    import datetime as dt
+    import os
+
+    from logicash_etl_spark.queries.relational import session_peak_concurrency
+
+    rows = []
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    i = 0
+    # user 1: events every 20 min for 48h -> ONE session Jan 1 -> Jan 3
+    while t <= dt.datetime(2024, 1, 3, 12, 0, 0):
+        rows.append((i, t, 1, "click", 1.0, "{}"))
+        t += dt.timedelta(minutes=20)
+        i += 1
+    # user 2: a second short session on Jan 1 only
+    rows.append((i, dt.datetime(2024, 1, 1, 13, 0, 0), 2, "view", 1.0, "{}"))
+    rows.append((i + 1, dt.datetime(2024, 1, 1, 13, 10, 0), 2, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+    out = {str(r.day): r.peak_concurrent
+           for r in session_peak_concurrency(spark, sf).collect()}
+    assert out == {
+        "2024-01-01": 2,  # both sessions overlap 13:00-13:10
+        "2024-01-02": 1,  # carried-in only: no boundary falls in-day
+        "2024-01-03": 1,
+    }
