@@ -532,7 +532,6 @@ def k_core(
     edges: DataFrame,
     k: int = 3,
     rounds: int = 3,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """k-core decomposition by iterative degree peeling: each round
     drops every vertex whose UNDIRECTED degree in the current
@@ -565,11 +564,10 @@ def k_core(
     once as the join input), so the un-truncated logical plan grows
     5^rounds — measured 40+ s at sf0.1 for 3 rounds on a 25-node
     graph, pure Catalyst analysis. ``alive`` therefore
-    localCheckpoints EVERY round (``checkpoint_every`` is accepted for
-    signature parity but peeling always truncates per round); each
-    materialization is the shrinking edge set, the same cost GraphX's
-    iterative peeling pays."""
-    del checkpoint_every  # multiplicative self-reference: always per-round
+    localCheckpoints EVERY round (no sparse-cadence knob: peeling
+    always truncates per round); each materialization is the
+    shrinking edge set, the same cost GraphX's iterative peeling
+    pays."""
     alive = _canonical(edges.select(F.col("u"), F.col("v"))).localCheckpoint()
     for _ in range(rounds):
         alive = _peel_round(alive, k).localCheckpoint()
