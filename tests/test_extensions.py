@@ -1254,3 +1254,39 @@ def test_peak_concurrency_reports_carried_in_days(spark, tmp_path):
         "2024-01-02": 1,  # carried-in only: no boundary falls in-day
         "2024-01-03": 1,
     }
+
+
+def test_hard_negative_mining_picks_nearest_by_label(spark, tmp_path):
+    """Hand-built embeddings with known geometry: the positive is the
+    nearest same-label vector, the negative the nearest other-label
+    vector, margin = difference — including a case where the hard
+    negative is CLOSER than the positive (negative margin, the row a
+    contrastive fine-tune needs most)."""
+    import os
+
+    from logicash_etl_spark.queries.similarity import hard_negative_mining
+
+    # 2-d unit-ish vectors; query ids are vec_id < 10
+    rows = [
+        # query 0, label A, pointing +x
+        (0, [1.0, 0.0], "A"),
+        # same-label candidates at 60 and 30 degrees
+        (20, [0.5, 0.866], "A"),
+        (21, [0.866, 0.5], "A"),
+        # other-label candidate at 10 degrees — closer than any positive
+        (30, [0.985, 0.174], "B"),
+        (31, [0.0, 1.0], "B"),
+    ]
+    df = spark.createDataFrame(
+        [(i, v, lab) for i, v, lab in rows],
+        "vec_id bigint, embedding array<double>, label string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df.write.parquet(f"{sf}/embeddings.parquet")
+    out = {r.query_id: r for r in hard_negative_mining(spark, sf).collect()}
+    r = out[0]
+    assert r.pos_id == 21          # 30deg beats 60deg among label A
+    assert r.neg_id == 30          # 10deg impostor
+    assert r.neg_sim > r.pos_sim   # the impostor is closer...
+    assert r.margin < 0            # ...so the margin is negative
