@@ -1247,3 +1247,104 @@ def exact_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_tokens_kept"),
         )
     )
+
+
+@query(
+    "pit_event_enrichment",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+    ), upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END
+               AS c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(18,2))
+               + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END AS bal
+      FROM customer
+      WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 0 OR c_custkey % 7 = 0
+    ), changed AS (
+      SELECT u.c_custkey, u.c_mktsegment
+      FROM upd u JOIN customer b USING (c_custkey)
+      WHERE u.c_mktsegment <> b.c_mktsegment
+         OR u.bal <> CAST(b.c_acctbal AS DECIMAL(18,2))
+    ), dim AS (
+      SELECT b.c_custkey, b.c_mktsegment,
+             TIMESTAMP '2024-01-01' AS valid_from,
+             TIMESTAMP '2024-06-01' AS valid_to
+      FROM base b WHERE c_custkey IN (SELECT c_custkey FROM changed)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '2024-06-01', TIMESTAMP '9999-12-31'
+      FROM changed
+      UNION ALL
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '2024-01-01', TIMESTAMP '9999-12-31'
+      FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+    )
+    SELECT d.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN dim d
+      ON e.user_id + 1 = d.c_custkey
+     AND e.ts >= d.valid_from AND e.ts < d.valid_to
+    GROUP BY 1
+    """,
+)
+def pit_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) enrichment — the SCD2 CONSUMER pattern the
+    dimension exists for: each fact row joins the dimension version
+    that was valid AT ITS OWN event time (key equality + ts within
+    [valid_from, valid_to)), never today's version — the lookup that
+    keeps ML feature sets leakage-free and restated reports honest.
+    Uses the same synthetic two-version dimension the scd2 report
+    builds (v1 at 2024-01-01; changed keys get a v2 at 2024-06-01),
+    so events before June match v1 and later events match the moved
+    segment.
+
+    Scale: the join is an EQUI-join on the key with the validity
+    range as a residual filter — versions per key are few (bounded by
+    change frequency), so fan-out is versions-per-key, never a range
+    blow-up; the dimension broadcasts at dim scale and the fact side
+    never shuffles. The oracle reconstructs both versions and their
+    windows in set algebra and runs the identical range-residual
+    join."""
+    from logicash_etl_spark.functions.money import money
+    from logicash_etl_spark.operators.merge import scd2_apply, scd2_init
+
+    c = read_table(spark, sf_dir, "customer")
+    snap = c.select(
+        "c_custkey", "c_mktsegment", money("c_acctbal").alias("bal")
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    dim0 = scd2_init(snap, "ts")
+    k = F.col("c_custkey")
+    upd = (
+        c.filter((k % 3 == 0) | (k % 5 == 0) | (k % 7 == 0))
+        .select(
+            "c_custkey",
+            F.when(k % 5 == 0, F.lit("MOVED")).otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            (money("c_acctbal") + F.when(k % 3 == 0, F.lit(100)).otherwise(F.lit(0)))
+            .cast("decimal(18,2)").alias("bal"),
+        )
+        .withColumn("ts", F.to_timestamp(F.lit("2024-06-01 00:00:00")))
+    )
+    dim = scd2_apply(dim0, upd, keys=["c_custkey"], effective_ts="ts",
+                     tracked_cols=["c_mktsegment", "bal"])
+    ev = read_table(spark, sf_dir, "events").select(
+        (F.col("user_id") + 1).alias("c_custkey"),
+        "ts",
+        money("value").alias("__v"),
+    )
+    dimsel = dim.select("c_custkey", "c_mktsegment", "valid_from", "valid_to")
+    enriched = ev.join(
+        F.broadcast(dimsel),
+        on=[
+            ev.c_custkey == dimsel.c_custkey,
+            ev.ts >= dimsel.valid_from,
+            ev.ts < dimsel.valid_to,
+        ],
+    )
+    return enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("__v").cast("double").alias("total_value"),
+    )
