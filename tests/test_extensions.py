@@ -1290,3 +1290,17 @@ def test_hard_negative_mining_picks_nearest_by_label(spark, tmp_path):
     assert r.neg_id == 30          # 10deg impostor
     assert r.neg_sim > r.pos_sim   # the impostor is closer...
     assert r.margin < 0            # ...so the margin is negative
+
+
+def test_pit_enrichment_matches_every_event_exactly_once(spark):
+    """Validity windows partition time per key, so the PIT join must
+    be lossless and duplication-free: total enriched events == total
+    events (a 2-version overlap would double-count; a window gap
+    would drop)."""
+    from logicash_etl_spark.queries.pipeline_ops import pit_event_enrichment
+    from logicash_etl_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    n_events = read_table(spark, sf, "events").count()
+    out = pit_event_enrichment(spark, sf)
+    assert out.agg({"n_events": "sum"}).collect()[0][0] == n_events
