@@ -334,3 +334,112 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest((sx * n) div 10000, CAST(1 AS BIGINT)) AS BIGINT)"
         ).alias("gini_bp"),
     )
+
+
+@query(
+    "value_drift_psi",
+    oracle="""
+    WITH mid AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m FROM events
+    ), tagged AS (
+      SELECT CASE WHEN epoch_us(ts) < (SELECT m FROM mid)
+                  THEN 0 ELSE 1 END AS half, value
+      FROM events
+    ), ref_rng AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM tagged WHERE half = 0
+    ), binned AS (
+      SELECT half,
+             CAST(least(9, greatest(0, floor((value - r.lo) * 10.0
+                                             / (r.hi - r.lo)))) AS BIGINT)
+               AS bin
+      FROM tagged, ref_rng r
+    ), bins AS (
+      SELECT CAST(range AS BIGINT) AS bin FROM range(0, 10)
+    ), counts AS (
+      SELECT b.bin,
+             CAST(COALESCE(SUM(CASE WHEN half = 0 THEN 1 END), 0) AS BIGINT)
+               AS n_ref,
+             CAST(COALESCE(SUM(CASE WHEN half = 1 THEN 1 END), 0) AS BIGINT)
+               AS n_cur
+      FROM bins b LEFT JOIN binned x ON x.bin = b.bin
+      GROUP BY b.bin
+    ), tot AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+             CAST(SUM(n_cur) AS BIGINT) AS tc
+      FROM counts
+    )
+    SELECT bin, n_ref, n_cur,
+           round(
+             ((n_ref + 1.0) / (tr + 10.0) - (n_cur + 1.0) / (tc + 10.0))
+             * ln(((n_ref + 1.0) / (tr + 10.0))
+                  / ((n_cur + 1.0) / (tc + 10.0))), 6) AS psi_contrib
+    FROM counts, tot
+    """,
+)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream — THE production drift monitor: per-bin PSI
+    contributions ((p-q)*ln(p/q), add-one smoothed) flag when the
+    value distribution a model was trained on stops matching what
+    arrives. Total PSI > 0.2 is the classic retrain trigger; per-bin
+    rows show WHERE the mass moved.
+
+    Determinism: the time midpoint is integer microseconds (floor
+    div), bin edges come from the REFERENCE half's min/max with the
+    bin index computed by the identical double expression on both
+    engines (IEEE arithmetic on identical inputs), counts are exact
+    BIGINTs, and only the final ln-based contribution is rounded (6dp
+    absorbs libm ulps — the stat_moments rule). All 10 bins emitted
+    (zero-filled) so the schema is constant.
+
+    Scale: two scans' worth of work in ONE pass — bin assignment is
+    map-only arithmetic against broadcast range/midpoint rows; the
+    count rollup is a 20-group map-side-combinable aggregate. Nothing
+    shuffles but 10 rows per map task."""
+    ev = read_table(spark, sf_dir, "events").select("ts", "value")
+    mid = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("m")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid)).select(
+        F.when(F.unix_micros("ts") < F.col("m"), 0).otherwise(1).alias("half"),
+        "value",
+    )
+    rng = tagged.filter(F.col("half") == 0).agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = tagged.crossJoin(F.broadcast(rng)).select(
+        "half",
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("value") - F.col("lo")) * 10.0
+                        / (F.col("hi") - F.col("lo"))),
+            ),
+        ).cast("bigint").alias("bin"),
+    )
+    bins = spark.range(0, 10).select(F.col("id").cast("bigint").alias("bin"))
+    counts = (
+        bins.join(binned, on="bin", how="left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("half") == 0, 1)), F.lit(0)
+            ).cast("bigint").alias("n_ref"),
+            F.coalesce(
+                F.sum(F.when(F.col("half") == 1, 1)), F.lit(0)
+            ).cast("bigint").alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    p = (F.col("n_ref") + 1.0) / (F.col("tr") + 10.0)
+    q = (F.col("n_cur") + 1.0) / (F.col("tc") + 10.0)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )
