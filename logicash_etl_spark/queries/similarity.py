@@ -529,3 +529,96 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.join(neg, on="query_id").withColumn(
         "margin", F.col("pos_sim") - F.col("neg_sim")
     )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH mx AS (
+      SELECT max(vec_id) AS m FROM embeddings
+    ), t AS (
+      SELECT CASE WHEN vec_id * 2 <= (SELECT m FROM mx) THEN 0 ELSE 1 END
+               AS half,
+             embedding
+      FROM embeddings
+    ), dims AS (
+      SELECT CAST(range AS BIGINT) + 1 AS i FROM range(0, 64)
+    ), comp AS (
+      SELECT half, d.i AS pos,
+             SUM(CAST(embedding[d.i] AS DOUBLE)) AS s
+      FROM t, dims d
+      GROUP BY half, d.i
+    ), j AS (
+      SELECT a.s AS s0, b.s AS s1
+      FROM comp a JOIN comp b ON a.pos = b.pos
+      WHERE a.half = 0 AND b.half = 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM t WHERE half = 0)
+             AS n_first,
+           (SELECT CAST(count(*) AS BIGINT) FROM t WHERE half = 1)
+             AS n_second,
+           round(SUM(s0 * s1)
+                 / (sqrt(SUM(s0 * s0)) * sqrt(SUM(s1 * s1))), 6)
+             AS centroid_cosine
+    FROM j
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift: cosine between the CENTROIDS of
+    the corpus's first and second half (by vec_id) — the modality
+    companion to value_drift_psi: when new embeddings stop pointing
+    where the index was trained (model swap, domain shift, encoder
+    bug), the centroid cosine drops long before ANN recall visibly
+    degrades. Cosine of centroids equals cosine of the per-component
+    SUM vectors (scale cancels), so no division happens until the
+    single-row edge.
+
+    Determinism: float components widen to double (exact), partial
+    sums are the engines' standard mergeable SUM, and only the final
+    cosine is rounded (6dp absorbs summation-order ulps — the
+    stat_moments rule; magnitudes here are ~1e1 sums of ~1e0 terms,
+    noise ~1e-13 relative).
+
+    The oracle pins the testdata's dim = 64 as a literal (DuckDB's
+    generate_series takes constants only) — the same contract as the
+    hyperplane-literal ANN oracles; the Spark side adapts to any dim.
+
+    Scale: one posexplode pass (rows x dim, map-only) into a
+    (2 x dim)-group map-side-combinable SUM — shuffle state is 128
+    doubles per map task regardless of corpus size; the cosine is a
+    dim-row fold on one row."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id").alias("m"))
+    t = emb.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("vec_id") * 2 <= F.col("m"), 0).otherwise(1).alias("half"),
+        "embedding",
+    )
+    comp = (
+        t.select("half", F.posexplode("embedding").alias("pos", "e"))
+        .groupBy("half", "pos")
+        .agg(F.sum(F.col("e").cast("double")).alias("s"))
+    )
+    a = comp.filter(F.col("half") == 0).select(
+        F.col("pos").alias("p0"), F.col("s").alias("s0")
+    )
+    b = comp.filter(F.col("half") == 1).select(
+        F.col("pos").alias("p1"), F.col("s").alias("s1")
+    )
+    j = a.join(b, a.p0 == b.p1)
+    counts = t.groupBy().agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_first"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_second"),
+    )
+    cos = j.agg(
+        F.round(
+            F.sum(F.col("s0") * F.col("s1"))
+            / (
+                F.sqrt(F.sum(F.col("s0") * F.col("s0")))
+                * F.sqrt(F.sum(F.col("s1") * F.col("s1")))
+            ),
+            6,
+        ).alias("centroid_cosine")
+    )
+    return counts.crossJoin(cos)
