@@ -1348,3 +1348,121 @@ def pit_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.sum("__v").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "vocab_drift_psi",
+    oracle=r"""
+    WITH mx AS (
+      SELECT max(doc_id) AS m FROM documents
+    ), tok AS (
+      SELECT CASE WHEN doc_id * 2 <= (SELECT m FROM mx) THEN 0 ELSE 1 END
+               AS half,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ), ref_top AS (
+      SELECT word FROM (
+        SELECT word, count(*) AS n FROM tok WHERE half = 0 GROUP BY word
+        ORDER BY n DESC, word ASC LIMIT 50
+      )
+    ), mapped AS (
+      SELECT half,
+             CASE WHEN word IN (SELECT word FROM ref_top)
+                  THEN word ELSE '__other' END AS term
+      FROM tok
+    ), terms AS (
+      SELECT word AS term FROM ref_top
+      UNION ALL SELECT '__other'
+    ), counts AS (
+      SELECT t.term,
+             CAST(COALESCE(SUM(CASE WHEN half = 0 THEN 1 END), 0) AS BIGINT)
+               AS n_ref,
+             CAST(COALESCE(SUM(CASE WHEN half = 1 THEN 1 END), 0) AS BIGINT)
+               AS n_cur
+      FROM terms t LEFT JOIN mapped m ON m.term = t.term
+      GROUP BY t.term
+    ), tot AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+             CAST(SUM(n_cur) AS BIGINT) AS tc,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM counts
+    )
+    SELECT term, n_ref, n_cur,
+           round(
+             ((n_ref + 1.0) / (tr + nb) - (n_cur + 1.0) / (tc + nb))
+             * ln(((n_ref + 1.0) / (tr + nb))
+                  / ((n_cur + 1.0) / (tc + nb))), 6) AS psi_contrib
+    FROM counts, tot
+    """,
+)
+def vocab_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between the corpus's first and second half —
+    the TEXT-modality drift monitor beside value_drift_psi and
+    embedding_centroid_drift: PSI over the reference half's top-50
+    terms plus an __other bucket (new jargon, language shifts, and
+    template changes land in __other long before perplexity moves).
+
+    Determinism: the reference vocabulary is a top-50 with (count
+    desc, word asc) tie-break — TakeOrderedAndProject, identical on
+    both engines; all counts are exact BIGINTs; only the ln-based
+    contribution is rounded (6dp). Scale: tokenize is the one corpus
+    scan (pure JVM split); term mapping is a broadcast semi-lookup of
+    50 words; the rollup is a 51-group mergeable aggregate."""
+    from logicash_etl_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    tok = docs.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("doc_id") * 2 <= F.col("m"), 0).otherwise(1).alias("half"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("word"),
+    )
+    ref_top = (
+        tok.filter(F.col("half") == 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+        .select("word")
+    )
+    mapped = tok.join(
+        F.broadcast(ref_top.withColumnRenamed("word", "__kept")),
+        tok.word == F.col("__kept"),
+        "left",
+    ).select(
+        "half",
+        F.when(F.col("__kept").isNotNull(), F.col("word"))
+        .otherwise(F.lit("__other"))
+        .alias("term"),
+    )
+    terms = ref_top.select(F.col("word").alias("term")).unionByName(
+        tok.sparkSession.createDataFrame([("__other",)], "term string")
+    )
+    # aggregate BEFORE the zero-fill join: groupBy on 51 keys is safe
+    # (map-side combine caps the shuffle at 51 rows per task), whereas
+    # joining the token stream on 51 keys would funnel the __other
+    # majority through one reducer
+    agg = mapped.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint").alias("__r"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint").alias("__c"),
+    )
+    counts = terms.join(agg, on="term", how="left").select(
+        "term",
+        F.coalesce("__r", F.lit(0)).cast("bigint").alias("n_ref"),
+        F.coalesce("__c", F.lit(0)).cast("bigint").alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    p = (F.col("n_ref") + 1.0) / (F.col("tr") + F.col("nb"))
+    q = (F.col("n_cur") + 1.0) / (F.col("tc") + F.col("nb"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "n_ref",
+        "n_cur",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )
