@@ -1304,3 +1304,40 @@ def test_pit_enrichment_matches_every_event_exactly_once(spark):
     n_events = read_table(spark, sf, "events").count()
     out = pit_event_enrichment(spark, sf)
     assert out.agg({"n_events": "sum"}).collect()[0][0] == n_events
+
+
+def test_value_drift_psi_flags_shifted_distribution(spark, tmp_path):
+    """All value mass moves from the bottom of the range to the top
+    between halves: the PSI contributions of the edge bins must
+    dominate and the total must clear the classic 0.2 retrain
+    threshold; a no-drift control stays near zero."""
+    import datetime as dt
+    import os
+
+    from logicash_etl_spark.queries.analytics import value_drift_psi
+
+    base = dt.datetime(2024, 1, 1)
+
+    def write(sf, second_half_values):
+        rows = []
+        for i in range(200):
+            rows.append((i, base + dt.timedelta(minutes=i), 1, "e", 10.0 + (i % 20), "{}"))
+        for i in range(200):
+            rows.append((200 + i, base + dt.timedelta(minutes=400 + i), 1, "e",
+                         second_half_values(i), "{}"))
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        os.makedirs(sf, exist_ok=True)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    drift = str(tmp_path / "drift")
+    write(drift, lambda i: 28.0 + (i % 2))          # mass jumps to the top bins
+    psi = sum(r.psi_contrib for r in value_drift_psi(spark, drift).collect())
+    assert psi > 0.2
+
+    flat = str(tmp_path / "flat")
+    write(flat, lambda i: 10.0 + (i % 20))          # same distribution
+    psi0 = sum(r.psi_contrib for r in value_drift_psi(spark, flat).collect())
+    assert psi0 < 0.05
