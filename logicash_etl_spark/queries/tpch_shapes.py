@@ -854,3 +854,104 @@ def trade_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(nodes, edges, k=4, rounds=3).select(
         F.col("node").alias("nation"), "deg", "in_core"
     )
+
+
+_PARETO_SQL = """
+    SELECT p_partkey, p_name, p_size, p_retailprice
+    FROM part p
+    WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_size IS NOT NULL AND q.p_retailprice IS NOT NULL
+          AND q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+          AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+"""
+
+
+@query("pareto_part_frontier", oracle=_PARETO_SQL)
+def pareto_part_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of the part catalog: parts where no other part
+    is both bigger (p_size) and cheaper-or-equal (p_retailprice) —
+    the classic skyline query (Borzsony/Kossmann/Stocker, ICDE'01).
+
+    The oracle is the O(n^2) NOT-EXISTS dominance anti-join; the
+    engine path (operators/skyline.py:pareto_frontier_2d) is the
+    distributed sort-based scan — one hash aggregation to collapse x
+    groups, a two-phase exclusive prefix-max (per-bucket windows +
+    broadcast bucket offsets, the global_prefix_sum pattern) instead
+    of a single-partition global window, then a per-row filter. At
+    100 TB the only full-data movements are the group-by shuffle and
+    the join back on x."""
+    from logicash_etl_spark.operators.skyline import pareto_frontier_2d
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size", "p_retailprice"
+    )
+    return pareto_frontier_2d(
+        part, "p_size", "p_retailprice", maximize_x=True, maximize_y=False
+    )
+
+
+_LINK_PRED_SQL = _TRADE_EDGE_SQL + """
+    , und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM edges
+    ), adj AS (
+      SELECT u AS node, v AS nb FROM und UNION ALL SELECT v AS node, u AS nb FROM und
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node
+    ), cand AS (
+      SELECT a.node AS nation_a, b.node AS nation_b, a.nb AS z
+      FROM adj a JOIN adj b ON a.nb = b.nb AND a.node < b.node
+    ), scored AS (
+      SELECT nation_a, nation_b,
+             CAST(count(*) AS BIGINT) AS common_n,
+             CAST(SUM(1000000000000 // d.deg) AS BIGINT) AS ra_score_fp
+      FROM cand JOIN deg d ON d.node = cand.z
+      GROUP BY nation_a, nation_b
+    )
+    SELECT s.nation_a, s.nation_b, s.common_n, s.ra_score_fp
+    FROM scored s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM und WHERE und.u = s.nation_a AND und.v = s.nation_b)
+"""
+
+
+@query("trade_link_prediction", oracle=_LINK_PRED_SQL)
+def trade_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the undirected nation trade graph: for every
+    NON-adjacent pair, the common-neighbor count and the Resource
+    Allocation index (Zhou/Lu/Zhang 2009) — sum over common neighbors
+    z of 1/deg(z), here in integer fixed-point (1e12 // deg, exact
+    BIGINT sums) so the score is associative, engine-portable, and
+    hash-stable; no float accumulation anywhere.
+
+    Scale shape: candidates come from the 2-hop join adj(a,z) x
+    adj(b,z) — fan-out is sum of deg(z)^2, the inherent cost of
+    common-neighbor scores. At 100 TB the standard mitigations (cap
+    or sample hot-z neighborhoods, exactly like jaccard_pairs'
+    max_doc_freq purge) bound the quadratic term; the fixture graph
+    (<= 25 nations) needs none."""
+    e = _trade_edges(spark, sf_dir)
+    und = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").cast("bigint").alias("deg"))
+    a = adj.select(F.col("node").alias("nation_a"), F.col("nb").alias("z"))
+    b = adj.select(F.col("node").alias("nation_b"), F.col("nb").alias("z"))
+    scored = (
+        a.join(b, on="z")
+        .filter(F.col("nation_a") < F.col("nation_b"))
+        .join(F.broadcast(deg.select(F.col("node").alias("z"), "deg")), on="z")
+        .groupBy("nation_a", "nation_b")
+        .agg(
+            F.count("*").cast("bigint").alias("common_n"),
+            F.sum(F.expr("1000000000000 DIV deg")).cast("bigint").alias("ra_score_fp"),
+        )
+    )
+    existing = und.select(F.col("u").alias("nation_a"), F.col("v").alias("nation_b"))
+    return scored.join(
+        F.broadcast(existing), on=["nation_a", "nation_b"], how="left_anti"
+    )

@@ -1341,3 +1341,52 @@ def test_value_drift_psi_flags_shifted_distribution(spark, tmp_path):
     write(flat, lambda i: 10.0 + (i % 20))          # same distribution
     psi0 = sum(r.psi_contrib for r in value_drift_psi(spark, flat).collect())
     assert psi0 < 0.05
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """Randomized 2-D skyline vs the O(n^2) dominance scan, across
+    maximize/minimize orientations, with duplicate points and ties."""
+    import random
+
+    from logicash_etl_spark.operators.skyline import pareto_frontier_2d
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 20), round(rng.uniform(0, 10), 1)) for i in range(300)]
+    # force duplicate coordinates and full ties
+    pts += [(1000, 5, 5.0), (1001, 5, 5.0), (1002, 20, 0.0), (1003, 0, 10.0)]
+    df = spark.createDataFrame(pts, "id bigint, x int, y double")
+
+    for mx in (True, False):
+        for my in (True, False):
+            def better(a, b, maximize):
+                return a > b if maximize else a < b
+
+            def dominated(p, q):
+                ge_x = q[1] == p[1] or better(q[1], p[1], mx)
+                ge_y = q[2] == p[2] or better(q[2], p[2], my)
+                strict = better(q[1], p[1], mx) or better(q[2], p[2], my)
+                return ge_x and ge_y and strict
+
+            expect = {p[0] for p in pts if not any(dominated(p, q) for q in pts)}
+            got = {
+                r.id
+                for r in pareto_frontier_2d(
+                    df, "x", "y", maximize_x=mx, maximize_y=my, buckets=7
+                ).collect()
+            }
+            assert got == expect, (mx, my)
+
+
+def test_pareto_frontier_null_dims_and_empty(spark):
+    from logicash_etl_spark.operators.skyline import pareto_frontier_2d
+
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, 3, None), (3, 1, 1.0), (4, 2, 2.0)],
+        "id bigint, x int, y double",
+    )
+    # null-dim rows neither survive nor dominate: (3,1,1.0) is dominated
+    # by (4,2,2.0); the null rows are simply excluded
+    got = {r.id for r in pareto_frontier_2d(df, "x", "y").collect()}
+    assert got == {4}
+    empty = df.filter("id < 0")
+    assert pareto_frontier_2d(empty, "x", "y").count() == 0
