@@ -660,3 +660,111 @@ def minhash_probe_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_in", "id_hist", "jaccard")
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via PREFIX FILTERING (Chaudhuri
+    et al. SSJoin'06 / Bayardo et al. All-Pairs WWW'07 / Xiao et al.
+    PPJoin WWW'08): order every document's shingle set by a global
+    total order (document frequency ascending — rarest first), index
+    only each document's first ``|d| - ceil(t*|d|) + 1`` shingles,
+    and generate candidates from the PREFIX index alone.
+
+    The prefix theorem makes this lossless: if J(A,B) >= t, the
+    globally-smallest common shingle w must sit inside both prefixes
+    (if w fell outside A's prefix, at least ``|A| - p_A + 1 =
+    ceil(t|A|)`` shingles of A would precede it, none shared, so
+    |A ∩ B| <= |A| - ceil(t|A|) < t|A| <= |A ∩ B| — contradiction).
+    So recall is exactly 1 for ANY consistent tie-broken order, and
+    the final exact re-score makes precision 1: the output EQUALS the
+    full inverted-index join's, while the candidate join touches only
+    prefix postings — at t=0.7 that is ~30% of the index, and the
+    df-ascending order concentrates prefixes on RARE shingles, so
+    posting lists in the candidate join are short where it matters.
+    A length filter (min_sz >= t * max_sz, implied by J >= t since
+    J <= min/max) prunes candidates before the verify join.
+
+    With ``max_doc_freq`` set, shingles above that document frequency
+    are REMOVED from the shingle space entirely and Jaccard is
+    computed over the remaining (content-bearing) shingles — unlike
+    ``jaccard_pairs``' candidate-only prune + full-set re-score, this
+    keeps the prefix theorem exact over the filtered sets AND bounds
+    every posting list at ``max_doc_freq``, which is the 100 TB
+    posture: boilerplate never fans out, and the quadratic term is
+    capped at df^2 per shingle.
+
+    Returns (id_a, id_b, jaccard) over the (filtered) shingle space.
+    Caching: the (id, shingle-hash) projection is consumed 4x
+    (df ranks, sizes, both verify legs) — persisted via
+    ``scoped_persist``; materialize within a ``cache_scope()``.
+    """
+    from pyspark.sql import Window
+
+    sh = (
+        scale_out(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("__s"),
+        )
+        .select(id_col, F.xxhash64("__s").alias("sh"))
+    )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), on="sh", how="left_anti")
+    sh = scoped_persist(sh)
+
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("tdf"))
+    # global order: (df asc, hash asc) — any consistent total order
+    # preserves the theorem; df-ascending minimizes candidate fan-out
+    ranked = sh.join(dfreq, on="sh").withColumn(
+        "rk", F.row_number().over(Window.partitionBy(id_col).orderBy("tdf", "sh"))
+    )
+    prefix = (
+        ranked.join(sizes, on=id_col)
+        .filter(F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select(id_col, "sh")
+    )
+
+    a = prefix.select(F.col(id_col).alias("id_a"), "sh")
+    b = prefix.select(F.col(id_col).alias("id_b"), "sh")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    cand = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .filter(
+            F.least("sz_a", "sz_b")
+            >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+        )
+    )
+    inter = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), "sh"), on="id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "sh"), on=["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"), F.first("sz_a").alias("sz_a"), F.first("sz_b").alias("sz_b"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -456,3 +456,68 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
         .alias("status"),
     )
+
+
+# Jaccard over the df-capped shingle space (boilerplate shingles with
+# document frequency > 100 removed from the sets themselves) — the
+# semantics prefix filtering keeps exact end-to-end. Distinct from
+# _EXACT_PAIRS_SQL, which prunes candidates but re-scores full sets.
+_RARE_JACCARD_SQL = r"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), sh0 AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 3
+                    THEN list_transform(generate_series(1, len(ws) - 2),
+                                        i -> array_to_string(ws[i:i+2], ' '))
+                    ELSE [] END)) AS s
+      FROM w
+    ), sh AS (
+      SELECT doc_id, s FROM sh0
+      WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
+@query("prefix_jaccard_dups", oracle=_RARE_JACCARD_SQL)
+def prefix_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 pairs via PREFIX FILTERING (SSJoin /
+    All-Pairs / PPJoin lineage): each doc indexes only its
+    ``sz - ceil(t*sz) + 1`` globally-rarest shingles, candidates come
+    from the prefix index alone, a length filter prunes size-skewed
+    pairs, and survivors are re-scored exactly — recall 1 by the
+    prefix theorem, precision 1 by verification, so the driver hash
+    pins the whole pipeline against the plain inverted-index SQL.
+
+    Shingles with document frequency > 100 are dropped from the sets
+    themselves (Jaccard over content shingles, not boilerplate),
+    which both keeps the theorem exact and caps every posting list —
+    the 100 TB posture: candidate fan-out is bounded by df^2 per
+    shingle AND shrunk ~(1-t)x by the prefix, the two knobs
+    composing. See operators/dedup.py:prefix_filter_pairs."""
+    from logicash_etl_spark.operators.dedup import prefix_filter_pairs
+
+    with cache_scope():
+        out = prefix_filter_pairs(
+            read_table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            shingle_n=3,
+            threshold=0.5,
+            max_doc_freq=100,
+        )
+        out = out.localCheckpoint()
+    return out

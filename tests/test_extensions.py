@@ -1390,3 +1390,73 @@ def test_pareto_frontier_null_dims_and_empty(spark):
     assert got == {4}
     empty = df.filter("id < 0")
     assert pareto_frontier_2d(empty, "x", "y").count() == 0
+
+
+def test_prefix_filter_pairs_lossless_vs_full_index(spark):
+    """Prefix filtering must emit EXACTLY the full inverted-index
+    join's pair set (recall 1 by the prefix theorem, precision 1 by
+    verification) on a randomized corpus with planted near-dups, at
+    two thresholds; and the prefix index must be strictly smaller
+    than the full index."""
+    import random
+
+    from logicash_etl_spark.operators.caching import cache_scope
+    from logicash_etl_spark.operators.dedup import jaccard_pairs, prefix_filter_pairs
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    for i in range(60):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(40))))
+    # planted near-dups: copy with small edits
+    for j in range(20):
+        base = docs[j][1].split()
+        k = rng.randrange(3)
+        for _ in range(k):
+            base[rng.randrange(len(base))] = rng.choice(vocab)
+        docs.append((100 + j, " ".join(base)))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    for t in (0.5, 0.8):
+        with cache_scope():
+            got = {
+                (r.id_a, r.id_b, round(r.jaccard, 9))
+                for r in prefix_filter_pairs(
+                    df, "doc_id", "text", shingle_n=3, threshold=t
+                ).collect()
+            }
+            want = {
+                (r.id_a, r.id_b, round(r.jaccard, 9))
+                for r in jaccard_pairs(
+                    df, "doc_id", "text", shingle_n=3, threshold=t
+                ).collect()
+            }
+        assert got == want, t
+        assert want, t  # planted dups must actually appear
+
+
+def test_prefix_index_smaller_and_df_cap_bounds_postings(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.text import word_shingles
+
+    docs = [(i, " ".join(f"w{(i * 7 + k) % 50}" for k in range(30))) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    sh = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("s"),
+    ).select("doc_id", F.xxhash64("s").alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("tdf"))
+    t = 0.7
+    pref = (
+        sh.join(dfreq, "sh")
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("doc_id").orderBy("tdf", "sh"))
+        )
+        .join(sizes, "doc_id")
+        .filter(F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+    )
+    full_n, pref_n = sh.count(), pref.count()
+    assert pref_n < full_n * 0.5  # t=0.7 keeps ~30% of postings
