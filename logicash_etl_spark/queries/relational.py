@@ -1134,3 +1134,30 @@ def format_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").cast("bigint").alias("n_langs"),
         )
     )
+
+
+@query(
+    "part_name_edit_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS nm FROM part WHERE p_name IS NOT NULL)
+    SELECT a.nm AS name_a, b.nm AS name_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+    FROM names a JOIN names b ON a.nm < b.nm
+    WHERE abs(length(a.nm) - length(b.nm)) <= 2
+      AND levenshtein(a.nm, b.nm) <= 2
+    """,
+)
+def part_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS edit-distance self-join on distinct part names (<= 2
+    edits) via q-gram count + length filtering
+    (operators/joins.py::qgram_edit_join) — the exact-recall
+    complement to ``fuzzy_name_match``'s blocking (which documents a
+    recall trade). The oracle is the brute-force O(v^2) scan over the
+    distinct vocabulary; the engine path generates candidates from a
+    q-gram inverted index with the VLDB'01 count-filter bound, so its
+    quadratic term is per-gram posting-list size, never vocabulary^2
+    — and vocabulary^2, not rows^2, is already the collapsed frame."""
+    from logicash_etl_spark.operators.joins import qgram_edit_join
+
+    part = _t(spark, sf_dir, "part")
+    return qgram_edit_join(part, "p_name", max_dist=2, q=2)

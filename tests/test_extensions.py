@@ -1460,3 +1460,45 @@ def test_prefix_index_smaller_and_df_cap_bounds_postings(spark):
     )
     full_n, pref_n = sh.count(), pref.count()
     assert pref_n < full_n * 0.5  # t=0.7 keeps ~30% of postings
+
+
+def test_qgram_edit_join_lossless_vs_bruteforce(spark):
+    """Randomized vocabulary incl. strings below the q-gram cutoff
+    (q*(d+1)): the count+length filters are lossless theorems, so the
+    output must EQUAL the brute-force Levenshtein scan."""
+    import random
+
+    from logicash_etl_spark.operators.joins import qgram_edit_join
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(99)
+    alpha = "abcde"
+    vocab = {"".join(rng.choice(alpha) for _ in range(rng.randint(1, 12))) for _ in range(150)}
+    vocab |= {"a", "ab", "abc", "x", ""}  # short-pool edge cases
+    vocab.discard("")
+    names = sorted(vocab)
+    df = spark.createDataFrame([(n,) for n in names], "nm string")
+
+    for d in (1, 2):
+        got = {
+            (r.name_a, r.name_b, r.dist)
+            for r in qgram_edit_join(df, "nm", max_dist=d, q=2).collect()
+        }
+        want = {
+            (a, b, lev(a, b))
+            for i, a in enumerate(names)
+            for b in names[i + 1 :]
+            if lev(a, b) <= d
+        }
+        assert got == want, d
+        assert want
