@@ -1161,3 +1161,48 @@ def part_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = _t(spark, sf_dir, "part")
     return qgram_edit_join(part, "p_name", max_dist=2, q=2)
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(SUM(count(*)) OVER (PARTITION BY from_type) AS DOUBLE),
+                 6) AS p
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type) — the sequence
+    model behind session simulation and next-action prediction.
+
+    Shape: one lead() window partitioned BY USER (bounded per-user
+    state, shuffles once on user_id), then an ordinary grouped count;
+    the row-probability normalization is a window over the TINY
+    (from_type x to_type) matrix, never the event stream. Ordering is
+    tie-broken by event_id so the lead() is deterministic."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("to_type", F.lead("event_type").over(w)).filter(
+        F.col("to_type").isNotNull()
+    )
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return counts.withColumn(
+        "p",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(W.partitionBy("from_type")),
+            6,
+        ),
+    )
