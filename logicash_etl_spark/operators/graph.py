@@ -580,3 +580,52 @@ def k_core(
         F.coalesce("deg", F.lit(0)).cast("bigint").alias("deg"),
         (F.coalesce("deg", F.lit(0)) >= k).alias("in_core"),
     )
+
+
+def sssp_bounded(
+    nodes: DataFrame,
+    edges: DataFrame,
+    source: DataFrame,
+    iterations: int = 4,
+) -> DataFrame:
+    """Single-source shortest paths (Bellman-Ford supersteps), bounded
+    to ``iterations`` hops, in EXACT integer arithmetic.
+
+    ``nodes``: one column ``node``; ``edges``: directed
+    ``(src, dst, w)`` with non-negative BIGINT weights; ``source``:
+    a one-row frame with column ``node``. Returns ``(node, dist)``
+    where ``dist`` is the cheapest <=k-hop path cost and NULL means
+    unreachable within k hops — a sound under-approximation of full
+    convergence, exactly like the bounded ``bfs_hops``/``k_core``
+    variants, and hash-matchable by an unrolled-CTE oracle because
+    min/+ over BIGINT is associative and engine-portable (no float
+    accumulation — the pagerank_int argument).
+
+    Each superstep is one join of the frontier distances against the
+    edge list (shuffle on src) plus a min-groupBy — Pregel shape,
+    nothing collects to the driver. The distance frame is referenced
+    TWICE per round (relax join + carry-forward union), so the
+    logical plan doubles per round without truncation; the loop
+    localCheckpoint()s EVERY round — the multiplicative-self-
+    reference rule k_core pins (operators/graph.py:k_core)."""
+    dist = source.select("node", F.lit(0).cast("bigint").alias("dist")).localCheckpoint()
+    if iterations > 1:
+        edges = edges.localCheckpoint()
+    for _ in range(iterations):
+        relaxed = (
+            edges.join(
+                dist.select(F.col("node").alias("src"), F.col("dist").alias("d0")),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("d0") + F.col("w")).cast("bigint").alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return nodes.join(dist, "node", "left")

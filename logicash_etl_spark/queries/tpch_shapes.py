@@ -955,3 +955,47 @@ def trade_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(
         F.broadcast(existing), on=["nation_a", "nation_b"], how="left_anti"
     )
+
+
+def _sssp_oracle(iterations: int = 4) -> str:
+    """Unrolled Bellman-Ford CTE chain over the weighted trade-pair
+    graph — min/+ on BIGINT throughout, so DuckDB reproduces the
+    Spark supersteps bit-for-bit."""
+    sql = _TRADE_PAIR_SQL + """
+    , d0 AS (
+      SELECT min(n_name) AS node, CAST(0 AS BIGINT) AS dist FROM nation
+    )"""
+    for i in range(1, iterations + 1):
+        sql += f""", d{i} AS (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT p.dst AS node, d.dist + p.n AS dist
+        FROM d{i - 1} d JOIN pair p ON p.src = d.node
+        UNION ALL
+        SELECT node, dist FROM d{i - 1}
+      ) GROUP BY node
+    )"""
+    sql += f"""
+    SELECT n_name AS nation, d.dist AS min_cost
+    FROM nation LEFT JOIN d{iterations} d ON d.node = n_name
+    """
+    return sql
+
+
+@query("trade_min_cost_paths", oracle=_sssp_oracle())
+def trade_min_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest <=4-hop trade route from the alphabetically-first
+    nation to every other, edge cost = bilateral line count — bounded
+    Bellman-Ford (operators/graph.py:sssp_bounded) over the FULL
+    weighted pair graph (no edge thresholding: SSSP wants the real
+    costs). NULL = unreachable within 4 hops. Completes the graph
+    suite's weighted leg next to bfs_hops (unweighted reach),
+    pagerank_int, label propagation, triangles, and k-core."""
+    from logicash_etl_spark.operators.graph import sssp_bounded
+
+    pair = _trade_pairs(spark, sf_dir)
+    edges = pair.select("src", "dst", F.col("n").alias("w"))
+    nodes = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("node"))
+    source = nodes.agg(F.min("node").alias("node"))
+    return sssp_bounded(nodes, edges, source, iterations=4).select(
+        F.col("node").alias("nation"), F.col("dist").alias("min_cost")
+    )

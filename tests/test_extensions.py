@@ -1502,3 +1502,39 @@ def test_qgram_edit_join_lossless_vs_bruteforce(spark):
         }
         assert got == want, d
         assert want
+
+
+def test_sssp_bounded_matches_python_bellman_ford(spark):
+    """Random weighted digraph: bounded-hop distances must equal the
+    Python Bellman-Ford DP, including NULL for nodes unreachable
+    within the hop budget."""
+    import random
+
+    from logicash_etl_spark.operators.graph import sssp_bounded
+
+    rng = random.Random(41)
+    n = 30
+    nodes = [f"n{i:02d}" for i in range(n)]
+    edges = set()
+    while len(edges) < 90:
+        a, b = rng.sample(range(n), 2)
+        edges.add((nodes[a], nodes[b]))
+    wedges = [(s, d, rng.randint(1, 50)) for s, d in sorted(edges)]
+
+    for k in (1, 3, 5):
+        dist = {nodes[0]: 0}
+        for _ in range(k):
+            nxt = dict(dist)
+            for s, d, w in wedges:
+                if s in dist and dist[s] + w < nxt.get(d, 1 << 60):
+                    nxt[d] = dist[s] + w
+            dist = nxt
+        ndf = spark.createDataFrame([(x,) for x in nodes], "node string")
+        edf = spark.createDataFrame(wedges, "src string, dst string, w bigint")
+        src = ndf.agg(F.min("node").alias("node"))
+        got = {
+            r.node: r.dist
+            for r in sssp_bounded(ndf, edf, src, iterations=k).collect()
+        }
+        want = {x: dist.get(x) for x in nodes}
+        assert got == want, k
