@@ -443,3 +443,146 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
     )
+
+
+@query(
+    "user_active_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e
+      FROM events
+    ), m AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM iv
+    ), g AS (
+      SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS st
+      FROM m
+    ), isl AS (
+      SELECT *, SUM(st) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS isle
+      FROM g
+    ), per AS (
+      SELECT user_id, isle, max(e) - min(s) AS cov
+      FROM isl GROUP BY user_id, isle
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(SUM(cov) AS BIGINT) AS active_us
+    FROM per GROUP BY user_id
+    """,
+)
+def user_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per user: each event opens an interval
+    [ts, ts + value seconds); overlapping intervals merge, and the
+    output is the number of merged islands and total covered
+    microseconds — the classic 'union of intervals' measure (machine
+    busy-time, ad exposure, GPU occupancy) that gap-based
+    sessionization (``user_sessions``) cannot express because
+    interval LENGTHS vary.
+
+    Plan shape: one per-user sort; islands come from the exclusive
+    running max of interval ends (a new island starts when the next
+    start exceeds every end seen), a textbook cummax + cumsum pair of
+    windows, both partitioned by user — bounded state, no self-join.
+    Arithmetic is integer microseconds end-to-end (epoch_us + floored
+    value*1e6), so sums are exact and engine-portable."""
+    from pyspark.sql import Window as W
+
+    iv = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * F.lit(1000000.0)).cast("bigint")
+        ).alias("e"),
+    )
+    order = W.partitionBy("user_id").orderBy("s", "e")
+    m = iv.withColumn(
+        "pmax", F.max("e").over(order.rowsBetween(W.unboundedPreceding, -1))
+    )
+    g = m.withColumn(
+        "st",
+        F.when(F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1).otherwise(0),
+    )
+    isl = g.withColumn(
+        "isle", F.sum("st").over(order.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per = isl.groupBy("user_id", "isle").agg(
+        (F.max("e") - F.min("s")).alias("cov")
+    )
+    return per.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum("cov").cast("bigint").alias("active_us"),
+    )
+
+
+@query(
+    "ewma_event_value",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, value, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), t AS (
+      SELECT event_id, user_id, value,
+             COALESCE(lag(cents, 0) OVER win * 512, 0)
+             + COALESCE(lag(cents, 1) OVER win * 256, 0)
+             + COALESCE(lag(cents, 2) OVER win * 128, 0)
+             + COALESCE(lag(cents, 3) OVER win * 64, 0)
+             + COALESCE(lag(cents, 4) OVER win * 32, 0)
+             + COALESCE(lag(cents, 5) OVER win * 16, 0)
+             + COALESCE(lag(cents, 6) OVER win * 8, 0)
+             + COALESCE(lag(cents, 7) OVER win * 4, 0)
+             + COALESCE(lag(cents, 8) OVER win * 2, 0)
+             + COALESCE(lag(cents, 9) OVER win * 1, 0) AS num,
+             CASE WHEN lag(cents, 0) OVER win IS NOT NULL THEN 512 ELSE 0 END
+             + CASE WHEN lag(cents, 1) OVER win IS NOT NULL THEN 256 ELSE 0 END
+             + CASE WHEN lag(cents, 2) OVER win IS NOT NULL THEN 128 ELSE 0 END
+             + CASE WHEN lag(cents, 3) OVER win IS NOT NULL THEN 64 ELSE 0 END
+             + CASE WHEN lag(cents, 4) OVER win IS NOT NULL THEN 32 ELSE 0 END
+             + CASE WHEN lag(cents, 5) OVER win IS NOT NULL THEN 16 ELSE 0 END
+             + CASE WHEN lag(cents, 6) OVER win IS NOT NULL THEN 8 ELSE 0 END
+             + CASE WHEN lag(cents, 7) OVER win IS NOT NULL THEN 4 ELSE 0 END
+             + CASE WHEN lag(cents, 8) OVER win IS NOT NULL THEN 2 ELSE 0 END
+             + CASE WHEN lag(cents, 9) OVER win IS NOT NULL THEN 1 ELSE 0 END AS den
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, value,
+           round(CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 100.0), 6) AS ewma
+    FROM t
+    """,
+)
+def ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2, lookback
+    10) of each user's event values — the smoothing primitive behind
+    trend monitors and anomaly baselines, next to the robust
+    ``value_outlier_mad`` and the windowed ``rolling_zscore``.
+
+    Determinism is the design problem: float EWMA accumulates in an
+    engine-specific order. Here values go to integer CENTS, the
+    half-life weights are the exact powers 2^0..2^9 (oldest..newest
+    reversed), and numerator/denominator are BIGINT sums unrolled
+    over 10 lag() columns — pure JVM window expressions, exactly one
+    per-user sort, no collect_list ordering assumptions, no Python.
+    The single double division at the end is the only float op, so
+    Spark and DuckDB agree bit-for-bit before the 6dp round. Rows
+    early in a user's history weight over the shorter available
+    prefix (the denominator counts only existing lags)."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.coalesce(F.lag('cents', 0).over(w) * F.lit(512), F.lit(0)) + F.coalesce(F.lag('cents', 1).over(w) * F.lit(256), F.lit(0)) + F.coalesce(F.lag('cents', 2).over(w) * F.lit(128), F.lit(0)) + F.coalesce(F.lag('cents', 3).over(w) * F.lit(64), F.lit(0)) + F.coalesce(F.lag('cents', 4).over(w) * F.lit(32), F.lit(0)) + F.coalesce(F.lag('cents', 5).over(w) * F.lit(16), F.lit(0)) + F.coalesce(F.lag('cents', 6).over(w) * F.lit(8), F.lit(0)) + F.coalesce(F.lag('cents', 7).over(w) * F.lit(4), F.lit(0)) + F.coalesce(F.lag('cents', 8).over(w) * F.lit(2), F.lit(0)) + F.coalesce(F.lag('cents', 9).over(w) * F.lit(1), F.lit(0))
+    den = F.when(F.lag('cents', 0).over(w).isNotNull(), F.lit(512)).otherwise(F.lit(0)) + F.when(F.lag('cents', 1).over(w).isNotNull(), F.lit(256)).otherwise(F.lit(0)) + F.when(F.lag('cents', 2).over(w).isNotNull(), F.lit(128)).otherwise(F.lit(0)) + F.when(F.lag('cents', 3).over(w).isNotNull(), F.lit(64)).otherwise(F.lit(0)) + F.when(F.lag('cents', 4).over(w).isNotNull(), F.lit(32)).otherwise(F.lit(0)) + F.when(F.lag('cents', 5).over(w).isNotNull(), F.lit(16)).otherwise(F.lit(0)) + F.when(F.lag('cents', 6).over(w).isNotNull(), F.lit(8)).otherwise(F.lit(0)) + F.when(F.lag('cents', 7).over(w).isNotNull(), F.lit(4)).otherwise(F.lit(0)) + F.when(F.lag('cents', 8).over(w).isNotNull(), F.lit(2)).otherwise(F.lit(0)) + F.when(F.lag('cents', 9).over(w).isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    return ev.select(
+        "event_id", "user_id", "value",
+        F.round(
+            num.cast("double") / (den.cast("double") * F.lit(100.0)), 6
+        ).alias("ewma"),
+    )

@@ -1538,3 +1538,60 @@ def test_sssp_bounded_matches_python_bellman_ford(spark):
         }
         want = {x: dist.get(x) for x in nodes}
         assert got == want, k
+
+
+def test_interval_union_matches_python_merge(spark):
+    """Randomized variable-length intervals per user: island count and
+    covered length must equal the classic sort-and-merge sweep."""
+    import datetime as dt
+    import random
+
+    from logicash_etl_spark.queries.analytics import user_active_coverage
+
+    rng = random.Random(5)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in range(6):
+        t = 0
+        for i in range(40):
+            t += rng.randint(0, 90)
+            rows.append(
+                (uid * 100 + i, base + dt.timedelta(seconds=t), uid, "e",
+                 round(rng.uniform(0, 120), 2), "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    import math
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        sf = os.path.join(d, "sf")
+        os.makedirs(sf)
+        df.write.parquet(f"{sf}/events.parquet")
+        got = {
+            r.user_id: (r.n_islands, r.active_us)
+            for r in user_active_coverage(spark, sf).collect()
+        }
+
+    want = {}
+    for uid in range(6):
+        ivs = sorted(
+            (
+                int(r[1].timestamp() * 1_000_000),
+                int(r[1].timestamp() * 1_000_000) + math.floor(r[4] * 1_000_000),
+            )
+            for r in rows
+            if r[2] == uid
+        )
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        want[uid] = (len(merged), sum(e - s for s, e in merged))
+    assert got == want
