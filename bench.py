@@ -46,6 +46,9 @@ def main() -> None:
     lot_build.update(_dq.prebuild_lots(spark, sf_dir))
     lot_build.update(_sq.prebuild_lots(spark, sf_dir))
     lot_build.update(_pq.prebuild_lots(spark, sf_dir))
+    from logicash_etl_spark.queries import tpch_shapes as _tq
+
+    lot_build.update(_tq.prebuild_lots(spark, sf_dir))
     spark.catalog.clearCache()
 
     # Python-worker warmup, same category as the JVM warmup above: the

@@ -43,6 +43,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+# (abspath(sf_dir), lot name) -> (parquet path, schema json) for the
+# shared trade-graph fixture — same build-once-per-process pattern as
+# queries/dedup.py's pair lots: seven graph queries consume the same
+# 6-way Q7 join, so it is materialized once and re-read, and bench.py
+# pre-builds it as a named lot_build line item.
+_LOTS: dict = {}
+LOT_BUILD_SECONDS: dict[str, float] = {}
+
+
+def clear_lots() -> None:
+    """Forget the materialized trade-pair lot (benchmark re-run hook);
+    dirs are removed at process exit (logicash_etl_spark/tmp.py)."""
+    _LOTS.clear()
+    LOT_BUILD_SECONDS.clear()
+
+
+def prebuild_lots(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Force the trade-pair lot; report per-lot build seconds."""
+    _trade_pairs(spark, sf_dir)
+    return dict(LOT_BUILD_SECONDS)
+
+
 def _rev() -> F.Column:
     return money("l_extendedprice") * (1 - money("l_discount"))
 
@@ -501,9 +523,35 @@ _TRADE_EDGE_SQL = _TRADE_PAIR_SQL + """
 def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed trade-volume pairs cust_nation -> supp_nation with
     line counts — THE shared graph-fixture derivation (the Q7 join;
-    dims broadcast). Every trade-graph query builds on this frame:
-    LPA weights it, the others threshold it (``_trade_edges``). The
-    SQL twin is ``_TRADE_PAIR_SQL``."""
+    dims broadcast), materialized ONCE per (process, sf_dir) as a
+    tiny parquet lot (<= |nations|^2 rows) and re-read by the seven
+    graph queries that build on it: LPA weights it, the others
+    threshold it (``_trade_edges``). Results are identical to
+    recomputing (the join is deterministic; parquet round-trips
+    strings/longs bitwise). The SQL twin is ``_TRADE_PAIR_SQL``."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import StructType as _StructType
+
+    from logicash_etl_spark.queries._lots import timed_lot
+    from logicash_etl_spark.tmp import session_tmpdir
+
+    def materialize() -> tuple[str, str]:
+        path = _os.path.join(session_tmpdir("lq_trade_lot_"), "trade_pairs")
+        df = _trade_pairs_build(spark, sf_dir)
+        df.write.mode("overwrite").parquet(path)
+        return path, df.schema.json()
+
+    key = (_os.path.abspath(sf_dir), "trade_pairs")
+    path, schema_json = timed_lot(
+        _LOTS, LOT_BUILD_SECONDS, key, "trade_pairs", materialize
+    )
+    schema = _StructType.fromJson(_json.loads(schema_json))
+    return spark.read.schema(schema).parquet(path)
+
+
+def _trade_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
