@@ -211,3 +211,110 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(judged.cast("int")).cast("bigint").alias("n_judged"),
         F.sum(anom.cast("int")).cast("bigint").alias("n_anomalies"),
     )
+
+
+@query(
+    "cusum_changepoints",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), g AS (
+      SELECT user_id, ts, event_id, cents,
+             CAST(count(*)   OVER wu AS BIGINT) AS n,
+             CAST(SUM(cents) OVER wu AS BIGINT) AS t
+      FROM c
+      WINDOW wu AS (PARTITION BY user_id)
+    ), p AS (
+      SELECT user_id, n, t,
+             CAST(SUM(2 * n * cents - 3 * t) OVER wo AS BIGINT) AS pf,
+             CAST(row_number() OVER wo AS BIGINT) AS rn
+      FROM g
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT user_id, t, rn,
+             pf - LEAST(CAST(0 AS BIGINT),
+                        CAST(MIN(pf) OVER wo AS BIGINT)) AS cusum
+      FROM p
+      WINDOW wo AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN cusum > 10 * t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms,
+           CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+           COALESCE(MIN(CASE WHEN cusum > 10 * t THEN rn END),
+                    CAST(-1 AS BIGINT)) AS first_alarm_rn
+    FROM s
+    GROUP BY user_id
+    """,
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM changepoint detection (Page 1954) —
+    the sequential upward-shift monitor production pipelines run on
+    revenue/latency series. The recursion S_i = max(0, S_{i-1} + d_i)
+    looks inherently serial, but it has a closed WINDOW form:
+    S_i = P_i - min(0, min_{j<=i} P_j) where P is the running prefix
+    sum of the drifts d — so the whole detector is two ordered
+    windows (prefix sum, prefix min), no recursion, no UDF.
+
+    Drift is measured against the user's own mean with 50% slack,
+    cleared of division so every term is exact BIGINT:
+    d_i = x_i - 1.5*mean scaled by 2n => d_i = 2n*x_i - 3T (T = user
+    total cents, n = user count); the alarm threshold 5*mean scales
+    to 10T. Alarm when S_i > 10T; reported per user: alarm count,
+    peak CUSUM, and the 1-based index of the first alarm (-1 = none).
+
+    Scale: both windows partition by user_id — parallelism is the
+    user count, per-task state one running (sum, min) pair however
+    long the history; one shuffle on user_id shared by the full-
+    partition stats window, both ordered windows, and the rollup.
+    Bounds: |P_i| <= n * (2n*x_max + 3T) — at 1e6 events/user and
+    cents <= 1e5 that is ~1e17, inside int64."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wu = W.partitionBy("user_id")
+    wo = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    g = ev.select(
+        "user_id", "ts", "event_id", "cents",
+        F.count("*").over(wu).cast("bigint").alias("n"),
+        F.sum("cents").over(wu).cast("bigint").alias("t"),
+    )
+    p = g.select(
+        "user_id", "t",
+        F.sum(2 * F.col("n") * F.col("cents") - 3 * F.col("t"))
+        .over(wo).cast("bigint").alias("pf"),
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).cast("bigint").alias("rn"),
+    )
+    wr = (
+        W.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = p.select(
+        "user_id", "t", "rn",
+        (
+            F.col("pf")
+            - F.least(F.lit(0).cast("bigint"), F.min("pf").over(wr))
+        ).alias("cusum"),
+    )
+    alarm = F.col("cusum") > 10 * F.col("t")
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(alarm.cast("int")).cast("bigint").alias("n_alarms"),
+        F.max("cusum").cast("bigint").alias("max_cusum"),
+        F.coalesce(
+            F.min(F.when(alarm, F.col("rn"))), F.lit(-1).cast("bigint")
+        ).alias("first_alarm_rn"),
+    )
