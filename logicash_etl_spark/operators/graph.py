@@ -629,3 +629,77 @@ def sssp_bounded(
             .localCheckpoint()
         )
     return nodes.join(dist, "node", "left")
+
+
+def hits_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 2,
+    scale: int = 10**6,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg JACM'99) in FIXED-POINT
+    INTEGER arithmetic — the link-analysis complement to
+    ``pagerank_int`` above: PageRank scores global endorsement flow,
+    HITS separates nodes that POINT AT good content (hubs) from nodes
+    good content points at (authorities) via the mutual recursion
+    a(v) = sum of h over in-neighbors, h(u) = sum of a over
+    out-neighbors.
+
+    ``nodes``: one column ``node``; ``edges``: directed, deduped
+    ``(src, dst)``. Returns ``(node, authority, hub)`` scaled by
+    ``scale`` (each round's max score = ``scale`` = 1.0).
+
+    Why integers: the standard HITS normalizes by the L2 norm —
+    irrational, engine-divergent. L-infinity normalization
+    (divide by the round's MAX, here ``x * scale // max``) keeps the
+    same fixpoint direction (normalization constants cancel in the
+    power iteration) while every step is integer sum, integer max,
+    and floor division — exactly associative, so a DuckDB
+    unrolled-CTE oracle matches bit-for-bit. Nodes with no in-edges
+    get authority 0 (no mass invented), mirrored by COALESCE 0.
+
+    Scale: each half-round is one join of scores against the edge
+    list (shuffle on src or dst) plus a groupBy — a Pregel superstep;
+    the round max is a single broadcast scalar (one-row crossJoin),
+    never a collect. Lineage: same rules as pagerank_int — edges
+    checkpointed once IF score checkpoints split the run into
+    multiple actions; scores every ``checkpoint_every`` rounds."""
+    if iterations > checkpoint_every:
+        edges = edges.localCheckpoint()
+    auth = nodes.select("node", F.lit(scale).cast("bigint").alias("a"))
+    hub = nodes.select("node", F.lit(scale).cast("bigint").alias("h"))
+
+    def _half(scores: DataFrame, col: str, join_key: str, out_key: str,
+              out_col: str) -> DataFrame:
+        # new[out_key] = sum of scores[col] over edges matched on
+        # join_key, L-inf normalized to `scale`
+        raw = (
+            edges.join(
+                scores.withColumnRenamed("node", join_key), join_key
+            )
+            .groupBy(F.col(out_key).alias("node"))
+            .agg(F.sum(col).cast("bigint").alias("raw"))
+        )
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return nodes.join(raw, "node", "left").crossJoin(
+            F.broadcast(mx)
+        ).select(
+            "node",
+            F.expr("coalesce(raw, CAST(0 AS BIGINT))"
+                   f" * CAST({scale} AS BIGINT) div mx")
+            .cast("bigint").alias(out_col),
+        )
+
+    for i in range(iterations):
+        # authorities from hubs (in-edges), then hubs from the NEW
+        # authorities (out-edges) — the standard update order
+        auth = _half(hub, "h", "src", "dst", "a")
+        hub = _half(auth, "a", "dst", "src", "h")
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            auth = auth.localCheckpoint()
+            hub = hub.localCheckpoint()
+    return (
+        auth.join(hub, "node")
+        .select("node", F.col("a").alias("authority"), F.col("h").alias("hub"))
+    )

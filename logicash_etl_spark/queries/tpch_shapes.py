@@ -1047,3 +1047,78 @@ def trade_min_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp_bounded(nodes, edges, source, iterations=4).select(
         F.col("node").alias("nation"), F.col("dist").alias("min_cost")
     )
+
+
+def _hits_oracle(iterations: int = 2, scale: int = 10**6) -> str:
+    """Unrolled integer-HITS CTE chain — four CTEs per round
+    (authority raw/normalized, hub raw/normalized), L-infinity
+    normalization as ``raw * scale // max(raw)``, every SUM cast back
+    to BIGINT (DuckDB widens SUM(BIGINT) to HUGEINT)."""
+    sql = _TRADE_EDGE_SQL + f"""
+    , nodes AS (
+      SELECT n_name AS node FROM nation
+    ), h0 AS (
+      SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes
+    )"""
+    for i in range(1, iterations + 1):
+        sql += f""", ar{i} AS (
+      SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS raw
+      FROM edges e JOIN h{i - 1} h ON h.node = e.src
+      GROUP BY e.dst
+    ), a{i} AS (
+      SELECT n.node,
+             CAST(COALESCE(ar.raw, CAST(0 AS BIGINT))
+                  * CAST({scale} AS BIGINT)
+                  // (SELECT MAX(raw) FROM ar{i}) AS BIGINT) AS a
+      FROM nodes n LEFT JOIN ar{i} ar USING (node)
+    ), hr{i} AS (
+      SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS raw
+      FROM edges e JOIN a{i} a ON a.node = e.dst
+      GROUP BY e.src
+    ), h{i} AS (
+      SELECT n.node,
+             CAST(COALESCE(hr.raw, CAST(0 AS BIGINT))
+                  * CAST({scale} AS BIGINT)
+                  // (SELECT MAX(raw) FROM hr{i}) AS BIGINT) AS h
+      FROM nodes n LEFT JOIN hr{i} hr USING (node)
+    )"""
+    sql += f"""
+    SELECT a.node AS nation,
+           a.a AS authority_scaled,
+           h.h AS hub_scaled,
+           CAST(row_number() OVER (ORDER BY a.a DESC, a.node ASC) AS INT)
+             AS rk
+    FROM a{iterations} a JOIN h{iterations} h USING (node)
+    """
+    return sql
+
+
+@query("nation_trade_hits", oracle=_hits_oracle())
+def nation_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubs and authorities over the trade graph (integer HITS,
+    operators/graph.py:hits_int) — the link-analysis complement to
+    ``nation_trade_pagerank``: which nations CONCENTRATE demand
+    (hubs: their customers buy from the good exporters) vs which
+    CONCENTRATE supply (authorities: the exporters good importers buy
+    from). Two mutual-recursion rounds in fixed-point integers with
+    L-infinity normalization, so the iterative result hash-matches
+    the DuckDB unrolled-CTE oracle bit-for-bit — L2-normalized float
+    HITS never could.
+
+    Scale: edge derivation is the Q7 join (read once from the shared
+    trade-pair lot); each half-round shuffles only the EDGE list
+    (bounded by nations^2 here — by the graph, not the fact table),
+    and the round max is a one-row broadcast, never a collect. The
+    final ranking window is over #nations rows — driver-scale."""
+    from logicash_etl_spark.operators.graph import hits_int
+
+    edges = _trade_edges(spark, sf_dir)
+    nodes = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("node"))
+    res = hits_int(nodes, edges, iterations=2)
+    w = W.orderBy(F.desc("authority"), F.asc("node"))
+    return res.select(
+        F.col("node").alias("nation"),
+        F.col("authority").alias("authority_scaled"),
+        F.col("hub").alias("hub_scaled"),
+        F.row_number().over(w).cast("int").alias("rk"),
+    )

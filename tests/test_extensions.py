@@ -1595,3 +1595,32 @@ def test_interval_union_matches_python_merge(spark):
                 merged.append([s, e])
         want[uid] = (len(merged), sum(e - s for s, e in merged))
     assert got == want
+
+
+def test_hits_int_geometry(spark):
+    from logicash_etl_spark.operators.graph import hits_int
+
+    # a and b both point at c; d points at a. c is the pure
+    # authority, a and b the strong hubs; z is isolated.
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("z",)], "node string"
+    )
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("d", "a")],
+        "src string, dst string",
+    )
+    scale = 10**6
+    out = {
+        r.node: (r.authority, r.hub)
+        for r in hits_int(nodes, edges, iterations=2, scale=scale).collect()
+    }
+    # c: max authority (both hubs point at it), zero hub (no out-edges)
+    assert out["c"] == (scale, 0)
+    # a, b: identical max hub scores (same single out-edge to c);
+    # a carries some authority (d points at it), b none
+    assert out["a"][1] == scale and out["b"][1] == scale
+    assert out["a"][0] > 0 and out["b"][0] == 0
+    # isolated node: no mass invented
+    assert out["z"] == (0, 0)
+    # d: hub only via a's (smaller) authority — strictly below a/b
+    assert 0 < out["d"][1] < scale and out["d"][0] == 0
