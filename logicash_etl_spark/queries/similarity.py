@@ -622,3 +622,125 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_cosine")
     )
     return counts.crossJoin(cos)
+
+
+@query(
+    "rrf_hybrid_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) AS dot,
+             list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+             / greatest(sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[]))),
+                        1e-12) AS cos
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank_cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot DESC, vec_id) AS rank_dot
+      FROM scored
+    ), fused AS (
+      SELECT query_id, vec_id,
+             CAST((CASE WHEN rank_cos <= 20
+                        THEN 1000000 // (60 + rank_cos) ELSE 0 END)
+                + (CASE WHEN rank_dot <= 20
+                        THEN 1000000 // (60 + rank_dot) ELSE 0 END)
+                  AS BIGINT) AS rrf_score
+      FROM ranked
+      WHERE rank_cos <= 20 OR rank_dot <= 20
+    )
+    SELECT query_id, vec_id, rrf_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, vec_id) AS INT)
+             AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 5
+    """,
+)
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via RECIPROCAL-RANK FUSION (Cormack et al.
+    SIGIR'09) — the standard way production search fuses rankings
+    from incomparable scorers (dense cosine + BM25, or here:
+    NORMALIZED cosine vs RAW inner product, whose rankings diverge
+    exactly on norm outliers — the popularity-vs-similarity split).
+    Each system contributes 1/(60+rank) for its top-20 shortlist;
+    fusion uses only RANKS, so the fused result is integer-exact
+    (contributions scaled to 1e6 with floor division) and the driver
+    hash pins both underlying rankings end-to-end — a regression in
+    either scorer reorders a shortlist and flips the hash.
+
+    Scale: ONE corpus pass scores both systems (queries broadcast,
+    dot product computed once, cosine derived from it), and both rank
+    windows share the single query_id shuffle; the fused frame is
+    |Q| x <=40 rows. At 100 TB each system's shortlist comes from its
+    ANN index (lsh_ann_topk / pq_ann_topk) and this same fusion runs
+    over the union of shortlists — rank-only fusion never needs the
+    scores to be comparable."""
+    from pyspark.sql import Window as W
+
+    from logicash_etl_spark.operators.partitioning import scale_out
+    from logicash_etl_spark.operators.similarity import _dot, _norm, as_double
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("__qv"),
+        _norm(as_double("embedding")).alias("__qn"),
+    )
+    c = scale_out(emb.select("vec_id", "embedding")).select(
+        "vec_id",
+        as_double("embedding").alias("__cv"),
+        _norm(as_double("embedding")).alias("__cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _dot(F.col("__qv"), F.col("__cv")).alias("dot"),
+            (
+                _dot(F.col("__qv"), F.col("__cv"))
+                / F.greatest(F.col("__qn") * F.col("__cn"), F.lit(1e-12))
+            ).alias("cos"),
+        )
+    )
+    w_cos = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    w_dot = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    ranked = scored.select(
+        "query_id", "vec_id",
+        F.row_number().over(w_cos).alias("rank_cos"),
+        F.row_number().over(w_dot).alias("rank_dot"),
+    )
+    contrib = (
+        F.when(
+            F.col("rank_cos") <= 20,
+            F.expr("CAST(1000000 div (60 + rank_cos) AS BIGINT)"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        + F.when(
+            F.col("rank_dot") <= 20,
+            F.expr("CAST(1000000 div (60 + rank_dot) AS BIGINT)"),
+        ).otherwise(F.lit(0).cast("bigint"))
+    )
+    fused = ranked.filter(
+        (F.col("rank_cos") <= 20) | (F.col("rank_dot") <= 20)
+    ).select(
+        "query_id", "vec_id", contrib.cast("bigint").alias("rrf_score")
+    )
+    w_f = W.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("vec_id")
+    )
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(w_f).cast("int")
+        )
+        .filter(F.col("fused_rank") <= 5)
+    )
