@@ -1466,3 +1466,91 @@ def vocab_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
     )
+
+
+@query(
+    "fs_linkage_report",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_size, p_type,
+             string_split(p_name, ' ')[1] AS tok,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ), pairs AS (
+      SELECT a.p_brand,
+             CAST(CASE WHEN a.p_type = b.p_type
+                       THEN 5570 ELSE -4248 END
+                + CASE WHEN a.tok = b.tok
+                       THEN 3910 ELSE -3233 END
+                + CASE WHEN abs(a.cents - b.cents) <= 1000
+                       THEN 2000 ELSE -1500 END AS BIGINT) AS score
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN score >= 7000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_match,
+           CAST(SUM(CASE WHEN score >= 0 AND score < 7000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_possible,
+           CAST(SUM(CASE WHEN score < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonmatch,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM pairs
+    GROUP BY p_brand
+    """,
+)
+def fs_linkage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969 — the
+    splink/dedupe.io model): candidate pairs from COMPOUND BLOCKING,
+    each scored by summed per-field log-odds weights, then classified
+    against the two FS thresholds (match / possible-match /
+    non-match). The probabilistic upgrade of fuzzy_name_match's
+    similarity join: fields carry evidence proportional to how
+    discriminating they are, not a flat edit distance.
+
+    Weights are PRECOMPUTED integer milli-bits, 1000*log2(m/u) for
+    agreement and 1000*log2((1-m)/(1-u)) for disagreement (m = P(agree
+    | match), u = P(agree | non-match) — in production these come out
+    of EM over the blocked pairs): type m=.95/u=.02 -> +5570/-4248,
+    first name-token m=.9/u=.06 -> +3910/-3233, price-within-10
+    m=.8/u=.28 -> +2000/-1500 (rounded). Integer sums make the
+    classification engine-exact — float log-likelihoods would drift
+    at the thresholds.
+
+    Scale: blocking on (brand, size) bounds every block at
+    |parts| / (|brands| x |sizes|) rows, so the self-join shuffles on
+    the block key and candidate fan-out is quadratic only WITHIN a
+    block (~16 rows here) — the same posture as fuzzy_name_match and
+    the dedup family; the report is one |brands|-group rollup."""
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_type",
+        F.split(F.col("p_name"), " ").getItem(0).alias("tok"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    a = p.select(*[F.col(c).alias(c + "_a") for c in p.columns])
+    b = p.select(*[F.col(c).alias(c + "_b") for c in p.columns])
+    pairs = a.join(
+        b,
+        (F.col("p_brand_a") == F.col("p_brand_b"))
+        & (F.col("p_size_a") == F.col("p_size_b"))
+        & (F.col("p_partkey_a") < F.col("p_partkey_b")),
+    ).select(
+        F.col("p_brand_a").alias("p_brand"),
+        (
+            F.when(F.col("p_type_a") == F.col("p_type_b"), 5570).otherwise(-4248)
+            + F.when(F.col("tok_a") == F.col("tok_b"), 3910).otherwise(-3233)
+            + F.when(
+                F.abs(F.col("cents_a") - F.col("cents_b")) <= 1000, 2000
+            ).otherwise(-1500)
+        ).cast("bigint").alias("score"),
+    )
+    return pairs.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum((F.col("score") >= 7000).cast("int")).cast("bigint").alias("n_match"),
+        F.sum(((F.col("score") >= 0) & (F.col("score") < 7000)).cast("int"))
+        .cast("bigint").alias("n_possible"),
+        F.sum((F.col("score") < 0).cast("int")).cast("bigint").alias("n_nonmatch"),
+        F.max("score").cast("bigint").alias("max_score"),
+    )
