@@ -318,3 +318,71 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(alarm, F.col("rn"))), F.lit(-1).cast("bigint")
         ).alias("first_alarm_rn"),
     )
+
+
+@query(
+    "acf_daily_values",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), l AS (
+      SELECT event_type, cents,
+             lag(cents, 1) OVER w AS c1,
+             lag(cents, 2) OVER w AS c2,
+             lag(cents, 3) OVER w AS c3
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(cents, c1), 6) AS acf1,
+           round(corr(cents, c2), 6) AS acf2,
+           round(corr(cents, c3), 6) AS acf3
+    FROM l
+    GROUP BY event_type
+    """,
+)
+def acf_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1-3 of each event type's
+    daily-revenue series — the seasonality probe run before picking
+    forecast/backfill windows (a high acf1 says yesterday predicts
+    today; acf7 would catch weekly cycles). ACF at lag k is the
+    sample correlation of the series with its k-day lag, so the whole
+    operator is one daily rollup + one ordered window (three lag()
+    columns share it) + corr() per type.
+
+    Daily totals are exact BIGINT cents (the one lossy step, float
+    summation, is removed at the source); corr itself is double but
+    both engines run one-pass covariance and the 6-decimal rounding
+    absorbs last-ulp noise — the same determinism contract
+    stat_moments_by_flag pins.
+
+    Scale: the rollup shuffles (type, day) partials map-side; the lag
+    window partitions by event_type over the DAILY frame (bounded by
+    calendar days, not events — a year is 365 rows however large the
+    fact table), and the final corr is a per-type fold."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    d = ev.groupBy("event_type", "day").agg(
+        F.sum("c").cast("bigint").alias("cents")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = d.select(
+        "event_type", "cents",
+        F.lag("cents", 1).over(w).alias("c1"),
+        F.lag("cents", 2).over(w).alias("c2"),
+        F.lag("cents", 3).over(w).alias("c3"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.corr("cents", "c1"), 6).alias("acf1"),
+        F.round(F.corr("cents", "c2"), 6).alias("acf2"),
+        F.round(F.corr("cents", "c3"), 6).alias("acf3"),
+    )
