@@ -857,3 +857,56 @@ def copurchase_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "doc_stats_map_in_arrow",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE 1 + len(regexp_extract_all(trim(text), '\s+'))
+                END AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def doc_stats_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth sanctioned Python path: ``mapInArrow`` — Arrow
+    RecordBatches in, Arrow RecordBatches out, NO pandas
+    materialization (pandas_udf/mapInPandas convert every batch to
+    pandas objects; for kernels pyarrow.compute already has, that
+    round-trip is pure overhead). Per-doc byte length and whitespace
+    token count, all vectorized C++ kernels: token count via the
+    run-count identity tokens = (trim != '') * (1 + #internal
+    whitespace runs), which sidesteps split_whitespace's
+    empty-boundary tokens and matches the regex-split semantics the
+    text operators pin.
+
+    This query exists to pin the mapInArrow machinery (batch schema
+    contract, null propagation, zero-copy columns); the same stats
+    are JVM-expressible (cf. token_stats_by_source) — at 100 TB you'd
+    reach for mapInArrow only for kernels Spark lacks (tokenizers,
+    image decode) where Arrow-native beats pandas-bridged by the
+    batch-conversion cost."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for b in batches:
+            text = b.column("text")
+            trimmed = pc.utf8_trim_whitespace(text)
+            runs = pc.count_substring_regex(trimmed, r"\s+")
+            nonempty = pc.cast(pc.not_equal(trimmed, ""), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.multiply(nonempty, pc.add(runs, pa.scalar(1, pa.int64()))),
+                ],
+                names=["doc_id", "n_bytes", "n_ws_tokens"],
+            )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        stats, "doc_id long, n_bytes long, n_ws_tokens long"
+    )
