@@ -653,3 +653,114 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.parquet(verdicts).select("doc_id", "source", "status")
     )
+
+
+def _late_events_lot(spark: SparkSession, sf_dir: str) -> str:
+    """Three-file lot engineered to exercise BOTH halves of Spark's
+    split watermark (SPARK-40925: late-event FILTERING uses the
+    previous micro-batch's watermark, state EVICTION the current one):
+    file 1 = event_id % 7 not in (0, 1) — includes the stream's newest
+    timestamps, so batch 0 pushes the watermark to max(ts) - delay;
+    file 2 = the % 7 == 1 slice — late relative to that watermark, but
+    batch 1's FILTER watermark still lags at batch -1's zero, so every
+    row is graced into still-live state;
+    file 3 = the % 7 == 0 slice — by batch 2 the filter watermark has
+    caught up, so its below-watermark rows are DROPPED (and its
+    above-watermark survivors stay in state past the final eviction
+    mark — either way file 3 never reaches the sink).
+    File modification times are pinned 60 s apart so the file source's
+    oldest-first admission order is deterministic, not a write-race."""
+
+    def w() -> str:
+        import os
+        import time
+
+        root = session_tmpdir("lq_stream_latelot_")
+        lot = f"{root}/lot"
+        ev = read_table(spark, sf_dir, "events")
+        ev.filter((F.col("event_id") % 7 != 0) & (F.col("event_id") % 7 != 1)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(lot)
+        ev.filter(F.col("event_id") % 7 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(lot)
+        ev.filter(F.col("event_id") % 7 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(lot)
+        # pin admission order: earlier slices strictly older
+        now = time.time()
+        parts = [f for f in os.listdir(lot) if f.endswith(".parquet")]
+        by_mtime = sorted(
+            parts, key=lambda f: os.path.getmtime(os.path.join(lot, f))
+        )
+        for i, f in enumerate(by_mtime):
+            t = now - 60 * (len(by_mtime) - 1 - i)
+            os.utime(os.path.join(lot, f), (t, t))
+        return lot
+
+    return _timed_lot(f"{sf_dir}::late", "events_late_lot", w)
+
+
+@query(
+    "streaming_late_data_audit",
+    oracle="""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL 30 MINUTE AS w
+      FROM events WHERE event_id % 7 NOT IN (0, 1)
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+             AS total_value
+    FROM events
+    WHERE event_id % 7 <> 0
+    GROUP BY 1, 2, 3
+    HAVING window_end <= (SELECT w FROM wm)
+    """,
+)
+def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling end-to-end — the watermark semantics a
+    single-batch AvailableNow drain can't reach (its one batch still
+    runs at watermark zero). The lot is three files admitted
+    oldest-first under maxFilesPerTrigger=1, and the hash pins
+    Spark's SPLIT watermark (SPARK-40925), where late-event filtering
+    lags eviction by one batch:
+
+    - batch 0 (file 1, contains the newest events) aggregates at
+      watermark 0 and raises the watermark to max(ts) - 30 min;
+    - batch 1 (file 2, late rows) is GRACED: its filter watermark is
+      still batch -1's zero, so every row merges into the still-live
+      state, and end-of-batch eviction then emits all windows closed
+      by the batch-0 watermark WITH those late contributions;
+    - batch 2 (file 3, late rows) is where dropping actually starts:
+      the filter watermark has caught up to batch 0's, so
+      below-watermark rows are dropped (numRowsDroppedByWatermark,
+      pinned in tests/test_streaming.py), and the few survivors sit
+      in windows the final eviction mark never closes — file 3 never
+      reaches the sink either way.
+
+    The oracle reproduces exactly that: files 1+2 aggregated in full,
+    file 3 absent, emission cut at the batch-0 watermark. A regression
+    in EITHER the grace lag (file 2 dropped) or the drop predicate
+    (file 3 emitted) flips the hash. At 100 TB/day this one-batch
+    grace is the difference between "allowed lateness = delay" and
+    "allowed lateness = delay + one trigger interval" — the thing to
+    know before sizing the delay."""
+    from logicash_etl_spark.streaming.ops import windowed_counts
+
+    lot = _late_events_lot(spark, sf_dir)
+    root = session_tmpdir("lq_stream_late_")
+    stream = stream_parquet_dir(
+        spark, lot, S.EVENTS, max_files_per_trigger=1
+    )
+    agg = windowed_counts(
+        stream, window="1 hour", watermark="30 minutes", keys=["event_type"]
+    )
+    sink = f"late_drain_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        agg, f"{root}/ckpt", sink,
+        state_partitions=_state_parts(spark, lot),
+    )
+    return spark.sql(f"SELECT * FROM {sink}")

