@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from logicash_etl_spark.functions.money import money
 from logicash_etl_spark.queries.registry import query
 from logicash_etl_spark.sources.readers import read_table
 
@@ -645,4 +646,74 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n_orders",
         F.col("total_price").cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN — the delta rule
+    (A+dA) x (B+dB) = AxB + dAxB + AxdB + dAxdB, the algebra that
+    keeps a materialized join view current without re-joining the
+    base tables (the join sibling of incremental_agg_maintenance's
+    CDC aggregate). Orders rows with o_orderkey % 9 == 0 and lineitem
+    rows with l_orderkey % 11 == 0 play the arriving deltas; the
+    monthly revenue rollup is computed as partial aggregates of the
+    FOUR disjoint terms, merged by a second groupBy — and must equal
+    the plain full-join oracle exactly (decimal money arithmetic, so
+    the merge is order-independent).
+
+    Scale: the point of the algebra is that the base x base term is
+    a STORED view (here recomputed to close the proof; in production
+    its partial aggregate is a read), so an update costs only the
+    delta terms — dA x B and A x dB each broadcast the delta side
+    against one base-table scan, dA x dB is small x small, and
+    nothing ever re-joins base against base. Partial-aggregate
+    merging is what makes the maintenance associative: month rows
+    add, they never need the underlying lines."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        (F.col("o_orderkey") % 9 == 0).alias("d_o"),
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (money("l_extendedprice") * (1 - money("l_discount"))).alias("rev"),
+        (F.col("l_orderkey") % 11 == 0).alias("d_l"),
+    )
+    o0, do = o.filter(~F.col("d_o")), o.filter(F.col("d_o"))
+    l0, dl = li.filter(~F.col("d_l")), li.filter(F.col("d_l"))
+
+    def part(ox: DataFrame, lx: DataFrame, broadcast_left: bool) -> DataFrame:
+        ox = F.broadcast(ox) if broadcast_left else ox
+        lx = lx if broadcast_left else F.broadcast(lx)
+        return (
+            ox.join(lx, ox["o_orderkey"] == lx["l_orderkey"])
+            .groupBy("month")
+            .agg(
+                F.count("*").cast("bigint").alias("n_lines"),
+                F.sum("rev").alias("rev"),
+            )
+        )
+
+    # base x base: the stored-view term (full shuffle join, run once);
+    # delta terms broadcast the small side against one base scan
+    base = part(o0, l0, broadcast_left=False)
+    d1 = part(do, l0, broadcast_left=True)
+    d2 = part(o0, dl, broadcast_left=False)
+    d3 = part(do, dl, broadcast_left=True)
+    merged = base.unionByName(d1).unionByName(d2).unionByName(d3)
+    return merged.groupBy("month").agg(
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.sum("rev").cast("double").alias("revenue"),
     )
