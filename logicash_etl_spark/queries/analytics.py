@@ -586,3 +586,84 @@ def ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / (den.cast("double") * F.lit(100.0)), 6
         ).alias("ewma"),
     )
+
+
+@query(
+    "ab_test_report",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS m
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             avg(m) AS mean, var_samp(m) AS v
+      FROM pu GROUP BY grp
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+           round((a.mean - b.mean)
+                 / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+           round(power(a.v / a.n + b.v / b.n, 2)
+                 / (power(a.v / a.n, 2) / (a.n - 1)
+                    + power(b.v / b.n, 2) / (b.n - 1)), 2) AS welch_df
+    FROM s a, s b WHERE a.grp = 0 AND b.grp = 1
+    """,
+)
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test between experiment arms (user_id parity
+    as the assignment hash) — the readout every product experiment
+    ends with. Statistically correct unit handling: the metric is
+    aggregated PER USER first (users, not events, were randomized —
+    testing raw events would inflate n and fabricate significance),
+    then the arm means/variances come from the per-user frame. Welch,
+    not pooled Student: arms need not share a variance.
+
+    Determinism: per-user means divide a decimal-exact sum by an
+    integer count; arm-level avg/var_samp are one-pass doubles whose
+    last-ulp noise the 6/4/2-decimal rounding absorbs (the
+    stat_moments_by_flag contract). The t statistic and
+    Welch-Satterthwaite df are pure scalar arithmetic on two rows.
+
+    Scale: one groupBy(user_id) shuffle (parallelism = users), one
+    2-group rollup, one broadcast join of two single-row frames —
+    nothing else. At 100 TB the per-user frame is the only sized
+    stage and it map-side-combines."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    pu = ev.groupBy("user_id").agg(
+        (F.sum("v").cast("double") / F.count("*")).alias("m")
+    ).select((F.col("user_id") % 2).alias("grp"), "m")
+    s = pu.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("m").alias("mean"),
+        F.var_samp("m").alias("v"),
+    )
+    a = s.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = s.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"),
+        F.col("v").alias("v_b"),
+    )
+    se2a = F.col("v_a") / F.col("n_a")
+    se2b = F.col("v_b") / F.col("n_b")
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a", "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2a + se2b), 4
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se2a + se2b, 2)
+            / (
+                F.pow(se2a, 2) / (F.col("n_a") - 1)
+                + F.pow(se2b, 2) / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    )
