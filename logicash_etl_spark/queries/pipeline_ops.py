@@ -1554,3 +1554,100 @@ def fs_linkage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("score") < 0).cast("int")).cast("bigint").alias("n_nonmatch"),
         F.max("score").cast("bigint").alias("max_score"),
     )
+
+
+@query(
+    "bpe_fertility_by_lang",
+    oracle=_bpe_train_ctes(8)
+    + r""",
+    wlen AS (
+      SELECT w, CAST(len(string_split(trim(s, chr(10)), chr(10)||chr(10)))
+                 AS BIGINT) AS n_sym
+      FROM v8
+    ), docw AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), per_lang AS (
+      SELECT dw.lang,
+             CAST(count(*) AS BIGINT) AS n_ws_tokens,
+             CAST(SUM(wl.n_sym) AS BIGINT) AS n_bpe_tokens
+      FROM docw dw JOIN wlen wl ON dw.w = wl.w
+      GROUP BY dw.lang
+    ), bytes_per AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes
+      FROM documents GROUP BY lang
+    )
+    SELECT b.lang, b.n_docs, b.n_bytes,
+           COALESCE(p.n_ws_tokens, CAST(0 AS BIGINT)) AS n_ws_tokens,
+           COALESCE(p.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens,
+           CASE WHEN COALESCE(p.n_bpe_tokens, 0) = 0
+                THEN CAST(-1 AS BIGINT)
+                ELSE CAST(1000 * b.n_bytes // p.n_bpe_tokens AS BIGINT)
+           END AS bytes_per_bpe_milli,
+           CASE WHEN COALESCE(p.n_ws_tokens, 0) = 0
+                THEN CAST(-1 AS BIGINT)
+                ELSE CAST(1000 * p.n_bpe_tokens // p.n_ws_tokens AS BIGINT)
+           END AS bpe_per_word_milli
+    FROM bytes_per b LEFT JOIN per_lang p USING (lang)
+    """,
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — bytes per BPE token and BPE
+    tokens per word, the compression-equity readout every multilingual
+    tokenizer evaluation reports (a language whose fertility is 2x
+    pays 2x the context budget for the same content; the metric that
+    drives vocab-allocation decisions). Rides the same vocabulary-
+    bounded pipeline as bpe_token_counts: train 8 merges once, encode
+    the DISTINCT-WORD frame, then one exploded-corpus join + per-lang
+    rollup. Ratios are integer milli-units under floor division
+    (multiply-don't-divide), so the report is engine-exact; -1 marks
+    a language with no encodable tokens rather than a NULL/0 division.
+
+    Scale: identical posture to bpe_token_counts — per-occurrence
+    cost is one hash join against the word->length table and a
+    map-side-combinable sum; the per-lang frame is |langs| rows."""
+    from logicash_etl_spark.operators.text import bpe_encode, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = bpe_train(wc, n_merges=8)
+    wlen = wc.select(
+        "word",
+        F.size(bpe_encode(F.col("word"), merges)).cast("bigint").alias("__n_sym"),
+    )
+    per_lang = (
+        docs.select("lang", F.explode(tokens("text")).alias("word"))
+        .join(wlen, "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ws_tokens"),
+            F.sum("__n_sym").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    bytes_per = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.octet_length("text")).cast("bigint").alias("n_bytes"),
+    )
+    j = bytes_per.join(per_lang, "lang", "left")
+    nbpe = F.coalesce("n_bpe_tokens", F.lit(0).cast("bigint"))
+    nws = F.coalesce("n_ws_tokens", F.lit(0).cast("bigint"))
+    return j.select(
+        "lang", "n_docs", "n_bytes",
+        nws.alias("n_ws_tokens"),
+        nbpe.alias("n_bpe_tokens"),
+        F.when(nbpe == 0, F.lit(-1).cast("bigint"))
+        .otherwise(F.expr("1000 * n_bytes div n_bpe_tokens"))
+        .cast("bigint")
+        .alias("bytes_per_bpe_milli"),
+        F.when(nws == 0, F.lit(-1).cast("bigint"))
+        .otherwise(F.expr("1000 * n_bpe_tokens div n_ws_tokens"))
+        .cast("bigint")
+        .alias("bpe_per_word_milli"),
+    )
