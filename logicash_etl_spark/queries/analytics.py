@@ -667,3 +667,103 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("welch_df"),
     )
+
+
+@query(
+    "robust_value_stats",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rnk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ), s AS (
+      SELECT event_type,
+             CAST(n AS BIGINT) AS n,
+             CAST(n // 20 AS BIGINT) AS lo,
+             CAST(SUM(cents) AS BIGINT) AS sum_all,
+             CAST(SUM(CASE WHEN rnk > n // 20 AND rnk <= n - n // 20
+                           THEN cents ELSE 0 END) AS BIGINT) AS sum_kept,
+             CAST(SUM(CASE WHEN rnk > n // 20 AND rnk <= n - n // 20
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(MAX(CASE WHEN rnk = n // 20 + 1 THEN cents END)
+                  AS BIGINT) AS p_lo,
+             CAST(MAX(CASE WHEN rnk = n - n // 20 THEN cents END)
+                  AS BIGINT) AS p_hi
+      FROM r GROUP BY event_type, n
+    )
+    SELECT event_type, n,
+           lo AS n_trim_each_side,
+           CAST(1000 * sum_all // n AS BIGINT) AS mean_milli,
+           CAST(1000 * sum_kept // n_kept AS BIGINT) AS trimmed_mean_milli,
+           CAST(1000 * (sum_kept + lo * (p_lo + p_hi)) // n AS BIGINT)
+             AS winsor_mean_milli
+    FROM s
+    """,
+)
+def robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust central tendency per event type: the plain mean beside
+    its 5%-TRIMMED mean (drop the tails) and 5%-WINSORIZED mean
+    (clamp the tails to the cut values) — the outlier-resistant KPIs
+    reported when a handful of whale transactions would otherwise
+    swing the dashboard. Selection is by EXACT rank (a (cents,
+    event_id) total order), not an approximate percentile, and every
+    output is integer milli-cents under floor division — the whole
+    report hash-matches bit-for-bit, ties resolved identically on
+    both engines.
+
+    Scale: the rank is NOT a per-type ORDER BY window (5 types x the
+    whole fact table on one reducer each) — it is the inclusive
+    grouped_prefix_sum of 1s, range-bucketed within each type, the
+    same de-skewed scan revenue_concentration_gini uses; the boundary
+    values fall out of the same pass as conditional aggregates. One
+    rollup for n, the bucketed rank scan, one 5-row report."""
+    from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ranked = grouped_prefix_sum(
+        ev.withColumn("__one", F.lit(1)),
+        group_col="event_type",
+        bucket_key="cents",
+        order_cols=[F.col("cents").asc(), F.col("event_id").asc()],
+        value_col="__one",
+        out_col="__rnk",
+        inclusive=True,
+    )
+    nfr = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    j = ranked.join(F.broadcast(nfr), "event_type").withColumn(
+        "__lo", F.expr("n div 20")
+    )
+    kept = (F.col("__rnk") > F.col("__lo")) & (
+        F.col("__rnk") <= F.col("n") - F.col("__lo")
+    )
+    s = j.groupBy("event_type", "n", "__lo").agg(
+        F.sum("cents").cast("bigint").alias("sum_all"),
+        F.sum(F.when(kept, F.col("cents")).otherwise(0))
+        .cast("bigint").alias("sum_kept"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.max(F.when(F.col("__rnk") == F.col("__lo") + 1, F.col("cents")))
+        .cast("bigint").alias("p_lo"),
+        F.max(
+            F.when(F.col("__rnk") == F.col("n") - F.col("__lo"), F.col("cents"))
+        ).cast("bigint").alias("p_hi"),
+    )
+    return s.select(
+        "event_type", "n",
+        F.col("__lo").alias("n_trim_each_side"),
+        F.expr("CAST(1000 * sum_all div n AS BIGINT)").alias("mean_milli"),
+        F.expr("CAST(1000 * sum_kept div n_kept AS BIGINT)").alias(
+            "trimmed_mean_milli"
+        ),
+        F.expr(
+            "CAST(1000 * (sum_kept + __lo * (p_lo + p_hi)) div n AS BIGINT)"
+        ).alias("winsor_mean_milli"),
+    )
