@@ -767,3 +767,141 @@ def robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000 * (sum_kept + __lo * (p_lo + p_hi)) div n AS BIGINT)"
         ).alias("winsor_mean_milli"),
     )
+
+
+@query(
+    "cuped_adjusted_ab",
+    oracle="""
+    WITH mid AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m FROM events
+    ), pu AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CAST(SUM(CASE WHEN epoch_us(ts) < (SELECT m FROM mid)
+                           THEN CAST(value AS DECIMAL(18,2)) END)
+                  AS DOUBLE)
+               / SUM(CASE WHEN epoch_us(ts) < (SELECT m FROM mid)
+                          THEN 1 ELSE 0 END) AS pre_m,
+             CAST(SUM(CASE WHEN epoch_us(ts) >= (SELECT m FROM mid)
+                           THEN CAST(value AS DECIMAL(18,2)) END)
+                  AS DOUBLE)
+               / SUM(CASE WHEN epoch_us(ts) >= (SELECT m FROM mid)
+                          THEN 1 ELSE 0 END) AS post_m
+      FROM events
+      GROUP BY user_id
+      HAVING SUM(CASE WHEN epoch_us(ts) < (SELECT m FROM mid)
+                      THEN 1 ELSE 0 END) > 0
+         AND SUM(CASE WHEN epoch_us(ts) >= (SELECT m FROM mid)
+                      THEN 1 ELSE 0 END) > 0
+    ), g AS (
+      SELECT covar_samp(pre_m, post_m) / var_samp(pre_m) AS theta,
+             avg(pre_m) AS mu_pre
+      FROM pu
+    ), adj AS (
+      SELECT grp, post_m,
+             post_m - (SELECT theta FROM g)
+                      * (pre_m - (SELECT mu_pre FROM g)) AS y
+      FROM pu
+    ), s AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             avg(post_m) AS mp, var_samp(post_m) AS vp,
+             avg(y) AS ma, var_samp(y) AS va
+      FROM adj GROUP BY grp
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round((SELECT theta FROM g), 6) AS theta,
+           round((a.mp - b.mp) / sqrt(a.vp / a.n + b.vp / b.n), 4)
+             AS t_raw,
+           round((a.ma - b.ma) / sqrt(a.va / a.n + b.va / b.n), 4)
+             AS t_cuped,
+           round(100 * (1 - (a.va / a.n + b.va / b.n)
+                            / (a.vp / a.n + b.vp / b.n)), 2)
+             AS var_reduction_pct
+    FROM s a, s b WHERE a.grp = 0 AND b.grp = 1
+    """,
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM'13) — the
+    experimentation-platform upgrade of ab_test_report: each user's
+    post-period metric is adjusted by their own PRE-period behavior
+    (y = post - theta * (pre - mean(pre)), theta = cov(pre,post) /
+    var(pre)), which strips the between-user variance the experiment
+    didn't cause and shrinks confidence intervals for free — the
+    single highest-leverage trick in industrial A/B testing. Pre/post
+    split at the stream's midpoint timestamp (the value_drift_psi
+    construct); population = users active in BOTH periods (CUPED
+    needs the covariate; imputing the pre-mean for the rest adds no
+    information and only dilutes theta).
+
+    Determinism: per-user means are decimal-sum/count doubles; theta,
+    the adjusted series, and both t statistics are one-pass moments
+    whose last-ulp noise the 6/4/2-decimal rounding absorbs. The
+    report carries the raw and CUPED t side by side plus the realized
+    variance-reduction percentage — the number that justifies the
+    machinery.
+
+    Scale: one groupBy(user_id) builds both period means in a single
+    pass (conditional aggregates, no self-join); theta is a 1-row
+    broadcast; arm stats are a 2-group rollup."""
+    ev = read_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("m")
+    )
+    t = ev.crossJoin(F.broadcast(mid)).select(
+        "user_id",
+        (F.col("user_id") % 2).alias("grp"),
+        (F.unix_micros("ts") < F.col("m")).alias("pre"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    pu = (
+        t.groupBy("user_id", "grp")
+        .agg(
+            F.sum(F.when(F.col("pre"), F.col("v"))).alias("pre_s"),
+            F.sum(F.col("pre").cast("int")).alias("pre_n"),
+            F.sum(F.when(~F.col("pre"), F.col("v"))).alias("post_s"),
+            F.sum((~F.col("pre")).cast("int")).alias("post_n"),
+        )
+        .filter((F.col("pre_n") > 0) & (F.col("post_n") > 0))
+        .select(
+            "grp",
+            (F.col("pre_s").cast("double") / F.col("pre_n")).alias("pre_m"),
+            (F.col("post_s").cast("double") / F.col("post_n")).alias("post_m"),
+        )
+    )
+    g = pu.agg(
+        (F.covar_samp("pre_m", "post_m") / F.var_samp("pre_m")).alias("theta"),
+        F.avg("pre_m").alias("mu_pre"),
+    )
+    adj = pu.crossJoin(F.broadcast(g)).select(
+        "grp", "post_m", "theta",
+        (
+            F.col("post_m")
+            - F.col("theta") * (F.col("pre_m") - F.col("mu_pre"))
+        ).alias("y"),
+    )
+    s = adj.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("post_m").alias("mp"),
+        F.var_samp("post_m").alias("vp"),
+        F.avg("y").alias("ma"),
+        F.var_samp("y").alias("va"),
+        F.first("theta").alias("theta"),
+    )
+    a = s.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("mp").alias("mp_a"),
+        F.col("vp").alias("vp_a"), F.col("ma").alias("ma_a"),
+        F.col("va").alias("va_a"), "theta",
+    )
+    b = s.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("mp").alias("mp_b"),
+        F.col("vp").alias("vp_b"), F.col("ma").alias("ma_b"),
+        F.col("va").alias("va_b"),
+    )
+    sep = F.col("vp_a") / F.col("n_a") + F.col("vp_b") / F.col("n_b")
+    sea = F.col("va_a") / F.col("n_a") + F.col("va_b") / F.col("n_b")
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a", "n_b",
+        F.round("theta", 6).alias("theta"),
+        F.round((F.col("mp_a") - F.col("mp_b")) / F.sqrt(sep), 4).alias("t_raw"),
+        F.round((F.col("ma_a") - F.col("ma_b")) / F.sqrt(sea), 4).alias("t_cuped"),
+        F.round(100 * (1 - sea / sep), 2).alias("var_reduction_pct"),
+    )
