@@ -1206,3 +1206,174 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     )
+
+
+@query(
+    "fd_discovery_report",
+    oracle="""
+    WITH cands AS (
+        SELECT 'orders.o_orderkey->o_orderstatus' AS fd,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating
+        FROM (SELECT o_orderkey, count(DISTINCT o_orderstatus) AS d
+              FROM orders GROUP BY o_orderkey)
+      UNION ALL
+        SELECT 'orders.o_custkey->o_orderpriority',
+               CAST(count(*) AS BIGINT),
+               CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS d
+              FROM orders GROUP BY o_custkey)
+      UNION ALL
+        SELECT 'lineitem.l_orderkey->l_returnflag',
+               CAST(count(*) AS BIGINT),
+               CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS d
+              FROM lineitem GROUP BY l_orderkey)
+      UNION ALL
+        SELECT 'part.p_brand->p_type',
+               CAST(count(*) AS BIGINT),
+               CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT p_brand, count(DISTINCT p_type) AS d
+              FROM part GROUP BY p_brand)
+      UNION ALL
+        SELECT 'customer.c_custkey->c_mktsegment',
+               CAST(count(*) AS BIGINT),
+               CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT c_custkey, count(DISTINCT c_mktsegment) AS d
+              FROM customer GROUP BY c_custkey)
+      UNION ALL
+        SELECT 'nation.n_regionkey->n_name',
+               CAST(count(*) AS BIGINT),
+               CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT n_regionkey, count(DISTINCT n_name) AS d
+              FROM nation GROUP BY n_regionkey)
+    )
+    SELECT fd, n_groups, n_violating,
+           n_violating = 0 AS holds
+    FROM cands
+    """,
+)
+def fd_discovery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency verification (the TANE/profiling
+    primitive behind key discovery, normalization advice, and
+    "is this column derivable?" checks): for each candidate FD
+    X -> Y, one groupBy(X) with countDistinct(Y) decides it exactly —
+    a group with more than one Y value is a violation witness. The
+    candidate set mixes true keys (o_orderkey, c_custkey), a true
+    non-key FD (n_regionkey -> n_name is violated: regions hold many
+    nations), and plausible-but-false business rules — exact violating
+    -group counts, not a sampled heuristic.
+
+    Scale: each candidate is one map-side-combinable partial
+    (distinct-within-group via the (X, Y) pre-aggregate Catalyst
+    plans for countDistinct), shuffling |distinct(X,Y)| rows, never
+    the table; candidates run as a union of independent subplans, so
+    a profiler sweeping N candidates parallelizes trivially. At
+    100 TB: run per-partition counts first and prune candidates a
+    single partition already violates (any violation anywhere kills
+    the FD) — the standard early-exit the exact report here would
+    follow."""
+    specs = [
+        ("orders", "o_orderkey", "o_orderstatus"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("lineitem", "l_orderkey", "l_returnflag"),
+        ("part", "p_brand", "p_type"),
+        ("customer", "c_custkey", "c_mktsegment"),
+        ("nation", "n_regionkey", "n_name"),
+    ]
+    parts = []
+    for table, lhs, rhs in specs:
+        t = read_table(spark, sf_dir, table)
+        g = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("d"))
+        parts.append(
+            g.agg(
+                F.lit(f"{table}.{lhs}->{rhs}").alias("fd"),
+                F.count("*").cast("bigint").alias("n_groups"),
+                F.sum((F.col("d") > 1).cast("int"))
+                .cast("bigint")
+                .alias("n_violating"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("holds", F.col("n_violating") == 0)
+
+
+# Benford first-digit probabilities log10(1 + 1/d), fixed 12-decimal
+# literals shared VERBATIM by the Spark plan and the DuckDB oracle —
+# engine libm log10 can differ in the last ulp, identical literals
+# cannot (IEEE double arithmetic on equal inputs is deterministic).
+_BENFORD_P = {
+    1: "0.301029995664", 2: "0.176091259056", 3: "0.124938736608",
+    4: "0.096910013008", 5: "0.079181246048", 6: "0.066946789631",
+    7: "0.057991946978", 8: "0.051152522447", 9: "0.045757490561",
+}
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY digit
+    ), tot AS (
+      SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs
+    )
+    SELECT digit, n_obs,
+           CAST(10000 * n_obs // (SELECT n FROM tot) AS BIGINT) AS obs_bp,
+           round(({_BENFORD_CASE}) * 10000, 1) AS exp_bp,
+           round(
+             pow(n_obs - (SELECT n FROM tot) * ({_BENFORD_CASE}), 2)
+             / ((SELECT n FROM tot) * ({_BENFORD_CASE})), 4) AS chi2_contrib
+    FROM obs
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    forensic-accounting screen for fabricated or clipped monetary
+    data (naturally occurring amounts follow P(d) = log10(1+1/d);
+    fraud and fee-threshold gaming bend the curve, and a synthetic
+    uniform generator like this fixture's fails it loudly — the audit
+    reports the deviation either way). First significant digit is
+    extracted from exact BIGINT cents as a string head (scale by 100
+    preserves significant digits; no float log10 in the digit path),
+    counts are exact, and the chi-square contributions are double
+    arithmetic over shared 12-decimal probability literals — libm
+    log10 may differ across engines in the last ulp, identical
+    literals cannot.
+
+    Scale: one map-side-combinable 9-group rollup; the total is a
+    1-row broadcast. The chi-square statistic is the sum of the
+    emitted contributions — left per-digit so the report shows WHERE
+    the distribution bends."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    c = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1, 1,
+        ).cast("int").alias("digit")
+    )
+    obs = c.groupBy("digit").agg(F.count("*").cast("bigint").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    # CAST: Spark parses bare decimal literals as DECIMAL; the chi2
+    # path (and the oracle comparison) wants IEEE doubles throughout
+    p = F.expr(f"CAST(({_BENFORD_CASE}) AS DOUBLE)")
+    j = obs.crossJoin(F.broadcast(tot))
+    exp_cnt = F.col("n") * p
+    return j.select(
+        "digit", "n_obs",
+        F.expr("CAST(10000 * n_obs div n AS BIGINT)").alias("obs_bp"),
+        F.round(p * 10000, 1).alias("exp_bp"),
+        F.round(F.pow(F.col("n_obs") - exp_cnt, 2) / exp_cnt, 4).alias(
+            "chi2_contrib"
+        ),
+    )
