@@ -40,22 +40,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # the back (their local parity tests still run every session).
 #
 # Round-6 rotation: every r05-green query joins the set; NOT listed —
-# and therefore ordered first for CORRECTNESS_r06 — are the four
-# queries whose implementations changed (bloom_history_dedup now
-# splits on the row-level literal-probe verdict, weighted_sample_topk
-# u==0 guard, mixture_build_plan grouped-prefix-sum cumsum,
-# streaming_incremental_dedup single-session capped drain + history
-# compaction) and the six additions (repeated_substring_spans,
-# exact_substring_cut_stats, kmv_set_overlap, kmv_partial_merge,
-# incremental_minhash_dedup, pq_ann_topk, incremental_agg_maintenance,
-# key_skew_report, copurchase_lift_top20, bigram_surprisal_score,
-# exact_substring_dedup_apply, curation_funnel_report) plus the
-# queries whose cumsums/bottom-k moved to the de-skewed scans
-# (token_budget_sample, token_budget_sample_bpe,
-# sequence_packing_stats, weighted_sample_topk) and
-# format_roundtrip_scan and nation_trade_communities — 21 total, well
-# inside the
-# driver's 50-row snapshot.
+# and therefore ordered first for CORRECTNESS_r06 — are the 54
+# round-6 additions and changed implementations (late-round families:
+# CUSUM, HITS, RRF fusion, FS linkage, ACF, mapInArrow, streaming
+# late-data audit, join-delta IVM, Welch/CUPED, BPE fertility,
+# robust stats, FD discovery, Benford; plus the earlier-session
+# graph/drift/dedup additions and the four r5-green queries whose
+# implementations changed). 54 exceeds the driver's 50-row snapshot
+# by four: the overflow (registration-order tail: kmv_set_overlap,
+# kmv_partial_merge, incremental_agg_maintenance,
+# incremental_join_maintenance) carries hash-proved merge==direct /
+# delta==full local twins and rotates into CORRECTNESS_r07; every
+# query runs the identical local parity comparison each session
+# regardless (tests/test_oracle_parity.py).
 _DRIVER_GREEN = {
     'ann_lsh_topk', 'approx_sketches', 'array_function_surface',
     'asof_last_purchase', 'audio_chunk_inventory',
