@@ -225,7 +225,10 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir)
 
 
-_CLUSTERS_SQL = r"""
+# shared CTE chain: shingles -> exact pairs -> symmetric edges ->
+# transitive closure; _CLUSTERS_SQL labels every doc from it and
+# leakage_safe_split_report audits split assignments over it
+_CLUSTERS_CTES = r"""
     WITH RECURSIVE w AS (
       SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
       FROM documents
@@ -265,6 +268,9 @@ _CLUSTERS_SQL = r"""
       UNION
       SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a WHERE e.b <> c.a
     )
+"""
+
+_CLUSTERS_SQL = _CLUSTERS_CTES + """
     SELECT d.doc_id,
            least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS cluster_id,
            d.doc_id = least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS is_canonical
@@ -521,3 +527,99 @@ def prefix_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.localCheckpoint()
     return out
+
+
+@query(
+    "leakage_safe_split_report",
+    oracle=_CLUSTERS_CTES
+    + """
+    , lab AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(c.b), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN closure c ON c.a = d.doc_id
+      GROUP BY d.doc_id
+    ), pv AS (
+      SELECT p.id_a, p.id_b, la.cluster_id AS ca, lb.cluster_id AS cb
+      FROM pairs p
+        JOIN lab la ON la.doc_id = p.id_a
+        JOIN lab lb ON lb.doc_id = p.id_b
+    )
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           CAST((SELECT count(*) FROM
+                   (SELECT cluster_id FROM lab
+                    GROUP BY cluster_id HAVING count(*) > 1))
+                AS BIGINT) AS n_multi_clusters,
+           CAST(SUM(CASE WHEN id_a % 2 <> id_b % 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS naive_split_leaks,
+           CAST(SUM(CASE WHEN ca % 2 <> cb % 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS cluster_split_leaks,
+           CAST((SELECT SUM(CASE WHEN cluster_id % 2 = 0 THEN 1 ELSE 0 END)
+                 FROM lab) AS BIGINT) AS n_train_docs
+    FROM pv
+    """,
+)
+def leakage_safe_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-AWARE train/test splitting — the leakage guard every
+    LLM data pipeline needs and naive row hashing violates: a naive
+    doc_id-parity split strands near-duplicate documents on opposite
+    sides (the test set then "contains" training data up to a
+    paraphrase), while splitting by DEDUP-CLUSTER key keeps every
+    near-dup family on one side BY CONSTRUCTION. The report counts
+    both schemes' cross-split leaks over the exact near-dup pair set:
+    naive > 0 on this corpus, cluster-aware == 0 — an invariant the
+    driver hash re-proves every round, end to end through pair
+    generation AND clustering (a component split by a clustering
+    regression shows up as a nonzero cluster_split_leaks).
+
+    Scale: rides the shared exact-pair lot and the adaptive
+    connected-components operator (same posture as dedup_clusters);
+    the audit itself is two broadcast-sized joins of the pair list
+    against the label frame and a single-row rollup."""
+    from logicash_etl_spark.operators.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _exact_pairs(spark, sf_dir).select("id_a", "id_b")
+    lab = dedup_clusters(pairs, docs, "doc_id", num_partitions=8).select(
+        "doc_id", "cluster_id"
+    )
+    pv = (
+        pairs.join(
+            lab.select(
+                F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("ca")
+            ),
+            "id_a",
+        )
+        .join(
+            lab.select(
+                F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("cb")
+            ),
+            "id_b",
+        )
+    )
+    pair_stats = pv.agg(
+        F.count("*").cast("bigint").alias("n_dup_pairs"),
+        F.sum((F.col("id_a") % 2 != F.col("id_b") % 2).cast("int"))
+        .cast("bigint").alias("naive_split_leaks"),
+        F.sum((F.col("ca") % 2 != F.col("cb") % 2).cast("int"))
+        .cast("bigint").alias("cluster_split_leaks"),
+    )
+    doc_stats = lab.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("cluster_id") % 2 == 0).cast("int"))
+        .cast("bigint").alias("n_train_docs"),
+    )
+    multi = (
+        lab.groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count("*").cast("bigint").alias("n_multi_clusters"))
+    )
+    return (
+        pair_stats.crossJoin(F.broadcast(doc_stats))
+        .crossJoin(F.broadcast(multi))
+        .select(
+            "n_docs", "n_dup_pairs", "n_multi_clusters",
+            "naive_split_leaks", "cluster_split_leaks", "n_train_docs",
+        )
+    )
