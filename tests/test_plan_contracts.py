@@ -673,3 +673,49 @@ def test_k_core_peels_with_semi_joins_no_cartesian(spark, sf_dir):
     assert all(
         "Hash" in s or s == "SortMergeJoin" for s in join_strategies(df)
     ), join_strategies(df)
+
+
+def test_rrf_hybrid_plan(spark, sf_dir):
+    """Both rankings must come from ONE scoring pass: the corpus is
+    scanned once, queries broadcast, and the two rank windows plus the
+    fusion window share the single query_id shuffle."""
+    df = QUERIES["rrf_hybrid_topk"](spark, sf_dir)
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # exactly one HASH shuffle (query_id) shared by all three windows;
+    # the only other exchange is scale_out's round-robin spreading the
+    # CPU-bound scoring loop
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert count_exchanges(df) <= 2, p
+
+
+def test_fs_linkage_plan(spark, sf_dir):
+    """Candidate generation must be the blocked equi-join (quadratic
+    only within (brand, size) blocks), never a cartesian expansion."""
+    df = QUERIES["fs_linkage_report"](spark, sf_dir)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_cusum_single_user_shuffle(spark, sf_dir):
+    """The whole detector (full-partition stats, both ordered windows,
+    rollup) shares one user_id shuffle."""
+    df = QUERIES["cusum_changepoints"](spark, sf_dir)
+    assert count_exchanges(df) <= 1, plan_string(df)
+
+
+def test_robust_stats_no_per_type_global_sort(spark, sf_dir):
+    """Rank selection must come from the bucketed grouped_prefix_sum
+    scan — a per-type ORDER BY window over the whole fact table would
+    appear as a window partitioned by event_type alone."""
+    df = QUERIES["robust_value_stats"](spark, sf_dir)
+    p = plan_string(df)
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+        spec = m.group(1)
+        # every window spec must carry the bucket column, not bare
+        # event_type partitioning
+        if "event_type" in spec:
+            assert "__gps" in spec or "bucket" in spec, spec
