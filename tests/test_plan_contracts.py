@@ -685,7 +685,7 @@ def test_rrf_hybrid_plan(spark, sf_dir):
     # exactly one HASH shuffle (query_id) shared by all three windows;
     # the only other exchange is scale_out's round-robin spreading the
     # CPU-bound scoring loop
-    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("hashpartitioning") == 1, p
     assert count_exchanges(df) <= 2, p
 
 
