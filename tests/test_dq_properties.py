@@ -66,3 +66,29 @@ def test_rules_partition_input(spark, rows):
     for r in rules.rules:
         assert report[f"{r.name}_violations"] == df.filter(r.violated).count()
     assert report["clean_rows"] == nc
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=100_000),
+             min_size=2, max_size=60)
+)
+def test_cusum_closed_form_equals_recursion(cents):
+    """The window closed form the cusum_changepoints query runs
+    (S_i = P_i - min(0, min_{j<=i} P_j)) must equal Page's recursion
+    S_i = max(0, S_{i-1} + d_i) for every drift sequence — including
+    all-negative drifts (S pinned at 0) and alternating sign."""
+    n, t = len(cents), sum(cents)
+    drifts = [2 * n * x - 3 * t for x in cents]
+    # reference: the sequential recursion
+    s, expected = 0, []
+    for d in drifts:
+        s = max(0, s + d)
+        expected.append(s)
+    # closed form, as plain python over prefix sums
+    p, mn, got = 0, 0, []
+    for d in drifts:
+        p += d
+        mn = min(mn, p)
+        got.append(p - min(0, mn))
+    assert got == expected
