@@ -717,3 +717,107 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_lines").cast("bigint").alias("n_lines"),
         F.sum("rev").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "ams_f2_estimate",
+    oracle="""
+    WITH signs AS (
+      SELECT j,
+             CASE WHEN (instr('0123456789abcdef',
+                              substr(md5(CAST(o_custkey AS VARCHAR) || ':' ||
+                                         CAST(j AS VARCHAR)), 32, 1)) - 1)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM orders, generate_series(0, 255) AS t(j)
+    ), counters AS (
+      SELECT j, CAST(SUM(sgn) AS BIGINT) AS c FROM signs GROUP BY j
+    ), grp AS (
+      SELECT j // 16 AS g, CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM counters GROUP BY j // 16
+    ), med AS (
+      SELECT sum_sq, row_number() OVER (ORDER BY sum_sq) AS rk FROM grp
+    ), exact AS (
+      SELECT CAST(SUM(n * n) AS BIGINT) AS f2
+      FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)
+    )
+    SELECT (SELECT f2 FROM exact) AS exact_f2,
+           CAST((SELECT sum_sq FROM med WHERE rk = 8) // 16 AS BIGINT)
+             AS ams_f2,
+           (SELECT f2 FROM exact) <= 4 * CAST((SELECT sum_sq FROM med
+                                               WHERE rk = 8) // 16 AS BIGINT)
+           AND CAST((SELECT sum_sq FROM med WHERE rk = 8) // 16 AS BIGINT)
+               <= 4 * (SELECT f2 FROM exact) AS within_4x
+    FROM exact
+    """,
+)
+def ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy
+    STOC'96) — F2 = sum of squared key frequencies, i.e. the SELF-JOIN
+    SIZE of orders on custkey: the statistic join planners and skew
+    detectors want without building the join. 256 sign counters
+    (counter_j += ±1 per row, sign = an md5 bit of (key, j) — the
+    hash family both engines share), estimate = median of 16
+    sixteen-counter means (median-of-means: each group mean is an
+    unbiased F2 estimator with variance <= 2*F2^2/16; the median
+    tames the heavy tail — a raw median of squares would bias LOW,
+    measured 3x under on this fixture). Lower-median + floor division
+    keep the output integer-exact; the report carries exact F2
+    alongside (1.3% off at sf0.01) and a within-4x verdict.
+
+    Mergeable like the CMS/KMV family: counters ADD across partitions
+    and across lots — 256 BIGINTs of state at any data size.
+    Scale: the 256x row explode is map-local (one groupBy(j) of
+    map-side-combined partials, 256 groups); exact F2 shuffles
+    |distinct keys| once for the ground-truth column only."""
+    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    signs = o.select(
+        F.explode(F.sequence(F.lit(0), F.lit(255))).alias("j"),
+        F.col("o_custkey"),
+    ).select(
+        "j",
+        F.when(
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("o_custkey").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        32, 1,
+                    ),
+                ) - 1
+            ) % 2 == 0,
+            1,
+        ).otherwise(-1).alias("sgn"),
+    )
+    counters = signs.groupBy("j").agg(F.sum("sgn").cast("bigint").alias("c"))
+    grp = counters.groupBy(F.expr("j div 16").alias("g")).agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq")
+    )
+    med = (
+        grp.select(
+            "sum_sq",
+            F.row_number()
+            .over(W.orderBy("sum_sq"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 8)
+        .select(F.expr("CAST(sum_sq div 16 AS BIGINT)").alias("ams_f2"))
+    )
+    exact = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact_f2"))
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        "exact_f2", "ams_f2",
+        (
+            (F.col("exact_f2") <= 4 * F.col("ams_f2"))
+            & (F.col("ams_f2") <= 4 * F.col("exact_f2"))
+        ).alias("within_4x"),
+    )
