@@ -650,7 +650,7 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_oracle(iterations: int = 3) -> str:
+def _lpa_oracle(iterations: int = 3, final_select: str | None = None) -> str:
     """Unrolled synchronous-LPA CTE chain over the symmetrized nation
     trade graph — one (c_i, b_i, l_i) triple per round, integer
     weights and a deterministic (weight desc, label asc) argmax, so
@@ -685,12 +685,13 @@ def _lpa_oracle(iterations: int = 3) -> str:
         JOIN l{i - 1} l USING (node)
         LEFT JOIN b{i} b USING (node)
     )"""
-    sql += f"""
+    if final_select is None:
+        final_select = f"""
     SELECT node AS nation, label AS community,
            CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_members
     FROM l{iterations}
     """
-    return sql
+    return sql + final_select
 
 
 @query("nation_trade_communities", oracle=_lpa_oracle())
@@ -1121,4 +1122,96 @@ def nation_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("authority").alias("authority_scaled"),
         F.col("hub").alias("hub_scaled"),
         F.row_number().over(w).cast("int").alias("rk"),
+    )
+
+
+_MODULARITY_SELECT = """
+    , lab AS (
+      SELECT node, label FROM l3
+    ), cstat AS (
+      SELECT la.label AS community,
+             CAST(SUM(CASE WHEN la.label = lb.label THEN e.w ELSE 0 END)
+                  AS BIGINT) AS in_weight,
+             CAST(SUM(e.w) AS BIGINT) AS deg_weight
+      FROM sym e
+        JOIN lab la ON la.node = e.src
+        JOIN lab lb ON lb.node = e.dst
+      GROUP BY la.label
+    ), m2 AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM sym
+    ), members AS (
+      SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+      FROM lab GROUP BY label
+    )
+    SELECT c.community, m.n_members, c.in_weight, c.deg_weight,
+           CAST(c.in_weight * (SELECT m2 FROM m2)
+                - c.deg_weight * c.deg_weight AS BIGINT) AS contrib_scaled
+    FROM cstat c JOIN members m USING (community)
+    """
+
+
+@query(
+    "trade_community_modularity",
+    oracle=_lpa_oracle(final_select=_MODULARITY_SELECT),
+)
+def trade_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the LPA trading blocs — the number that
+    says whether detected communities are real structure or noise:
+    Q = sum_c [ in_c/(2m) - (deg_c/(2m))^2 ]. Reported EXACTLY by
+    clearing the denominator: per community,
+    contrib_scaled = in_c * 2m - deg_c^2, so Q = sum(contrib) / (2m)^2
+    with every emitted term BIGINT — no floor division at all (a
+    signed integer division would be the one place Spark's
+    truncate-toward-zero and DuckDB's floor disagree). Self-loops
+    (domestic trade) follow the same symmetrized-union convention the
+    LPA itself runs on; in_c counts both directions, matching the
+    standard 2m normalization.
+
+    Scale: labels come from the shared LPA run (edge-list-bounded
+    supersteps); the modularity pass is ONE join of the edge list
+    against the label frame (broadcast — labels are |nations| rows)
+    and a |communities|-group rollup. The oracle extends the unrolled
+    LPA CTE chain, so a regression in EITHER the clustering or the
+    modularity arithmetic flips the hash."""
+    from logicash_etl_spark.operators.graph import label_propagation
+
+    pair = _trade_pairs(spark, sf_dir)
+    sym = (
+        pair.select("src", "dst", "n")
+        .unionByName(
+            pair.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "n"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("n").cast("bigint").alias("w"))
+    )
+    nodes = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("node"))
+    lab = label_propagation(nodes, sym, iterations=3).select("node", "label")
+    la = lab.select(F.col("node").alias("src"), F.col("label").alias("ca"))
+    lb = lab.select(F.col("node").alias("dst"), F.col("label").alias("cb"))
+    cstat = (
+        sym.join(F.broadcast(la), "src")
+        .join(F.broadcast(lb), "dst")
+        .groupBy(F.col("ca").alias("community"))
+        .agg(
+            F.sum(F.when(F.col("ca") == F.col("cb"), F.col("w")).otherwise(0))
+            .cast("bigint").alias("in_weight"),
+            F.sum("w").cast("bigint").alias("deg_weight"),
+        )
+    )
+    m2 = sym.agg(F.sum("w").cast("bigint").alias("m2"))
+    members = lab.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return (
+        cstat.join(F.broadcast(members), "community")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "community", "n_members", "in_weight", "deg_weight",
+            (
+                F.col("in_weight") * F.col("m2")
+                - F.col("deg_weight") * F.col("deg_weight")
+            ).cast("bigint").alias("contrib_scaled"),
+        )
     )
