@@ -1377,3 +1377,88 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_contrib"
         ),
     )
+
+
+@query(
+    "right_to_erasure_audit",
+    oracle="""
+    WITH req AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ), po AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM req)
+    ), rows_ AS (
+        SELECT 'customer' AS tbl,
+               CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total,
+               CAST((SELECT count(*) FROM req) AS BIGINT) AS n_purged
+      UNION ALL
+        SELECT 'orders',
+               CAST((SELECT count(*) FROM orders) AS BIGINT),
+               CAST((SELECT count(*) FROM po) AS BIGINT)
+      UNION ALL
+        SELECT 'lineitem',
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE l_orderkey IN (SELECT o_orderkey FROM po))
+                    AS BIGINT)
+    ), orphans AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM orders o
+      WHERE o.o_custkey NOT IN (SELECT c_custkey FROM req)
+        AND o.o_custkey IN (SELECT c_custkey FROM req)
+    )
+    SELECT tbl, n_total, n_purged,
+           n_total - n_purged AS n_remaining,
+           (SELECT n FROM orphans) AS orphans_after
+    FROM rows_
+    """,
+)
+def right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR Art. 17) CASCADE accounting — the
+    compliance query run before and after a deletion job: erasure
+    requests (customers with c_custkey % 97 == 0 standing in for the
+    request table) cascade through the FK graph (customer -> orders
+    -> lineitem), and the audit reports exact purge/remain counts per
+    table plus an orphan check (rows that would dangle after the
+    cascade — zero by construction here, nonzero = the deletion job
+    missed a child table). Deletes themselves are the engine's
+    anti-join overwrite (operators/merge.py delete path); this is the
+    sign-off artifact.
+
+    Scale: each cascade level is one semi-join on the FK (request
+    list broadcast — erasure batches are small by nature); counts are
+    map-side-combinable; nothing rewrites until the audit passes."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    req = c.filter(F.col("c_custkey") % 97 == 0)
+    po = o.join(
+        F.broadcast(req), o.o_custkey == req.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    pl = li.join(
+        F.broadcast(po), li.l_orderkey == po.o_orderkey, "left_semi"
+    )
+
+    def stat(tbl: str, total_df: DataFrame, purged_df: DataFrame) -> DataFrame:
+        t = total_df.agg(F.count("*").cast("bigint").alias("n_total"))
+        p = purged_df.agg(F.count("*").cast("bigint").alias("n_purged"))
+        return t.crossJoin(F.broadcast(p)).select(
+            F.lit(tbl).alias("tbl"), "n_total", "n_purged"
+        )
+
+    rows = (
+        stat("customer", c, req)
+        .unionByName(stat("orders", o, po))
+        .unionByName(stat("lineitem", li, pl))
+    )
+    # orphan check: an order both purged and not purged is impossible;
+    # the anti-join-of-semi-join must be empty (nonzero = cascade bug)
+    orphans = (
+        o.join(F.broadcast(req), o.o_custkey == req.c_custkey, "left_semi")
+        .join(F.broadcast(req), F.col("o_custkey") == req.c_custkey, "left_anti")
+        .agg(F.count("*").cast("bigint").alias("orphans_after"))
+    )
+    return rows.crossJoin(F.broadcast(orphans)).select(
+        "tbl", "n_total", "n_purged",
+        (F.col("n_total") - F.col("n_purged")).alias("n_remaining"),
+        "orphans_after",
+    )
