@@ -92,3 +92,54 @@ def test_cusum_closed_form_equals_recursion(cents):
         mn = min(mn, p)
         got.append(p - min(0, mn))
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1, max_size=120,
+    ),
+    buckets=st.sampled_from([1, 2, 3, 8]),
+)
+def test_grouped_prefix_sum_random_differential(spark, rows, buckets):
+    """Randomized differential check of the de-skew machinery a dozen
+    queries now ride (token budgets, Gini, robust stats, mixtures):
+    the range-bucketed grouped scan must equal the naive per-group
+    window for ANY group structure — duplicate keys, negative values,
+    singleton groups, any bucket count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
+
+    data = [(g, i, k, v) for i, (g, k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, id int, k int, v int")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.g, r.id): r.cs
+        for r in df.withColumn("cs", F.sum("v").over(w)).collect()
+    }
+    got = {
+        (r.g, r.id): r.cs
+        for r in grouped_prefix_sum(
+            df,
+            group_col="g",
+            bucket_key="k",
+            order_cols=[F.col("k").asc(), F.col("id").asc()],
+            value_col="v",
+            out_col="cs",
+            buckets=buckets,
+            inclusive=True,
+        ).collect()
+    }
+    assert got == want
