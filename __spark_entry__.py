@@ -121,9 +121,27 @@ _DRIVER_GREEN = {
 }
 
 
+# Deliberate overflow set: 59 round-6 queries exceed the driver's
+# 50-row snapshot by nine. These nine wait for CORRECTNESS_r07 —
+# chosen because each carries an INDEPENDENT exactness proof beyond
+# the local parity test (kmv/ams: in-query merge==direct / exact-F2
+# ground-truth columns; incremental_agg: CDC vs recomputed oracle
+# unit test; arrow/roundtrip: byte-exact scan pins; coverage/ewma/
+# peak-concurrency: unit tests + early-r6 local parity, unchanged
+# since). Everything CHANGED in r6 and every new family stays inside
+# the snapshot.
+_CHECK_LAST = [
+    "kmv_set_overlap", "kmv_partial_merge", "incremental_agg_maintenance",
+    "ams_f2_estimate", "doc_stats_map_in_arrow", "format_roundtrip_scan",
+    "user_active_coverage", "ewma_event_value", "session_peak_concurrency",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2."""
-    ordered = [n for n in QUERIES if n not in _DRIVER_GREEN]
+    last = set(_CHECK_LAST)
+    ordered = [n for n in QUERIES if n not in _DRIVER_GREEN and n not in last]
+    ordered += [n for n in _CHECK_LAST if n in QUERIES]
     ordered += [n for n in QUERIES if n in _DRIVER_GREEN]
     return {n: QUERIES[n] for n in ordered}
 
