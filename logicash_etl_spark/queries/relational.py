@@ -1462,3 +1462,79 @@ def right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_total") - F.col("n_purged")).alias("n_remaining"),
         "orphans_after",
     )
+
+
+@query(
+    "corrupt_record_audit",
+    oracle="""
+    SELECT CASE WHEN doc_id % 10 = 3 THEN '__corrupt' ELSE source END
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id % 10 = 3 THEN 0 ELSE n_chars END)
+                AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode corrupt-record accounting — the ingestion
+    surface every real feed exercises: a JSONL lot is written with
+    every doc_id % 10 == 3 line deliberately malformed (an unclosed
+    brace), read back schema-first with a NAMED corrupt-record column
+    (never silent row drops — the reader contract
+    format_roundtrip_scan pins for the clean path), and audited into
+    per-source counts with a '__corrupt' bucket. The oracle knows
+    exactly which rows were mangled, so the driver hash pins Spark's
+    PERMISSIVE semantics end to end: a malformed line must surface as
+    ONE corrupt row (all data fields null, raw text in the corrupt
+    column) — a reader that dropped, duplicated, or half-parsed it
+    flips the count or the char sum.
+
+    Scale: the audit is one map-side-combinable rollup over the same
+    split-parallel JSONL scan production lots use; quarantining the
+    '__corrupt' bucket to a dead-letter path is the same plan with a
+    partitioned write."""
+    from pyspark.sql import types as T
+
+    from logicash_etl_spark.tmp import session_tmpdir
+
+    docs = read_table(spark, sf_dir, "documents")
+    root = session_tmpdir("lq_corrupt_")
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 10 == 3,
+            F.concat(F.lit('{"oops": '), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.to_json(F.struct("doc_id", "source", "n_chars"))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(f"{root}/lot")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(f"{root}/lot")
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt").isNotNull(), "__corrupt")
+            .otherwise(F.col("source"))
+            .alias("bucket"),
+            F.coalesce("n_chars", F.lit(0)).alias("nc"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("nc").cast("bigint").alias("total_chars"),
+        )
+    )
