@@ -1538,3 +1538,55 @@ def corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nc").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@query(
+    "parquet_schema_evolution_scan",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN n_chars END) AS BIGINT)
+             AS v2_chars,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_v1_rows_null_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def parquet_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layer schema evolution: a dataset written in TWO
+    parquet generations — v1 files carry (doc_id, source), v2 files
+    (doc_id % 3 == 0) add an n_chars column — read back as ONE frame
+    with ``mergeSchema``, the way a long-lived lake table actually
+    looks after a column addition. The audit proves the merged read's
+    null semantics exactly: v1 rows surface the new column as NULL
+    (counted per source), v2 rows carry their values (summed), and
+    totals match the fixture arithmetic — a reader that dropped v1
+    files, defaulted the column, or misaligned by position flips the
+    hash. Complements schema_evolution_union, which evolves at the
+    DATAFRAME layer (unionByName allowMissingColumns); this is the
+    FILE-layer path where the footer schemas disagree.
+
+    Scale note: mergeSchema costs a footer read per file at planning
+    — on a 100 TB table pin the merged schema in the metastore (or
+    read with an explicit superset schema, readers.py's default
+    posture) instead of re-merging per query; the semantics pinned
+    here are identical either way."""
+    from logicash_etl_spark.tmp import session_tmpdir
+
+    docs = read_table(spark, sf_dir, "documents")
+    root = session_tmpdir("lq_schevo_")
+    docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "source").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/lot")
+    docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", "n_chars"
+    ).write.mode("append").parquet(f"{root}/lot")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{root}/lot")
+    return merged.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("v2_chars"),
+        F.sum(F.col("n_chars").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_v1_rows_null_chars"),
+    )
