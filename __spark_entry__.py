@@ -134,6 +134,7 @@ _CHECK_LAST = [
     "kmv_set_overlap", "kmv_partial_merge", "incremental_agg_maintenance",
     "ams_f2_estimate", "doc_stats_map_in_arrow", "format_roundtrip_scan",
     "user_active_coverage", "ewma_event_value", "session_peak_concurrency",
+    "part_name_edit_pairs", "event_transition_matrix",
 ]
 
 
