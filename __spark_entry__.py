@@ -122,7 +122,7 @@ _DRIVER_GREEN = {
 
 
 # Deliberate overflow set: 59 round-6 queries exceed the driver's
-# 50-row snapshot by nine. These nine wait for CORRECTNESS_r07 —
+# 50-row snapshot by eleven. These wait for CORRECTNESS_r07 —
 # chosen because each carries an INDEPENDENT exactness proof beyond
 # the local parity test (kmv/ams: in-query merge==direct / exact-F2
 # ground-truth columns; incremental_agg: CDC vs recomputed oracle
