@@ -764,3 +764,133 @@ def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=_state_parts(spark, lot),
     )
     return spark.sql(f"SELECT * FROM {sink}")
+
+
+def _outer_join_lot(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file lot for the LEFT OUTER stream-stream join: file 1 =
+    everything except purchases with event_id % 4 == 1, file 2 = that
+    purchase slice. Batch 1 raises both sides' watermarks off file-1
+    data; batch 2's purchases land against live click state while
+    end-of-batch eviction null-emits the expired unmatched clicks.
+    mtimes pinned 60 s apart for deterministic admission order."""
+
+    def w() -> str:
+        import os
+        import time
+
+        root = session_tmpdir("lq_stream_lojlot_")
+        lot = f"{root}/lot"
+        ev = read_table(spark, sf_dir, "events")
+        late_p = (F.col("event_type") == "purchase") & (
+            F.col("event_id") % 4 == 1
+        )
+        ev.filter(~late_p).coalesce(1).write.mode("overwrite").parquet(lot)
+        ev.filter(late_p).coalesce(1).write.mode("append").parquet(lot)
+        now = time.time()
+        parts = sorted(
+            (f for f in os.listdir(lot) if f.endswith(".parquet")),
+            key=lambda f: os.path.getmtime(os.path.join(lot, f)),
+        )
+        os.utime(os.path.join(lot, parts[0]), (now - 60, now - 60))
+        os.utime(os.path.join(lot, parts[1]), (now, now))
+        return lot
+
+    return _timed_lot(f"{sf_dir}::loj", "events_outer_join_lot", w)
+
+
+@query(
+    "streaming_outer_interval_join",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             p.ts AS purchase_ts, CAST(p.value AS DOUBLE) AS purchase_value
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ), wm AS (
+      SELECT least((SELECT max(ts) FROM c),
+                   (SELECT max(ts) FROM p WHERE event_id % 4 <> 1))
+             - INTERVAL 1 HOUR AS w
+    ), unm AS (
+      SELECT user_id, event_id AS click_id, ts FROM c
+      WHERE event_id NOT IN (SELECT click_id FROM m)
+        AND ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    )
+    SELECT user_id, click_id, purchase_id, purchase_ts, purchase_value
+    FROM m
+    UNION ALL
+    SELECT user_id, click_id,
+           CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS DOUBLE)
+    FROM unm
+    """,
+)
+def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the attribution shape
+    that also reports clicks that never converted, and the subtlest
+    emission semantics in Structured Streaming: a matched row emits
+    when the match forms, but an UNMATCHED click null-emits only when
+    the join watermark PROVES no purchase can still arrive — and that
+    proof runs on the eviction watermark of a LATER batch (min of
+    both sides' marks from data seen in EARLIER batches). Clicks
+    expiring after the final batch stay in state forever — the
+    documented outer-join emission delay, and exactly what this query
+    hash-pins: on the two-file lot, batch 2's eviction mark is
+    min(max click ts, max file-1 purchase ts) - 1h, the oracle emits
+    null rows for precisely the unmatched clicks expired by THAT mark
+    (4 more unmatched clicks at sf0.01 are stranded in state and must
+    NOT appear — an engine that flushed state at shutdown, or used
+    the final instead of the per-batch watermark, flips the hash).
+
+    Scale: same bounded-state posture as the inner interval join
+    (both sides watermarked, time range bounded both directions);
+    the null-emission delay is the production gotcha to size
+    monitoring around — an always-on stream emits its stragglers one
+    trigger later, a terminating backfill never does."""
+    from logicash_etl_spark.streaming.ops import interval_join
+
+    lot = _outer_join_lot(spark, sf_dir)
+    root = session_tmpdir("lq_stream_loj_")
+    clicks = (
+        stream_parquet_dir(spark, lot, S.EVENTS, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    purchases = (
+        stream_parquet_dir(spark, lot, S.EVENTS, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("j_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").cast("double").alias("purchase_value"),
+        )
+    )
+    joined = interval_join(
+        clicks.withColumnRenamed("user_id", "j_user"),
+        purchases,
+        on="j_user",
+        left_ts="l_ts",
+        right_ts="r_ts",
+        within="1 hour",
+        watermark="1 hour",
+        how="left_outer",
+    )
+    sink = f"loj_drain_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        joined, f"{root}/ckpt", sink,
+        state_partitions=_state_parts(spark, lot),
+    )
+    return spark.sql(f"SELECT * FROM {sink}").select(
+        F.col("j_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("r_ts").alias("purchase_ts"),
+        "purchase_value",
+    )

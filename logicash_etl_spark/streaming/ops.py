@@ -86,8 +86,9 @@ def interval_join(
     right_ts: str,
     within: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: rows match when ``on`` keys are equal
+    """Stream-stream join: rows match when ``on`` keys are equal
     and the right event lands in ``[left_ts, left_ts + within]`` — the
     click-to-conversion attribution shape. BOTH sides carry event-time
     watermarks and the join condition bounds the time range in both
@@ -97,6 +98,11 @@ def interval_join(
 
     ``left_ts`` / ``right_ts`` (and every other column) must already
     be distinctly named across the two sides — rename before calling.
+
+    ``how``: "inner" (default) or "left_outer" — outer emits unmatched
+    left rows null-extended once the join watermark proves no match
+    can arrive (note the one-batch emission delay the
+    streaming_outer_interval_join query pins).
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -104,6 +110,6 @@ def interval_join(
         f"{on} = __r_{on} AND {right_ts} >= {left_ts} "
         f"AND {right_ts} <= {left_ts} + INTERVAL {within}"
     )
-    return lw.join(rw.withColumnRenamed(on, f"__r_{on}"), cond, "inner").drop(
+    return lw.join(rw.withColumnRenamed(on, f"__r_{on}"), cond, how).drop(
         f"__r_{on}"
     )
