@@ -135,6 +135,7 @@ _CHECK_LAST = [
     "ams_f2_estimate", "doc_stats_map_in_arrow", "format_roundtrip_scan",
     "user_active_coverage", "ewma_event_value", "session_peak_concurrency",
     "part_name_edit_pairs", "event_transition_matrix",
+    "pareto_part_frontier",
 ]
 
 
