@@ -40,19 +40,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # the back (their local parity tests still run every session).
 #
 # Round-6 rotation: every r05-green query joins the set; NOT listed —
-# and therefore ordered first for CORRECTNESS_r06 — are the 54
+# and therefore ordered first for CORRECTNESS_r06 — are the 62
 # round-6 additions and changed implementations (late-round families:
-# CUSUM, HITS, RRF fusion, FS linkage, ACF, mapInArrow, streaming
-# late-data audit, join-delta IVM, Welch/CUPED, BPE fertility,
-# robust stats, FD discovery, Benford; plus the earlier-session
-# graph/drift/dedup additions and the four r5-green queries whose
-# implementations changed). 54 exceeds the driver's 50-row snapshot
-# by four: the overflow (registration-order tail: kmv_set_overlap,
-# kmv_partial_merge, incremental_agg_maintenance,
-# incremental_join_maintenance) carries hash-proved merge==direct /
-# delta==full local twins and rotates into CORRECTNESS_r07; every
-# query runs the identical local parity comparison each session
-# regardless (tests/test_oracle_parity.py).
+# CUSUM, HITS, RRF fusion, FS linkage + golden-record MDM, ACF,
+# mapInArrow, streaming late-data audit + left-outer interval join,
+# join-delta IVM, Welch/CUPED, BPE fertility, robust stats, FD
+# discovery, Benford, AMS F2, modularity, erasure audit, corrupt
+# records, mergeSchema, leakage-safe split; plus the earlier-session
+# graph/drift/dedup additions and the r5-green queries whose
+# implementations changed). 62 exceeds the driver's 50-row snapshot;
+# _CHECK_LAST below picks the twelve that wait for r07.
 _DRIVER_GREEN = {
     'ann_lsh_topk', 'approx_sketches', 'array_function_surface',
     'asof_last_purchase', 'audio_chunk_inventory',
@@ -121,8 +118,7 @@ _DRIVER_GREEN = {
 }
 
 
-# Deliberate overflow set: 59 round-6 queries exceed the driver's
-# 50-row snapshot by eleven. These wait for CORRECTNESS_r07 —
+# Deliberate overflow set: these twelve wait for CORRECTNESS_r07 —
 # chosen because each carries an INDEPENDENT exactness proof beyond
 # the local parity test (kmv/ams: in-query merge==direct / exact-F2
 # ground-truth columns; incremental_agg: CDC vs recomputed oracle
