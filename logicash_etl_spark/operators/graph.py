@@ -667,6 +667,9 @@ def hits_int(
     multiple actions; scores every ``checkpoint_every`` rounds."""
     if iterations > checkpoint_every:
         edges = edges.localCheckpoint()
+    # only `hub` seeds the recursion (the first half-round overwrites
+    # auth before any read); this init is returned solely when
+    # iterations == 0
     auth = nodes.select("node", F.lit(scale).cast("bigint").alias("a"))
     hub = nodes.select("node", F.lit(scale).cast("bigint").alias("h"))
 

@@ -1468,22 +1468,69 @@ def vocab_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "fs_linkage_report",
-    oracle="""
-    WITH p AS (
+
+# Fellegi-Sunter scoring, shared by fs_linkage_report and
+# golden_record_report (whose docstring promises the SAME scoring):
+# one blocked-candidate projection, one integer milli-bit score
+# expression, on both the Spark and the SQL side.
+_FS_PROJ_SQL = """
       SELECT p_partkey, p_brand, p_size, p_type,
              string_split(p_name, ' ')[1] AS tok,
              CAST(round(p_retailprice * 100) AS BIGINT) AS cents
       FROM part
+"""
+
+_FS_SCORE_SQL = """(CASE WHEN a.p_type = b.p_type THEN 5570 ELSE -4248 END
+                + CASE WHEN a.tok = b.tok THEN 3910 ELSE -3233 END
+                + CASE WHEN abs(a.cents - b.cents) <= 1000
+                       THEN 2000 ELSE -1500 END)"""
+
+_FS_MATCH_THRESHOLD = 7000
+
+
+def _fs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FS comparison projection (SQL twin: _FS_PROJ_SQL)."""
+    return read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_type",
+        F.split(F.col("p_name"), " ").getItem(0).alias("tok"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+
+
+def _fs_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked candidate pairs with the FS score (SQL twin:
+    _FS_SCORE_SQL over the (brand, size) blocked self-join). Columns:
+    p_brand, p_partkey_a, p_partkey_b, score."""
+    p = _fs_parts(spark, sf_dir)
+    a = p.select(*[F.col(c).alias(c + "_a") for c in p.columns])
+    b = p.select(*[F.col(c).alias(c + "_b") for c in p.columns])
+    score = (
+        F.when(F.col("p_type_a") == F.col("p_type_b"), 5570).otherwise(-4248)
+        + F.when(F.col("tok_a") == F.col("tok_b"), 3910).otherwise(-3233)
+        + F.when(
+            F.abs(F.col("cents_a") - F.col("cents_b")) <= 1000, 2000
+        ).otherwise(-1500)
+    )
+    return a.join(
+        b,
+        (F.col("p_brand_a") == F.col("p_brand_b"))
+        & (F.col("p_size_a") == F.col("p_size_b"))
+        & (F.col("p_partkey_a") < F.col("p_partkey_b")),
+    ).select(
+        F.col("p_brand_a").alias("p_brand"),
+        "p_partkey_a",
+        "p_partkey_b",
+        score.cast("bigint").alias("score"),
+    )
+
+
+@query(
+    "fs_linkage_report",
+    oracle=f"""
+    WITH p AS ({_FS_PROJ_SQL}
     ), pairs AS (
       SELECT a.p_brand,
-             CAST(CASE WHEN a.p_type = b.p_type
-                       THEN 5570 ELSE -4248 END
-                + CASE WHEN a.tok = b.tok
-                       THEN 3910 ELSE -3233 END
-                + CASE WHEN abs(a.cents - b.cents) <= 1000
-                       THEN 2000 ELSE -1500 END AS BIGINT) AS score
+             CAST({_FS_SCORE_SQL} AS BIGINT) AS score
       FROM p a JOIN p b
         ON a.p_brand = b.p_brand AND a.p_size = b.p_size
        AND a.p_partkey < b.p_partkey
@@ -1524,32 +1571,12 @@ def fs_linkage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the block key and candidate fan-out is quadratic only WITHIN a
     block (~16 rows here) — the same posture as fuzzy_name_match and
     the dedup family; the report is one |brands|-group rollup."""
-    p = read_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_size", "p_type",
-        F.split(F.col("p_name"), " ").getItem(0).alias("tok"),
-        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
-    )
-    a = p.select(*[F.col(c).alias(c + "_a") for c in p.columns])
-    b = p.select(*[F.col(c).alias(c + "_b") for c in p.columns])
-    pairs = a.join(
-        b,
-        (F.col("p_brand_a") == F.col("p_brand_b"))
-        & (F.col("p_size_a") == F.col("p_size_b"))
-        & (F.col("p_partkey_a") < F.col("p_partkey_b")),
-    ).select(
-        F.col("p_brand_a").alias("p_brand"),
-        (
-            F.when(F.col("p_type_a") == F.col("p_type_b"), 5570).otherwise(-4248)
-            + F.when(F.col("tok_a") == F.col("tok_b"), 3910).otherwise(-3233)
-            + F.when(
-                F.abs(F.col("cents_a") - F.col("cents_b")) <= 1000, 2000
-            ).otherwise(-1500)
-        ).cast("bigint").alias("score"),
-    )
+    t = F.lit(_FS_MATCH_THRESHOLD)
+    pairs = _fs_scored_pairs(spark, sf_dir)
     return pairs.groupBy("p_brand").agg(
         F.count("*").cast("bigint").alias("n_pairs"),
-        F.sum((F.col("score") >= 7000).cast("int")).cast("bigint").alias("n_match"),
-        F.sum(((F.col("score") >= 0) & (F.col("score") < 7000)).cast("int"))
+        F.sum((F.col("score") >= t).cast("int")).cast("bigint").alias("n_match"),
+        F.sum(((F.col("score") >= 0) & (F.col("score") < t)).cast("int"))
         .cast("bigint").alias("n_possible"),
         F.sum((F.col("score") < 0).cast("int")).cast("bigint").alias("n_nonmatch"),
         F.max("score").cast("bigint").alias("max_score"),
@@ -1655,21 +1682,14 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "golden_record_report",
-    oracle="""
-    WITH RECURSIVE p AS (
-      SELECT p_partkey, p_brand, p_size, p_type,
-             string_split(p_name, ' ')[1] AS tok,
-             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
-      FROM part
+    oracle=f"""
+    WITH RECURSIVE p AS ({_FS_PROJ_SQL}
     ), m AS (
       SELECT a.p_partkey AS src, b.p_partkey AS dst
       FROM p a JOIN p b
         ON a.p_brand = b.p_brand AND a.p_size = b.p_size
        AND a.p_partkey < b.p_partkey
-      WHERE (CASE WHEN a.p_type = b.p_type THEN 5570 ELSE -4248 END
-           + CASE WHEN a.tok = b.tok THEN 3910 ELSE -3233 END
-           + CASE WHEN abs(a.cents - b.cents) <= 1000
-                  THEN 2000 ELSE -1500 END) >= 7000
+      WHERE {_FS_SCORE_SQL} >= {_FS_MATCH_THRESHOLD}
     ), edges AS (
       SELECT src, dst FROM m UNION SELECT dst, src FROM m
     ), cc AS (
@@ -1730,28 +1750,14 @@ def golden_record_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from logicash_etl_spark.operators.graph import connected_components
 
-    p = read_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_size", "p_type",
-        F.split(F.col("p_name"), " ").getItem(0).alias("tok"),
-        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
-    )
-    a = p.select(*[F.col(c).alias(c + "_a") for c in p.columns])
-    b = p.select(*[F.col(c).alias(c + "_b") for c in p.columns])
-    score = (
-        F.when(F.col("p_type_a") == F.col("p_type_b"), 5570).otherwise(-4248)
-        + F.when(F.col("tok_a") == F.col("tok_b"), 3910).otherwise(-3233)
-        + F.when(
-            F.abs(F.col("cents_a") - F.col("cents_b")) <= 1000, 2000
-        ).otherwise(-1500)
-    )
-    matches = a.join(
-        b,
-        (F.col("p_brand_a") == F.col("p_brand_b"))
-        & (F.col("p_size_a") == F.col("p_size_b"))
-        & (F.col("p_partkey_a") < F.col("p_partkey_b")),
-    ).filter(score >= 7000).select(
-        F.col("p_partkey_a").alias("id_a"),
-        F.col("p_partkey_b").alias("id_b"),
+    p = _fs_parts(spark, sf_dir)
+    matches = (
+        _fs_scored_pairs(spark, sf_dir)
+        .filter(F.col("score") >= _FS_MATCH_THRESHOLD)
+        .select(
+            F.col("p_partkey_a").alias("id_a"),
+            F.col("p_partkey_b").alias("id_b"),
+        )
     )
     lab = connected_components(matches, "id_a", "id_b").select(
         F.col("id").alias("p_partkey"),

@@ -1402,9 +1402,13 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      WHERE l_orderkey IN (SELECT o_orderkey FROM po))
                     AS BIGINT)
     ), orphans AS (
-      SELECT CAST(count(*) AS BIGINT) AS n FROM orders o
-      WHERE o.o_custkey NOT IN (SELECT c_custkey FROM req)
-        AND o.o_custkey IN (SELECT c_custkey FROM req)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM po)
+                AND o_custkey IN (SELECT c_custkey FROM req))
+           + (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po)
+                AND l_orderkey IN (SELECT o_orderkey FROM po))
+             AS n
     )
     SELECT tbl, n_total, n_purged,
            n_total - n_purged AS n_remaining,
@@ -1418,11 +1422,13 @@ def right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     requests (customers with c_custkey % 97 == 0 standing in for the
     request table) cascade through the FK graph (customer -> orders
     -> lineitem), and the audit reports exact purge/remain counts per
-    table plus an orphan check (rows that would dangle after the
-    cascade — zero by construction here, nonzero = the deletion job
-    missed a child table). Deletes themselves are the engine's
-    anti-join overwrite (operators/merge.py delete path); this is the
-    sign-off artifact.
+    table plus an orphan check run against the MATERIALIZED
+    post-delete tables: the anti-join deletes actually execute to a
+    staging dir, the survivors are read back, and children whose
+    parent was purged are counted — nonzero means the deletion job
+    missed a cascade level. The audit inspects what was written, not
+    the plan that intended to write it; this is the sign-off
+    artifact.
 
     Scale: each cascade level is one semi-join on the FK (request
     list broadcast — erasure batches are small by nature); counts are
@@ -1450,12 +1456,31 @@ def right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stat("orders", o, po))
         .unionByName(stat("lineitem", li, pl))
     )
-    # orphan check: an order both purged and not purged is impossible;
-    # the anti-join-of-semi-join must be empty (nonzero = cascade bug)
-    orphans = (
-        o.join(F.broadcast(req), o.o_custkey == req.c_custkey, "left_semi")
-        .join(F.broadcast(req), F.col("o_custkey") == req.c_custkey, "left_anti")
-        .agg(F.count("*").cast("bigint").alias("orphans_after"))
+    # orphan check on the REAL deletion output: run the anti-join
+    # deletes to a staging dir, read the survivors back, and count
+    # children whose parent was purged — a deletion job that missed a
+    # cascade level (e.g. purged customers but kept their orders)
+    # shows up as a nonzero count here, because the audit inspects
+    # what was written, not the plan that intended to write it
+    from logicash_etl_spark.tmp import session_tmpdir
+
+    root = session_tmpdir("lq_erasure_")
+    o.join(F.broadcast(req), o.o_custkey == req.c_custkey, "left_anti").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/orders")
+    li.join(
+        F.broadcast(po), li.l_orderkey == po.o_orderkey, "left_anti"
+    ).write.mode("overwrite").parquet(f"{root}/lineitem")
+    rem_o = spark.read.parquet(f"{root}/orders")
+    rem_l = spark.read.parquet(f"{root}/lineitem")
+    orphan_orders = rem_o.join(
+        F.broadcast(req), rem_o.o_custkey == req.c_custkey, "left_semi"
+    ).count()
+    orphan_lines = rem_l.join(
+        F.broadcast(po), rem_l.l_orderkey == po.o_orderkey, "left_semi"
+    ).count()
+    orphans = spark.range(1).select(
+        F.lit(orphan_orders + orphan_lines).cast("bigint").alias("orphans_after")
     )
     return rows.crossJoin(F.broadcast(orphans)).select(
         "tbl", "n_total", "n_purged",

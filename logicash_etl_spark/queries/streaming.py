@@ -655,6 +655,25 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pin_admission_order(lot: str) -> None:
+    """Pin the file source's oldest-first admission order: the lot's
+    part files (in their current mtime order — sequential writes, so
+    write order) get mtimes spaced 60 s apart. Without this, two
+    writes landing in the same clock tick could reorder micro-batch
+    admission run to run."""
+    import os
+    import time
+
+    now = time.time()
+    parts = sorted(
+        (f for f in os.listdir(lot) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(lot, f)),
+    )
+    for i, f in enumerate(parts):
+        t = now - 60 * (len(parts) - 1 - i)
+        os.utime(os.path.join(lot, f), (t, t))
+
+
 def _late_events_lot(spark: SparkSession, sf_dir: str) -> str:
     """Three-file lot engineered to exercise BOTH halves of Spark's
     split watermark (SPARK-40925: late-event FILTERING uses the
@@ -672,9 +691,6 @@ def _late_events_lot(spark: SparkSession, sf_dir: str) -> str:
     oldest-first admission order is deterministic, not a write-race."""
 
     def w() -> str:
-        import os
-        import time
-
         root = session_tmpdir("lq_stream_latelot_")
         lot = f"{root}/lot"
         ev = read_table(spark, sf_dir, "events")
@@ -687,15 +703,7 @@ def _late_events_lot(spark: SparkSession, sf_dir: str) -> str:
         ev.filter(F.col("event_id") % 7 == 0).coalesce(1).write.mode(
             "append"
         ).parquet(lot)
-        # pin admission order: earlier slices strictly older
-        now = time.time()
-        parts = [f for f in os.listdir(lot) if f.endswith(".parquet")]
-        by_mtime = sorted(
-            parts, key=lambda f: os.path.getmtime(os.path.join(lot, f))
-        )
-        for i, f in enumerate(by_mtime):
-            t = now - 60 * (len(by_mtime) - 1 - i)
-            os.utime(os.path.join(lot, f), (t, t))
+        _pin_admission_order(lot)
         return lot
 
     return _timed_lot(f"{sf_dir}::late", "events_late_lot", w)
@@ -775,9 +783,6 @@ def _outer_join_lot(spark: SparkSession, sf_dir: str) -> str:
     mtimes pinned 60 s apart for deterministic admission order."""
 
     def w() -> str:
-        import os
-        import time
-
         root = session_tmpdir("lq_stream_lojlot_")
         lot = f"{root}/lot"
         ev = read_table(spark, sf_dir, "events")
@@ -786,13 +791,7 @@ def _outer_join_lot(spark: SparkSession, sf_dir: str) -> str:
         )
         ev.filter(~late_p).coalesce(1).write.mode("overwrite").parquet(lot)
         ev.filter(late_p).coalesce(1).write.mode("append").parquet(lot)
-        now = time.time()
-        parts = sorted(
-            (f for f in os.listdir(lot) if f.endswith(".parquet")),
-            key=lambda f: os.path.getmtime(os.path.join(lot, f)),
-        )
-        os.utime(os.path.join(lot, parts[0]), (now - 60, now - 60))
-        os.utime(os.path.join(lot, parts[1]), (now, now))
+        _pin_admission_order(lot)
         return lot
 
     return _timed_lot(f"{sf_dir}::loj", "events_outer_join_lot", w)

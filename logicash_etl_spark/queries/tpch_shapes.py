@@ -694,6 +694,24 @@ def _lpa_oracle(iterations: int = 3, final_select: str | None = None) -> str:
     return sql + final_select
 
 
+def _trade_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized integer-weighted trade graph (src, dst, w) — the
+    frame LPA runs on and modularity is scored against; keeping ONE
+    derivation guarantees the two queries talk about the same graph.
+    SQL twin: the ``sym`` CTE inside ``_lpa_oracle``."""
+    pair = _trade_pairs(spark, sf_dir)
+    return (
+        pair.select("src", "dst", "n")
+        .unionByName(
+            pair.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "n"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("n").cast("bigint").alias("w"))
+    )
+
+
 @query("nation_trade_communities", oracle=_lpa_oracle())
 def nation_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection over the nation trade graph: weighted
@@ -708,17 +726,7 @@ def nation_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node argmax window is bounded by degree."""
     from logicash_etl_spark.operators.graph import label_propagation
 
-    pair = _trade_pairs(spark, sf_dir)
-    sym = (
-        pair.select("src", "dst", "n")
-        .unionByName(
-            pair.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "n"
-            )
-        )
-        .groupBy("src", "dst")
-        .agg(F.sum("n").cast("bigint").alias("w"))
-    )
+    sym = _trade_sym(spark, sf_dir)
     nodes = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("node"))
     labels = label_propagation(nodes, sym, iterations=3)
     # community sizes: a window over #nations rows — driver-scale
@@ -1125,9 +1133,13 @@ def nation_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MODULARITY_SELECT = """
+def _modularity_select(iterations: int = 3) -> str:
+    """Final SELECT for _lpa_oracle: modularity over round-N labels.
+    Interpolates l{iterations} so the label round always matches the
+    oracle chain it extends."""
+    return f"""
     , lab AS (
-      SELECT node, label FROM l3
+      SELECT node, label FROM l{iterations}
     ), cstat AS (
       SELECT la.label AS community,
              CAST(SUM(CASE WHEN la.label = lb.label THEN e.w ELSE 0 END)
@@ -1152,7 +1164,7 @@ _MODULARITY_SELECT = """
 
 @query(
     "trade_community_modularity",
-    oracle=_lpa_oracle(final_select=_MODULARITY_SELECT),
+    oracle=_lpa_oracle(final_select=_modularity_select()),
 )
 def trade_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman MODULARITY of the LPA trading blocs — the number that
@@ -1175,17 +1187,7 @@ def trade_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     modularity arithmetic flips the hash."""
     from logicash_etl_spark.operators.graph import label_propagation
 
-    pair = _trade_pairs(spark, sf_dir)
-    sym = (
-        pair.select("src", "dst", "n")
-        .unionByName(
-            pair.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "n"
-            )
-        )
-        .groupBy("src", "dst")
-        .agg(F.sum("n").cast("bigint").alias("w"))
-    )
+    sym = _trade_sym(spark, sf_dir)
     nodes = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("node"))
     lab = label_propagation(nodes, sym, iterations=3).select("node", "label")
     la = lab.select(F.col("node").alias("src"), F.col("label").alias("ca"))
