@@ -893,3 +893,77 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("r_ts").alias("purchase_ts"),
         "purchase_value",
     )
+
+
+def _jitter_dup_lot(spark: SparkSession, sf_dir: str) -> str:
+    """Events with every 10th row re-delivered FIVE MINUTES LATER —
+    the at-least-once model where the duplicate's event time differs
+    from the original's (retry after a delay, clock skew between
+    producers): plain dropDuplicates on (event_id, ts) would keep
+    BOTH copies; dropDuplicatesWithinWatermark is the API built for
+    exactly this."""
+
+    def w() -> str:
+        root = session_tmpdir("lq_stream_jitlot_")
+        lot = f"{root}/lot"
+        ev = read_table(spark, sf_dir, "events")
+        dup = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+        )
+        ev.unionByName(dup).write.mode("overwrite").parquet(lot)
+        return lot
+
+    return _timed_lot(f"{sf_dir}::jit", "events_jitter_dup_lot", w)
+
+
+@query(
+    "streaming_jittered_dedup",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_unique,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_jittered_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` end-to-end — the dedup API
+    for at-least-once delivery where the REDELIVERED copy carries a
+    DIFFERENT event time (producer retries after a delay, clock skew):
+    the fixture re-delivers every 10th event five minutes later, so
+    key-plus-timestamp dedup (streaming_dedup_counts' shape extended
+    with ts) would keep both copies, while within-watermark dedup
+    keeps exactly the first arrival per event_id as long as the gap
+    fits inside the 1 h watermark. The deduped stream must therefore
+    equal the ORIGINAL events table, so the plain batch rollup IS the
+    oracle — a hash mismatch means the dedup state either expired too
+    early or admitted the jittered copy.
+
+    State posture at 100 TB/day: identical to dropDuplicates — keys
+    held only for the watermark horizon plus the allowed jitter; the
+    API exists precisely so the horizon math stays correct when
+    duplicate timestamps disagree."""
+    from logicash_etl_spark.streaming.sources import (
+        run_available_now_to_parquet,
+    )
+
+    lot = _jitter_dup_lot(spark, sf_dir)
+    root = session_tmpdir("lq_stream_jit_")
+    stream = stream_parquet_dir(spark, lot, S.EVENTS)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = f"{root}/deduped"
+    run_available_now_to_parquet(
+        deduped, f"{root}/ckpt", out,
+        state_partitions=_state_parts(spark, lot),
+    )
+    return (
+        spark.read.schema(S.EVENTS).parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
