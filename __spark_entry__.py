@@ -118,7 +118,7 @@ _DRIVER_GREEN = {
 }
 
 
-# Deliberate overflow set: these thirteen wait for CORRECTNESS_r07 —
+# Deliberate overflow set: these fourteen wait for CORRECTNESS_r07 —
 # chosen because each carries an INDEPENDENT exactness proof beyond
 # the local parity test (kmv/ams: in-query merge==direct / exact-F2
 # ground-truth columns; incremental_agg: CDC vs recomputed oracle
@@ -131,7 +131,7 @@ _CHECK_LAST = [
     "ams_f2_estimate", "doc_stats_map_in_arrow", "format_roundtrip_scan",
     "user_active_coverage", "ewma_event_value", "session_peak_concurrency",
     "part_name_edit_pairs", "event_transition_matrix",
-    "pareto_part_frontier", "trade_min_cost_paths",
+    "pareto_part_frontier", "trade_min_cost_paths", "bigram_surprisal_score",
 ]
 
 

@@ -1217,3 +1217,66 @@ def trade_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("contrib_scaled"),
         )
     )
+
+
+_RECURSIVE_REACH_SQL = """
+    , reach AS (
+      SELECT (SELECT min(n_name) FROM nation) AS node, 0 AS hops
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hops < 3
+    )
+    SELECT n.n_name AS nation,
+           CAST(COALESCE(MIN(r.hops), -1) AS INT) AS hops
+    FROM nation n LEFT JOIN reach r ON r.node = n.n_name
+    GROUP BY n.n_name
+    """
+
+
+@query(
+    "recursive_cte_reachability",
+    oracle=_TRADE_EDGE_SQL.replace("WITH pair AS", "WITH RECURSIVE pair AS", 1)
+    + _RECURSIVE_REACH_SQL,
+)
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE, end-to-end — the SQL surface that
+    finally expresses iterative graph traversal declaratively (until
+    4.x the engine's answer was the hand-rolled Pregel loops in
+    operators/graph.py; bfs_hops computes these exact numbers
+    imperatively): 3-hop reachability from the alphabetically-first
+    nation over the trade graph, min hop count per node, -1 for
+    unreached. Both engines run the IDENTICAL ``WITH RECURSIVE``
+    text against the same edge derivation, so the driver hash pins
+    Spark's recursive-CTE evaluation itself (row production, the
+    hop-bound termination, the UNION ALL frontier semantics) against
+    DuckDB's.
+
+    Scale: each recursive step is a join of the current frontier
+    against the edge list — the same shuffle shape as the manual BFS,
+    now planned by the engine. The hop bound caps path enumeration
+    (UNION ALL enumerates WALKS, so an unbounded recursion on a
+    cyclic graph never terminates — the WHERE hops < k guard is
+    load-bearing on BOTH engines); the final MIN collapses walks to
+    distances. Prefer bfs_hops' frontier-dedup loop when path
+    multiplicity explodes — walks grow with edge^hops, frontiers
+    don't."""
+    edges = _trade_edges(spark, sf_dir)
+    edges.createOrReplaceTempView("__rec_reach_edges")
+    nations = _t(spark, sf_dir, "nation")
+    nations.createOrReplaceTempView("__rec_reach_nation")
+    sql = (
+        "WITH RECURSIVE reach AS ("
+        "  SELECT (SELECT min(n_name) FROM __rec_reach_nation) AS node,"
+        "         0 AS hops"
+        "  UNION ALL"
+        "  SELECT e.dst, r.hops + 1"
+        "  FROM reach r JOIN __rec_reach_edges e ON e.src = r.node"
+        "  WHERE r.hops < 3"
+        ") "
+        "SELECT n.n_name AS nation,"
+        "       CAST(COALESCE(MIN(r.hops), -1) AS INT) AS hops "
+        "FROM __rec_reach_nation n LEFT JOIN reach r ON r.node = n.n_name "
+        "GROUP BY n.n_name"
+    )
+    return spark.sql(sql)
