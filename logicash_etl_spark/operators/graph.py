@@ -1,9 +1,13 @@
 """Iterative graph operators — connected components for dedup clusters.
 
 Near-dup detection yields PAIRS; deduplication needs CLUSTERS (keep
-one canonical doc per component of the similarity graph). Spark has no
-recursive CTE, so this is the engine's representative *iterative*
-algorithm, with two execution strategies picked adaptively:
+one canonical doc per component of the similarity graph). Spark 4 does
+ship a recursive CTE (pinned by queries/tpch_shapes.py:
+recursive_cte_reachability), but its UNION ALL recursion enumerates
+WALKS — on a cyclic similarity graph that's edge^depth rows before the
+final dedup, where the loops here carry frontier/star state only. So
+these operators remain the engine's scalable *iterative* path, with
+two execution strategies picked adaptively:
 
 - **driver union-find** when the edge list fits on the driver
   (near-dup edge lists are orders of magnitude smaller than the corpus
