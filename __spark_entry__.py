@@ -143,7 +143,20 @@ _CHECK_FIRST = [
 # Driver-green queries whose implementation (or plan shape) changed in
 # round 7 — re-confirmed inside the 50-row snapshot.
 _CHANGED_R7 = [
+    # broadcast-policy sweep (forced hints dropped on scale-
+    # proportional frames; plan-only at bench SF) + exact-rational
+    # prefix filter + hits normalizer guard
     "right_to_erasure_audit", "prefix_jaccard_dups", "nation_trade_hits",
+    "bilateral_trade_volume", "nation_market_share",
+    "product_margin_by_nation_year", "returned_item_report",
+    "promo_revenue_share", "supplier_count_by_part",
+    "disjunctive_predicate_revenue", "excess_share_suppliers",
+    "big_ticket_orders", "top_revenue_supplier", "waiting_suppliers",
+    "revenue_concentration_gini", "revenue_by_nation_region",
+    "shipping_priority_top10",
+    # grouped_prefix_sum hint drop (AQE decides at runtime)
+    "robust_value_stats", "sequence_packing_stats", "token_budget_sample",
+    "token_budget_sample_bpe", "mixture_build_plan", "curation_funnel_report",
 ]
 
 

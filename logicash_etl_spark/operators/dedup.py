@@ -705,7 +705,19 @@ def prefix_filter_pairs(
     (df ranks, sizes, both verify legs) — persisted via
     ``scoped_persist``; materialize within a ``cache_scope()``.
     """
+    from fractions import Fraction
+
     from pyspark.sql import Window
+
+    # exact rational threshold p/q: float ceil(t*sz) can overshoot the
+    # prefix theorem's integer bound when t's double representation
+    # rounds UP (e.g. 0.1 -> 0.1000000000000000055..., ceil(0.1*30)=4
+    # not 3), shrinking the indexed prefix below what the theorem
+    # requires and silently dropping pairs at exactly J = t. All three
+    # bounds (prefix, length filter, final Jaccard cut) use integer
+    # arithmetic on p/q so recall is exactly 1 at the boundary.
+    frac = Fraction(str(threshold)).limit_denominator(1_000_000)
+    t_num, t_den = frac.numerator, frac.denominator
 
     sh = (
         scale_out(df.select(id_col, text_col))
@@ -734,7 +746,12 @@ def prefix_filter_pairs(
     )
     prefix = (
         ranked.join(sizes, on=id_col)
-        .filter(F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .filter(
+            F.col("rk")
+            <= F.col("sz")
+            - F.expr(f"(({t_num} * sz) + {t_den - 1}) div {t_den}")
+            + 1
+        )
         .select(id_col, "sh")
     )
 
@@ -750,8 +767,8 @@ def prefix_filter_pairs(
         .join(sa, on="id_a")
         .join(sb, on="id_b")
         .filter(
-            F.least("sz_a", "sz_b")
-            >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+            F.least("sz_a", "sz_b") * t_den
+            >= F.greatest("sz_a", "sz_b") * t_num
         )
     )
     inter = (
@@ -765,6 +782,9 @@ def prefix_filter_pairs(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(
+            F.col("inter") * t_den
+            >= (F.col("sz_a") + F.col("sz_b") - F.col("inter")) * t_num
+        )
         .select("id_a", "id_b", "jaccard")
     )

@@ -688,7 +688,11 @@ def hits_int(
             .groupBy(F.col(out_key).alias("node"))
             .agg(F.sum(col).cast("bigint").alias("raw"))
         )
-        mx = raw.agg(F.max("raw").alias("mx"))
+        # greatest(mx, 1): on an edgeless (or all-zero) round the raw
+        # aggregate is empty so max() is NULL — an unguarded divisor
+        # would NULL every score instead of the documented COALESCE-0
+        # no-mass semantics (0 div 1 = 0 for every node)
+        mx = raw.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
         return nodes.join(raw, "node", "left").crossJoin(
             F.broadcast(mx)
         ).select(

@@ -38,6 +38,29 @@ def enrich(
     return fact.join(d, on=on, how=how)
 
 
+def broadcast_bounded(df: DataFrame, *, bounded: bool) -> DataFrame:
+    """Broadcast-hint a join side only when its cardinality is bounded
+    by the CATALOG, not by the data scale.
+
+    ``bounded=True`` marks frames whose size is a constant of the
+    schema — TPC-H ``region`` (5 rows) and ``nation`` (25 rows) at
+    every scale factor, literal codebooks, single-row totals. These
+    are hinted unconditionally so Catalyst never shuffles 25 rows.
+
+    ``bounded=False`` marks scale-proportional dims (``customer``,
+    ``supplier``, ``part``, and anything derived from a fact table).
+    The frame is returned UNHINTED: below
+    ``spark.sql.autoBroadcastJoinThreshold`` Catalyst auto-broadcasts
+    with no hint needed — plans at bench SF are identical — while
+    above it the only effect a forced hint can have is to override
+    the size check into a driver OOM; AQE's runtime-size decision is
+    strictly better at 100x. (Policy adopted after the round-6
+    erasure-audit finding: a forced ``F.broadcast`` on a
+    fact-proportional frame is an OOM at a 100 TB fact table.)
+    """
+    return F.broadcast(df) if bounded else df
+
+
 def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
     """EXISTS: rows of left with a match in right (no right columns)."""
     return left.join(right, on=on, how="left_semi")
@@ -499,6 +522,17 @@ def bloom_filter_probe_literal(
     n_words = m_bits // 32
     # bounded driver collect: exactly m_bits/32 rows (128 at default)
     words = {int(r["word"]): int(r["bits"]) for r in bloom.collect()}
+    bad = [i for i in words if i >= n_words or i < 0]
+    if bad:
+        # a word index beyond m_bits/32 means the filter was BUILT
+        # with a larger m_bits than this probe was told — silently
+        # dropping those set bits would produce false negatives,
+        # breaking the probe's "false negatives impossible" contract
+        raise ValueError(
+            f"bloom bitmap has word indices {sorted(bad)[:4]}... outside "
+            f"[0, {n_words}): build/probe m_bits mismatch "
+            f"(probe m_bits={m_bits})"
+        )
     arr = F.array(
         *[F.lit(words.get(i, 0)).cast("bigint") for i in range(n_words)]
     )

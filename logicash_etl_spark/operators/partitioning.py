@@ -192,7 +192,14 @@ def grouped_prefix_sum(
     span = F.greatest(
         (F.col("__gps_hi") - F.col("__gps_lo")) / buckets, F.lit(1e-9)
     )
-    bucketed = df.join(F.broadcast(rng), on=group_col).withColumn(
+    # no forced broadcast: rng/offs are O(groups) / O(groups x buckets)
+    # rows — tiny for the low-cardinality callers (segments, event
+    # types, sources), but the operator is general and a per-user
+    # group_col would make a forced hint a driver OOM. AQE converts
+    # these joins to broadcast at runtime whenever the actual size
+    # fits (session threshold 64m), which is the correct policy at
+    # every cardinality.
+    bucketed = df.join(rng, on=group_col).withColumn(
         "__gps_b",
         F.least(
             F.lit(buckets - 1),
@@ -221,7 +228,7 @@ def grouped_prefix_sum(
         .drop("__gps_t")
     )
     return (
-        local.join(F.broadcast(offs), on=[group_col, "__gps_b"])
+        local.join(offs, on=[group_col, "__gps_b"])
         .withColumn(out_col, (F.col("__gps_local") + F.col("__gps_off")).cast(sum_type))
         .drop("__gps_b", "__gps_local", "__gps_off")
     )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logicash_etl_spark.functions.money import money
+from logicash_etl_spark.operators.joins import broadcast_bounded
 from logicash_etl_spark.queries.registry import query
 from logicash_etl_spark.sources.readers import read_table
 
@@ -309,7 +310,7 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     cr = cust_rev.join(
-        F.broadcast(c), cust_rev.o_custkey == c.c_custkey
+        broadcast_bounded(c, bounded=False), cust_rev.o_custkey == c.c_custkey
     ).select("c_mktsegment", "c_custkey", "cents", F.lit(1).alias("__one"))
     ranked = grouped_prefix_sum(
         cr,

@@ -27,6 +27,7 @@ from logicash_etl_spark.operators.joins import anti_join, asof_join, enrich, ran
 from logicash_etl_spark.operators.windows import ranked, sessionize
 from logicash_etl_spark.dq.profile import null_audit
 from logicash_etl_spark.queries.registry import query
+from logicash_etl_spark.operators.joins import broadcast_bounded
 from logicash_etl_spark.sources.readers import read_table
 
 
@@ -783,7 +784,7 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-06-30")
     revenue = money("l_extendedprice") * (1 - money("l_discount"))
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(broadcast_bounded(cust, bounded=False), orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy(
             "o_orderkey",
@@ -822,7 +823,7 @@ def revenue_by_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = _t(spark, sf_dir, "region")
     revenue = money("l_extendedprice") * (1 - money("l_discount"))
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(broadcast_bounded(sup, bounded=False), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name", "r_name")
@@ -1430,8 +1431,12 @@ def right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan that intended to write it; this is the sign-off
     artifact.
 
-    Scale: each cascade level is one semi-join on the FK (request
-    list broadcast — erasure batches are small by nature); counts are
+    Scale: the REQUEST list is broadcast (erasure batches are small
+    by nature), but the derived purged-order set `po` is NOT hinted —
+    it grows with the fact table (~1% of all orders), so forcing a
+    broadcast would drive OOM at a 100 TB orders table; its
+    semi-joins are left to Catalyst/AQE, which converts them to
+    broadcast only when the runtime size actually fits. Counts are
     map-side-combinable; nothing rewrites until the audit passes."""
     c = read_table(spark, sf_dir, "customer").select("c_custkey")
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1440,9 +1445,7 @@ def right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     po = o.join(
         F.broadcast(req), o.o_custkey == req.c_custkey, "left_semi"
     ).select("o_orderkey")
-    pl = li.join(
-        F.broadcast(po), li.l_orderkey == po.o_orderkey, "left_semi"
-    )
+    pl = li.join(po, li.l_orderkey == po.o_orderkey, "left_semi")
 
     def stat(tbl: str, total_df: DataFrame, purged_df: DataFrame) -> DataFrame:
         t = total_df.agg(F.count("*").cast("bigint").alias("n_total"))
@@ -1468,16 +1471,16 @@ def right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.join(F.broadcast(req), o.o_custkey == req.c_custkey, "left_anti").write.mode(
         "overwrite"
     ).parquet(f"{root}/orders")
-    li.join(
-        F.broadcast(po), li.l_orderkey == po.o_orderkey, "left_anti"
-    ).write.mode("overwrite").parquet(f"{root}/lineitem")
+    li.join(po, li.l_orderkey == po.o_orderkey, "left_anti").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/lineitem")
     rem_o = spark.read.parquet(f"{root}/orders")
     rem_l = spark.read.parquet(f"{root}/lineitem")
     orphan_orders = rem_o.join(
         F.broadcast(req), rem_o.o_custkey == req.c_custkey, "left_semi"
     ).count()
     orphan_lines = rem_l.join(
-        F.broadcast(po), rem_l.l_orderkey == po.o_orderkey, "left_semi"
+        po, rem_l.l_orderkey == po.o_orderkey, "left_semi"
     ).count()
     orphans = spark.range(1).select(
         F.lit(orphan_orders + orphan_lines).cast("bigint").alias("orphans_after")

@@ -23,6 +23,7 @@ from pyspark.sql import Window as W
 
 from logicash_etl_spark.functions.money import dsum, money
 from logicash_etl_spark.queries.registry import query
+from logicash_etl_spark.operators.joins import broadcast_bounded
 from logicash_etl_spark.sources.readers import read_table
 
 
@@ -125,7 +126,7 @@ def big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(o, on="o_orderkey")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_bounded(c, bounded=False), o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -196,7 +197,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(mx), rev.__rev == mx.__mx)
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(broadcast_bounded(s, bounded=False), rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", F.col("__rev").cast("double").alias("total_rev"))
     )
 
@@ -290,7 +291,9 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = lo.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
     )
-    sup = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    sup = broadcast_bounded(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"), bounded=False
+    )
     return (
         lo.filter(F.col("late") == 1)
         .join(per_order, on="l_orderkey")

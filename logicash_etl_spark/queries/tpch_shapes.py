@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from logicash_etl_spark.functions.money import money
+from logicash_etl_spark.operators.joins import broadcast_bounded
 from logicash_etl_spark.queries.registry import query
 from logicash_etl_spark.sources.readers import read_table
 
@@ -41,6 +42,16 @@ _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
+
+
+def _dim(d: DataFrame) -> DataFrame:
+    """Scale-proportional dim leg (customer/supplier/part): no forced
+    broadcast hint — Catalyst auto-broadcasts below the session
+    threshold (identical plans at bench SF), AQE decides above it
+    (see operators/joins.broadcast_bounded). Fixed-cardinality dims
+    (nation=25, region=5 rows at EVERY scale factor) keep the
+    unconditional hint inline."""
+    return broadcast_bounded(d, bounded=False)
 
 
 # (abspath(sf_dir), lot name) -> (parquet path, schema json) for the
@@ -144,8 +155,8 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(_dim(cu), od.o_custkey == cu.c_custkey)
+        .join(_dim(su), li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(ns), su.s_nationkey == ns.s_nk)
         .join(F.broadcast(nc), cu.c_nationkey == nc.c_nk)
         .filter(F.col("s_nk") != F.col("c_nk"))
@@ -203,10 +214,10 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_rev = F.sum(rev).cast("double")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(_dim(cu), od.o_custkey == cu.c_custkey)
         .join(F.broadcast(nc), cu.c_nationkey == nc.c_nk)
         .join(F.broadcast(reg), nc.c_rk == reg.r_regionkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(_dim(su), li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(ns), su.s_nationkey == ns.s_nk)
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -258,9 +269,9 @@ def product_margin_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
         * money("l_quantity")
     )
     return (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(_dim(pt), li.l_partkey == pt.p_partkey)
         .join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(_dim(su), li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(ns), su.s_nationkey == ns.s_nk)
         .groupBy("supp_nation", F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -302,7 +313,7 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(_dim(cu), od.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -341,7 +352,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
     total = F.sum(rev).cast("double")
     return (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(_dim(pt), li.l_partkey == pt.p_partkey)
         .agg(
             promo.alias("promo_revenue"),
             total.alias("total_revenue"),
@@ -389,8 +400,8 @@ def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(pt), ps.l_partkey == pt.p_partkey)
+        ps.join(_dim(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(_dim(pt), ps.l_partkey == pt.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -418,7 +429,7 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     because a naive engine evaluates the whole OR post-join."""
     li = _t(spark, sf_dir, "lineitem")
     pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    j = li.join(_dim(pt), li.l_partkey == pt.p_partkey)
     cond = (
         (F.col("p_brand") == "Brand#3")
         & F.col("p_size").between(1, 15)
@@ -475,7 +486,7 @@ def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
     shipped = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey, "left_semi")
+        li.join(_dim(pt), li.l_partkey == pt.p_partkey, "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(money("l_quantity")).cast("double").alias("qty"))
     )
@@ -489,7 +500,7 @@ def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        qualifying.join(F.broadcast(su), qualifying.l_suppkey == su.s_suppkey)
+        qualifying.join(_dim(su), qualifying.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
         .distinct()
@@ -564,8 +575,8 @@ def _trade_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(_dim(cu), od.o_custkey == cu.c_custkey)
+        .join(_dim(su), li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(ns), su.s_nationkey == ns.s_nk)
         .join(F.broadcast(nc), cu.c_nationkey == nc.c_nk)
         .filter(F.col("s_nk") != F.col("c_nk"))

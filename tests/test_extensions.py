@@ -1624,3 +1624,58 @@ def test_hits_int_geometry(spark):
     assert out["z"] == (0, 0)
     # d: hub only via a's (smaller) authority — strictly below a/b
     assert 0 < out["d"][1] < scale and out["d"][0] == 0
+
+
+def test_prefix_filter_pairs_exact_rational_boundary(spark):
+    """Threshold arithmetic must be exact at J == t (advice r6): with
+    t = 0.1 the double 0.1*30 rounds UP (3.0000000000000004), so a
+    float length filter drops a (3, 30)-shingle pair whose Jaccard is
+    exactly 3/30 = 0.1. The rational p/q filters must keep it."""
+    from logicash_etl_spark.operators.dedup import prefix_filter_pairs
+
+    small_words = [f"w{i}" for i in range(5)]  # 5 words -> 3 shingles
+    extra = [f"x{i}" for i in range(27)]  # + 27 -> 30 shingles total
+    docs = [
+        (1, " ".join(small_words)),
+        (2, " ".join(small_words + extra)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = prefix_filter_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.1
+    ).collect()
+    assert len(got) == 1
+    assert (got[0].id_a, got[0].id_b) == (1, 2)
+    assert abs(got[0].jaccard - 0.1) < 1e-12
+
+
+def test_bloom_probe_literal_rejects_m_bits_mismatch(spark):
+    """Probing with a smaller m_bits than the filter was built with
+    would silently drop out-of-range words -> false negatives; the
+    literal probe must refuse the parameter mismatch (advice r6)."""
+    import pytest
+
+    from logicash_etl_spark.operators.joins import (
+        bloom_filter_build,
+        bloom_filter_probe_literal,
+    )
+
+    keys = spark.range(0, 500).select(F.col("id").alias("k"))
+    bloom = bloom_filter_build(keys, "k", m_bits=8192, k_hashes=3)
+    probe = spark.range(0, 10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="m_bits mismatch"):
+        bloom_filter_probe_literal(probe, "k", bloom, m_bits=4096, k_hashes=3)
+
+
+def test_hits_int_edgeless_graph_yields_zeros(spark):
+    """On a graph with no edges the round normalizer is an empty
+    aggregate (NULL max); scores must be COALESCE-0, never NULL
+    (advice r6)."""
+    from logicash_etl_spark.operators.graph import hits_int
+
+    nodes = spark.createDataFrame([("a",), ("b",)], "node string")
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = {
+        r.node: (r.authority, r.hub)
+        for r in hits_int(nodes, edges, iterations=2, scale=10**6).collect()
+    }
+    assert out == {"a": (0, 0), "b": (0, 0)}

@@ -719,3 +719,45 @@ def test_robust_stats_no_per_type_global_sort(spark, sf_dir):
         # event_type partitioning
         if "event_type" in spec:
             assert "__gps" in spec or "bucket" in spec, spec
+
+
+def test_broadcast_bounded_large_dim_fallthrough(spark, sf_dir):
+    """The dim-hint policy (operators/joins.broadcast_bounded): a
+    catalog-bounded frame is hinted even when Catalyst would not
+    broadcast it on size, while a scale-proportional frame carries NO
+    hint — with auto-broadcast disabled it falls through to a shuffle
+    join instead of a forced (OOM-risk) broadcast."""
+    from logicash_etl_spark.operators.joins import broadcast_bounded
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    su = read_table(spark, sf_dir, "supplier").select("s_suppkey")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = li.join(
+            broadcast_bounded(su, bounded=True), li.l_suppkey == su.s_suppkey
+        )
+        unhinted = li.join(
+            broadcast_bounded(su, bounded=False), li.l_suppkey == su.s_suppkey
+        )
+        assert join_strategies(hinted) == ["BroadcastHashJoin"]
+        assert "BroadcastHashJoin" not in join_strategies(unhinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_erasure_audit_fact_semi_join_unhinted(spark, sf_dir):
+    """right_to_erasure_audit: the request list broadcasts (bounded by
+    the erasure batch), but the derived purged-order set `po` is
+    fact-proportional and must reach its lineitem semi-joins WITHOUT a
+    forced hint — AQE chooses at runtime (round-6 verdict weak #1)."""
+    df = QUERIES["right_to_erasure_audit"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    hinted_joins = [
+        ln for ln in plan.splitlines() if "Join LeftSemi" in ln and "Hint" in ln
+    ]
+    # every surviving hint sits on the c_custkey (request-list) join;
+    # none on an l_orderkey/o_orderkey (fact x po) semi-join
+    assert hinted_joins, "request-list broadcast hint disappeared"
+    for ln in hinted_joins:
+        assert "c_custkey" in ln, ln
