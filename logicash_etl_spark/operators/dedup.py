@@ -752,24 +752,57 @@ def prefix_filter_pairs(
             - F.expr(f"(({t_num} * sz) + {t_den - 1}) div {t_den}")
             + 1
         )
-        .select(id_col, "sh")
+        .select(id_col, "sh", "rk")
     )
 
-    a = prefix.select(F.col(id_col).alias("id_a"), "sh")
-    b = prefix.select(F.col(id_col).alias("id_b"), "sh")
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "sh", F.col("rk").alias("__rka")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "sh", F.col("rk").alias("__rkb")
+    )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    # POSITIONAL filtering (PPJoin, Xiao et al. WWW'08, set-based
+    # aggregate form a la Vernica et al. SIGMOD'10): for a candidate
+    # pair let c = #shared PREFIX tokens and (pmax_a, pmax_b) the
+    # ranks of the globally-LAST shared prefix token in each doc.
+    # Because ranks follow one global total order, any shared token
+    # NOT in both prefixes must order after that token in BOTH docs
+    # (a shared token ranked before it in both would land inside both
+    # prefixes and be counted in c), so
+    #   overlap <= c + min(sz_a - pmax_a, sz_b - pmax_b),
+    # while J >= t requires overlap*(p+q) >= p*(sz_a+sz_b) exactly.
+    # The groupBy replaces the old distinct() (same shuffle, same
+    # key), so the filter is free; it only shrinks the verify join's
+    # fan-in. Exact rational arithmetic throughout (see above).
     cand = (
         a.join(b, on="sh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("__c"),
+            F.max("__rka").alias("__pa"),
+            F.max("__rkb").alias("__pb"),
+        )
         .join(sa, on="id_a")
         .join(sb, on="id_b")
         .filter(
             F.least("sz_a", "sz_b") * t_den
             >= F.greatest("sz_a", "sz_b") * t_num
         )
+        .filter(
+            (
+                F.col("__c")
+                + F.least(
+                    F.col("sz_a") - F.col("__pa"),
+                    F.col("sz_b") - F.col("__pb"),
+                )
+            )
+            * (t_num + t_den)
+            >= (F.col("sz_a") + F.col("sz_b")) * t_num
+        )
+        .drop("__c", "__pa", "__pb")
     )
     inter = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), "sh"), on="id_a")
