@@ -157,6 +157,14 @@ _CHANGED_R7 = [
     # grouped_prefix_sum hint drop (AQE decides at runtime)
     "robust_value_stats", "sequence_packing_stats", "token_budget_sample",
     "token_budget_sample_bpe", "mixture_build_plan", "curation_funnel_report",
+    # drain-lifecycle rework: persistent checkpoints + parquet sinks
+    # (incremental warm re-drains; memory sinks retired)
+    "streaming_tumbling_counts", "streaming_session_windows",
+    "streaming_stateful_counts", "streaming_dedup_counts",
+    "streaming_interval_join", "streaming_upsert_scd1",
+    "stream_static_enrich", "streaming_incremental_dedup",
+    "streaming_late_data_audit", "streaming_outer_interval_join",
+    "streaming_jittered_dedup",
 ]
 
 

@@ -116,6 +116,7 @@ def run_available_now_foreach_batch(
     checkpoint_dir: str,
     batch_fn,
     state_partitions: int | None = None,
+    output_mode: str | None = None,
 ) -> None:
     """Drain via foreachBatch: each micro-batch arrives as a normal
     batch DataFrame with an epoch id — the exactly-once custom-sink
@@ -134,9 +135,13 @@ def run_available_now_foreach_batch(
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
+        writer = stream_df.writeStream.foreachBatch(batch_fn)
+        if output_mode is not None:
+            # stateful operators (applyInPandasWithState) require the
+            # query's mode to match the operator's declared one
+            writer = writer.outputMode(output_mode)
         q = (
-            stream_df.writeStream.foreachBatch(batch_fn)
-            .option("checkpointLocation", checkpoint_dir)
+            writer.option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
         )

@@ -165,6 +165,13 @@ def main() -> None:
     build_sec = round(time.perf_counter() - t0, 1)
 
     def run(name: str, sf_dir: str) -> float:
+        # cold drains every run: streaming checkpoints/sinks are
+        # memoized per (query, sf) for incremental re-invocation, but
+        # a scaling ratio must compare FULL drain work at both
+        # volumes, not the constant no-new-files warm path
+        from logicash_etl_spark.queries.streaming import clear_drains
+
+        clear_drains()
         t = time.perf_counter()
         try:
             QUERIES[name](spark, sf_dir).count()

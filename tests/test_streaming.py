@@ -703,3 +703,36 @@ def test_late_data_split_watermark_metrics(spark, sf_dir):
     # late input reached the aggregation state (the values themselves
     # are pinned by the query's oracle hash)
     assert progress[1]["stateOperators"][0]["numRowsUpdated"] > 0
+
+
+def test_warm_redrain_returns_identical_results(spark, sf_smoke):
+    """The drain-lifecycle contract (queries/streaming module
+    docstring): a second invocation in the same process re-starts the
+    checkpointed query, drains zero new files, and returns EXACTLY the
+    rows of the first (cold) drain — for an aggregate drain, a
+    stream-stream join drain, and the foreachBatch upsert drain.
+    clear_drains() then restores the cold path (scaling hook)."""
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.queries.streaming import _DRAIN_MEMO, clear_drains
+
+    for name in (
+        "streaming_tumbling_counts",
+        "streaming_interval_join",
+        "streaming_upsert_scd1",
+    ):
+        cold = sorted(map(str, QUERIES[name](spark, sf_smoke).collect()))
+        warm = sorted(map(str, QUERIES[name](spark, sf_smoke).collect()))
+        assert cold == warm, name
+        assert cold, name
+    keys_before = set(_DRAIN_MEMO)
+    assert keys_before
+    clear_drains()
+    assert not _DRAIN_MEMO
+    # cold again after the clear: fresh checkpoint, same rows
+    again = sorted(
+        map(str, QUERIES["streaming_tumbling_counts"](spark, sf_smoke).collect())
+    )
+    cold2 = sorted(
+        map(str, QUERIES["streaming_tumbling_counts"](spark, sf_smoke).collect())
+    )
+    assert again == cold2
