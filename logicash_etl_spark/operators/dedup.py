@@ -804,11 +804,37 @@ def prefix_filter_pairs(
         )
         .drop("__c", "__pa", "__pb")
     )
+    # VERIFY on compact per-doc shingle arrays: joining each survivor
+    # back to the exploded posting frame costs candidates x
+    # shingles-per-doc intermediate rows (measured ~18M at sf0.1)
+    # plus a pair-keyed shuffle to count; two array lookups plus a
+    # row-local array_intersect touch the same data as ~2 bigints per
+    # shingle with NO post-join shuffle. The arrays are per-document
+    # (bounded by the doc's own shingle count, df-capped corpus-wide),
+    # so rows stay small at any corpus size.
+    doc_sets = sh.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("sh")).alias("__set")
+    )
     inter = (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), "sh"), on="id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), "sh"), on=["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"), F.first("sz_a").alias("sz_a"), F.first("sz_b").alias("sz_b"))
+        cand.join(
+            doc_sets.select(
+                F.col(id_col).alias("id_a"), F.col("__set").alias("__seta")
+            ),
+            on="id_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col(id_col).alias("id_b"), F.col("__set").alias("__setb")
+            ),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("__seta", "__setb")).alias("inter"),
+        )
     )
     return (
         inter.withColumn(

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logicash_etl_spark.functions.money import dsum
+from logicash_etl_spark.operators.joins import broadcast_bounded
 from logicash_etl_spark.queries.registry import query
 from logicash_etl_spark.sources.readers import read_table
 
@@ -840,8 +841,8 @@ def copurchase_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"), F.col("n").alias("__nb")
     )
     return (
-        pairs.join(F.broadcast(fa), "part_a")
-        .join(F.broadcast(fb), "part_b")
+        pairs.join(broadcast_bounded(fa, bounded=False), "part_a")
+        .join(broadcast_bounded(fb, bounded=False), "part_b")
         .crossJoin(F.broadcast(tot))
         .select(
             "part_a",
