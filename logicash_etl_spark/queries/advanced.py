@@ -817,6 +817,15 @@ def copurchase_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = items.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
     )
+    # a-priori downward closure is the scale knob NOT applied here: a
+    # pair reaches support >= 3 only if both items appear in >= 3
+    # baskets, so on a long-tail item distribution a pre-pass
+    # frequency semi-join shrinks the pair fan-out to the
+    # frequent-item skeleton with the result exactly unchanged. The
+    # fixture has NO infrequent items (every part sells >= 3 times at
+    # every SF), so the semi-join would cost a shuffle and prune zero
+    # rows — measured strictly slower; enable it where min-support
+    # actually bites.
     a = items.alias("a")
     b = items.alias("b")
     pairs = (
