@@ -165,6 +165,8 @@ _CHANGED_R7 = [
     "stream_static_enrich", "streaming_incremental_dedup",
     "streaming_late_data_audit", "streaming_outer_interval_join",
     "streaming_jittered_dedup",
+    # join-free source rollup / unhinted frequency joins
+    "repeated_passage_report", "copurchase_lift_top20",
 ]
 
 

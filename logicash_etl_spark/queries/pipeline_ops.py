@@ -563,8 +563,13 @@ def repeated_passage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise dedup runs. Unlike pairwise Jaccard there is NO pair
     join anywhere: a passage in k docs costs k index rows (linear),
     so the plan survives hot boilerplate passages that would k^2 a
-    pair generator. Two shuffles total (index groupBy, source
-    rollup), all JVM built-ins."""
+    pair generator. Two shuffles total and no join: the passage
+    frame is (doc, h)-unique by construction (array_distinct), so
+    one groupBy(h) yields df as a plain count PLUS the passage's
+    source set (collect_set — bounded by source cardinality, ~20
+    here, never by docs), and exploding that set gives one row per
+    (source, passage) for a plain-count source rollup — no
+    countDistinct expansion anywhere."""
     docs = read_table(spark, sf_dir, "documents")
     sh = (
         docs.select(
@@ -577,13 +582,16 @@ def repeated_passage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    freq = sh.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    per_h = sh.groupBy("h").agg(
+        F.count("*").alias("df"),
+        F.collect_set("source").alias("__srcs"),
+    )
     return (
-        sh.join(freq, on="h")
+        per_h.select(F.explode("__srcs").alias("source"), "df")
         .groupBy("source")
         .agg(
-            F.countDistinct("h").alias("n_distinct_passages"),
-            F.countDistinct(F.when(F.col("df") >= 2, F.col("h"))).alias(
+            F.count("*").alias("n_distinct_passages"),
+            F.count(F.when(F.col("df") >= 2, F.lit(1))).alias(
                 "n_shared_passages"
             ),
         )
