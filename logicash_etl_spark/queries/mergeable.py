@@ -676,8 +676,11 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the point of the algebra is that the base x base term is
     a STORED view (here recomputed to close the proof; in production
     its partial aggregate is a read), so an update costs only the
-    delta terms — dA x B and A x dB each broadcast the delta side
-    against one base-table scan, dA x dB is small x small, and
+    delta terms — dA x B and A x dB each put the DELTA side up for
+    broadcast against one base-table scan (no forced hint: a real CDC
+    batch is auto-broadcast by size, while a backfill-scale delta
+    degrades to a shuffle join instead of a driver OOM — the
+    broadcast_bounded policy), dA x dB is small x small, and
     nothing ever re-joins base against base. Partial-aggregate
     merging is what makes the maintenance associative: month rows
     add, they never need the underlying lines."""
@@ -695,8 +698,13 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     l0, dl = li.filter(~F.col("d_l")), li.filter(F.col("d_l"))
 
     def part(ox: DataFrame, lx: DataFrame, broadcast_left: bool) -> DataFrame:
-        ox = F.broadcast(ox) if broadcast_left else ox
-        lx = lx if broadcast_left else F.broadcast(lx)
+        from logicash_etl_spark.operators.joins import broadcast_bounded
+
+        # the intended-small (delta) side is marked, never forced:
+        # fixture deltas are fact-proportional (1/9, 1/11), so a
+        # forced hint is exactly the erasure-audit OOM pattern
+        ox = broadcast_bounded(ox, bounded=False) if broadcast_left else ox
+        lx = lx if broadcast_left else broadcast_bounded(lx, bounded=False)
         return (
             ox.join(lx, ox["o_orderkey"] == lx["l_orderkey"])
             .groupBy("month")
