@@ -571,21 +571,28 @@ def _pq_book_sql(book: list[list[float]]) -> str:
 
 def _pq_sqdist_sql(books: list[list[list[float]]], dsub: int, vec: str) -> list[str]:
     """Per-subspace SQL expressions: array of squared L2 distances
-    from ``vec``'s subvector to each centroid, fully expanded
-    arithmetic. Built as TEXT and parsed server-side in one shot — a
-    Column-object build of the same tree costs thousands of py4j
-    round trips (measured ~10 s per query at m=8, k=16) for an
-    expression Catalyst parses from text in milliseconds."""
+    from ``vec``'s subvector to each centroid — the codebook as an
+    array<array<double>> LITERAL scanned by transform/zip_with/
+    aggregate lambdas. Built as TEXT and parsed server-side in one
+    shot: a Column-object build of the same tree costs thousands of
+    py4j round trips (measured ~10 s per query at m=8, k=16) for an
+    expression Catalyst parses from text in milliseconds.
+
+    Why lambdas and not fully-expanded polynomials: the expanded form
+    (m*k*dsub pow terms in one projection — 1024 at the defaults)
+    exceeds janino's generated-method limits, so EVERY stage paid a
+    failed whole-stage-codegen compile (logged ERROR, ~0.5 s each)
+    before falling back to interpreted eval of the giant tree. The
+    lambda form keeps the codebook as DATA instead of code: the plan
+    stays small, codegen compiles, and the per-row work is the same
+    m*k*dsub multiply-adds."""
     out = []
     for s, book in enumerate(books):
-        dists = []
-        for cent in book:
-            terms = "+".join(
-                f"pow(element_at({vec},{s * dsub + i + 1})-{_d(ci)},2)"
-                for i, ci in enumerate(cent)
-            )
-            dists.append(f"({terms})")
-        out.append("array(" + ",".join(dists) + ")")
+        out.append(
+            f"transform({_pq_book_sql(book)}, c -> "
+            f"aggregate(zip_with(slice({vec},{s * dsub + 1},{dsub}), c, "
+            "(a,b) -> (a-b)*(a-b)), 0D, (acc,x) -> acc + x))"
+        )
     return out
 
 
