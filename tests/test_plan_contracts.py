@@ -761,3 +761,31 @@ def test_erasure_audit_fact_semi_join_unhinted(spark, sf_dir):
     assert hinted_joins, "request-list broadcast hint disappeared"
     for ln in hinted_joins:
         assert "c_custkey" in ln, ln
+
+
+def test_pq_expressions_compile_in_codegen(spark, sf_dir):
+    """The PQ encode + ADC expressions must COMPILE under whole-stage
+    codegen at production shape (m=8, k=16): the expanded-polynomial
+    form exceeded janino's generated-method limit, so every stage
+    paid a failed compile (logged ERROR) then interpreted the giant
+    tree. With codegen fallback disabled, a compile failure throws
+    instead of silently interpreting — pinning the literal-codebook
+    lambda form."""
+    from logicash_etl_spark.operators.similarity import (
+        pq_ann_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(
+        emb, dim=64, m=8, k_codes=16, iterations=1, train_sample=1024
+    )
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        assert pq_encode(emb, books).count() > 0
+        q = emb.filter(F.col("vec_id") < 2)
+        assert pq_ann_topk(emb, q, books, k=3, rerank_candidates=8).count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
