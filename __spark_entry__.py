@@ -150,7 +150,10 @@ _CHANGED_R7 = [
     "bilateral_trade_volume", "nation_market_share",
     "product_margin_by_nation_year", "returned_item_report",
     "promo_revenue_share", "supplier_count_by_part",
-    "disjunctive_predicate_revenue", "excess_share_suppliers",
+    # calendar_gap_fill: dims-domain correctness fix (sf0.001-visible)
+    # takes the slot of disjunctive_predicate_revenue, whose change
+    # was hint-only and is pinned by its plan test + local parity
+    "calendar_gap_fill", "excess_share_suppliers",
     "big_ticket_orders", "top_revenue_supplier", "waiting_suppliers",
     "revenue_concentration_gini", "revenue_by_nation_region",
     "shipping_priority_top10",

@@ -1004,8 +1004,14 @@ def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     every downstream window/trend computation needs. The calendar is
     generated with sequence()+explode from the observed span (no
     driver-side date loop); both generated dims are tiny -> both sides
-    of the fill join broadcast."""
-    orders = _t(spark, sf_dir, "orders").filter(
+    of the fill join broadcast. The priority dimension comes from the
+    FULL table, not the month window: densification must cover the
+    dimension's whole domain, or a priority with zero orders all
+    month silently loses its zero rows (exactly the gap the fill
+    exists to surface — caught at sf0.001, where one priority is
+    absent in January 1995)."""
+    all_orders = _t(spark, sf_dir, "orders")
+    orders = all_orders.filter(
         F.col("o_orderdate").between("1995-01-01", "1995-01-31")
     )
     span = orders.agg(
@@ -1014,7 +1020,7 @@ def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = span.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
     )
-    dims = orders.select(F.col("o_orderpriority").alias("prio")).distinct()
+    dims = all_orders.select(F.col("o_orderpriority").alias("prio")).distinct()
     actual = orders.groupBy(
         F.col("o_orderdate").alias("day"), F.col("o_orderpriority").alias("prio")
     ).agg(F.count("*").alias("n_orders"))
