@@ -87,13 +87,18 @@ def main() -> None:
     # treatment, now uniform instead of outlier-triggered: pass 1 pays
     # one-time costs the steady state never sees again (whole-stage
     # codegen compilation of large fold expressions — measured 5.7 s
-    # -> 1.5 s on the LSH query — GC pauses, shuffle-file cleanup);
-    # pass 2 measures the compiled plan. Lots are pre-built, so both
-    # passes run the same work and min() compares like with like.
+    # -> 1.5 s on the LSH query — GC pauses, shuffle-file cleanup;
+    # for streaming queries, the one-time COLD drain of the fixture
+    # lot — later passes are the checkpointed no-new-files re-drain,
+    # the steady state of the _READY pattern); pass 2 measures the
+    # warm path. Both passes are recorded per query (`first_pass` /
+    # `queries`) so the cold costs stay visible, not silently
+    # min'd away.
     timings: dict[str, float] = {}
+    first_pass: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in sorted(QUERIES):
-        timings[name] = run_one(name)
+        timings[name] = first_pass[name] = run_one(name)
     for name in sorted(QUERIES):
         second = run_one(name)
         if second >= 0:
@@ -133,6 +138,7 @@ def main() -> None:
         "unit": "sec",
         "raw_wall_clock": raw_wall,
         "queries": timings,
+        "first_pass": first_pass,
         "lot_build": lot_build,
         "lot_build_total": round(sum(lot_build.values()), 4),
         "lakehouse": lakehouse,
