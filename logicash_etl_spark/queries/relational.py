@@ -816,7 +816,10 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def revenue_by_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join: fact x three broadcast dims, filter pushed to the
-    fact scan. The 100 TB plan: no shuffle until the final groupBy."""
+    fact scan — nation/region by unconditional hint (fixed
+    cardinality), supplier by Catalyst's size check (unhinted; AQE
+    decides at scale). The 100 TB plan: no shuffle until the final
+    groupBy."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1996-01-01")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")

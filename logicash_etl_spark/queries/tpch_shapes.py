@@ -139,7 +139,10 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-nation trade flows by year. The only
     big-big join is lineitem x orders on orderkey (both sides bucket
     on orderkey at 100 TB so it co-locates); customer/supplier/nation
-    legs broadcast. The inequality ns<>nc is applied post-join on two
+    legs broadcast — nation by unconditional hint (25 rows at every
+    SF), customer/supplier by Catalyst's own size check (no forced
+    hint; AQE degrades them to shuffle joins when they outgrow the
+    threshold at scale). The inequality ns<>nc is applied post-join on two
     broadcast-resolved ints — free."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
