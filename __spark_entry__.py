@@ -149,11 +149,14 @@ _CHANGED_R7 = [
     "right_to_erasure_audit", "prefix_jaccard_dups", "nation_trade_hits",
     "bilateral_trade_volume", "nation_market_share",
     "product_margin_by_nation_year", "returned_item_report",
-    "promo_revenue_share", "supplier_count_by_part",
-    # calendar_gap_fill: dims-domain correctness fix (sf0.001-visible)
-    # takes the slot of disjunctive_predicate_revenue, whose change
-    # was hint-only and is pinned by its plan test + local parity
-    "calendar_gap_fill", "excess_share_suppliers",
+    "supplier_count_by_part",
+    # arithmetic/domain fixes take the slots of promo_revenue_share
+    # and disjunctive_predicate_revenue (both hint-only changes,
+    # pinned by their plan tests + local parity):
+    # - calendar_gap_fill: dims-domain fix (sf0.001-visible)
+    # - pricing_summary: precision-38 overflow in the charge chain
+    #   (sf1-visible 1-ulp sum divergence)
+    "calendar_gap_fill", "pricing_summary", "excess_share_suppliers",
     "big_ticket_orders", "top_revenue_supplier", "waiting_suppliers",
     "revenue_concentration_gini", "revenue_by_nation_region",
     "shipping_priority_top10",

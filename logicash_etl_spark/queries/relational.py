@@ -81,7 +81,11 @@ def flagship_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           -- VARCHAR hop: DuckDB's direct decimal->double computes
+           -- unscaled/10^scale in float (two roundings, 1 ulp off at
+           -- sf1 magnitudes); string->double is correctly rounded and
+           -- matches Spark's exact cast
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2)) * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
            count(*) AS count_order
@@ -95,10 +99,21 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Partial aggregation (map-side combine) means the shuffle carries
     |groups| x |partitions| rows, not the raw 100 TB.
+
+    The charge term's factors are cast to DECIMAL(4,2) (1±rate is
+    always < 100): the naive (18,2)x(19,2)x(19,2) chain exceeds
+    precision 38, so Spark's allowPrecisionLoss rounds each product
+    at a reduced scale while DuckDB resolves the overflow its own way
+    — a 1-ulp sum divergence that only materializes at sf1
+    magnitudes (caught by the round-7 sf1 parity spot-check). With
+    tight factors the whole chain is (28,6) — exact, engine-agnostic
+    at any corpus size.
     """
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    disc_price = money("l_extendedprice") * (1 - money("l_discount"))
-    charge = disc_price * (1 + money("l_tax"))
+    one_minus_disc = (1 - money("l_discount")).cast("decimal(4,2)")
+    one_plus_tax = (1 + money("l_tax")).cast("decimal(4,2)")
+    disc_price = money("l_extendedprice") * one_minus_disc
+    charge = disc_price * one_plus_tax
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity", "sum_qty"),
         dsum("l_extendedprice", "sum_base_price"),
