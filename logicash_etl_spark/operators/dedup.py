@@ -716,7 +716,12 @@ def prefix_filter_pairs(
     # requires and silently dropping pairs at exactly J = t. All three
     # bounds (prefix, length filter, final Jaccard cut) use integer
     # arithmetic on p/q so recall is exactly 1 at the boundary.
-    frac = Fraction(str(threshold)).limit_denominator(1_000_000)
+    # Fraction(str(x)) is EXACT for any float: str() yields a finite
+    # decimal (the shortest round-tripping repr), and every finite
+    # decimal is a rational. No limit_denominator — quantizing would
+    # silently evaluate the bounds at a nearby threshold, not the
+    # caller's (e.g. 0.1234567 needs q = 10^7 > 1e6).
+    frac = Fraction(str(threshold))
     t_num, t_den = frac.numerator, frac.denominator
 
     sh = (

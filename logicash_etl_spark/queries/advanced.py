@@ -599,8 +599,17 @@ def bloom_join_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = bloom_filter_probe(
         probe_keys, "key", bloom, m_bits=m_bits, k_hashes=k
     )
+    # the member set is supplier-derived (dim-proportional, grows with
+    # sf) — unhinted per the broadcast_bounded policy; AQE broadcasts
+    # it while small and shuffles beyond the threshold
+    from logicash_etl_spark.operators.joins import broadcast_bounded
+
     judged = tagged.join(
-        F.broadcast(small.withColumn("__m", F.lit(True))), on="key", how="left"
+        broadcast_bounded(
+            small.withColumn("__m", F.lit(True)), bounded=False
+        ),
+        on="key",
+        how="left",
     ).select(
         "key", "bloom_pass", F.coalesce("__m", F.lit(False)).alias("is_member")
     )
@@ -675,9 +684,16 @@ def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     passing = bloom_filter_probe(
         keys, "key", bloom, m_bits=m_bits, k_hashes=k
     ).filter(F.col("bloom_pass")).select("key")
-    pruned = semi_join(li, F.broadcast(passing), "key")
+    # both probe frames are supplier-derived (dim-proportional — they
+    # grow with sf, unlike nation/region): unhinted per the
+    # broadcast_bounded policy. The point of the query survives — AQE
+    # sees the post-bloom survivor counts at runtime and broadcasts
+    # while they fit, which is exactly when a broadcast probe is safe.
+    from logicash_etl_spark.operators.joins import broadcast_bounded
+
+    pruned = semi_join(li, broadcast_bounded(passing, bounded=False), "key")
     # exact join removes the bloom's false positives
-    exact = semi_join(pruned, F.broadcast(small), "key")
+    exact = semi_join(pruned, broadcast_bounded(small, bounded=False), "key")
     return exact.agg(
         F.count("*").alias("n_lines"),
         F.sum(

@@ -552,18 +552,23 @@ def unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean negative log-probability of a doc's tokens under the corpus
     unigram distribution — low = templated/common text, high = rare or
     noisy. Two mergeable aggregate passes (corpus vocab, per-doc
-    score); the vocab side of the scoring join is broadcast (it is
-    |vocab| rows, not corpus rows). At 100 TB the vocab itself comes
-    from a frequency cutoff or count-min sketch; the join shape is
-    unchanged."""
+    score). The vocab side of the scoring join is |vocab| rows — far
+    smaller than the corpus, but CORPUS-DERIVED and unbounded (Heaps'
+    law: billions of distinct tokens on 100 TB of web text), so it
+    reaches the join UNHINTED: AQE broadcasts it only while its
+    runtime size allows, and falls back to a shuffled join beyond the
+    threshold instead of a forced-hint driver OOM. Only the
+    single-row corpus total is hinted (constant size)."""
+    from logicash_etl_spark.operators.joins import broadcast_bounded
+
     docs = scale_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word"))
     vocab = tok.groupBy("word").agg(F.count("*").alias("c"))
     total = vocab.agg(F.sum("c").alias("n"))
-    v = vocab.crossJoin(F.broadcast(total)).select(
+    v = vocab.crossJoin(broadcast_bounded(total, bounded=True)).select(
         "word", (F.col("c").cast("double") / F.col("n")).alias("p")
     )
-    scored = tok.join(F.broadcast(v), on="word")
+    scored = tok.join(broadcast_bounded(v, bounded=False), on="word")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round(F.sum(-F.log("p")) / F.count("*"), 6).alias("mean_surprisal"),
@@ -973,11 +978,15 @@ def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: bigrams extracted from the token array by pure JVM
     transform (no window, no self-join), two mergeable count passes
     (bigram + unigram tables — model TRAINING is two groupBys), and
-    a broadcast scoring join of |vocab|-sized count tables against
-    the token stream. At 100 TB the count tables come from a
-    frequency cutoff (or the CMS sketch) and the join shape is
-    unchanged; everything is map-side except the two count shuffles
-    keyed on the n-gram."""
+    a scoring join of the |vocab|-sized count tables against the
+    token stream. The count tables are CORPUS-DERIVED and unbounded
+    (Heaps' law — and the bigram table grows faster than the
+    unigram), so they reach the join UNHINTED: AQE broadcasts them
+    only while their runtime size allows and shuffles beyond the
+    threshold, instead of a forced hint overriding the size check
+    into a driver OOM. Only the single-row vocab-size frame is
+    hinted; everything else is map-side except the two count
+    shuffles keyed on the n-gram."""
     docs = scale_out(
         read_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
@@ -996,12 +1005,17 @@ def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = tok.groupBy("word").agg(F.count("*").cast("bigint").alias("c1"))
     c2 = bg.groupBy("b").agg(F.count("*").cast("bigint").alias("c2"))
     v = c1.agg(F.count("*").cast("bigint").alias("v"))
+    from logicash_etl_spark.operators.joins import broadcast_bounded
+
     scored = (
-        bg.join(F.broadcast(c2), "b")
+        bg.join(broadcast_bounded(c2, bounded=False), "b")
         .join(
-            F.broadcast(c1.withColumnRenamed("word", "w1")), "w1"
+            broadcast_bounded(
+                c1.withColumnRenamed("word", "w1"), bounded=False
+            ),
+            "w1",
         )
-        .crossJoin(F.broadcast(v))
+        .crossJoin(broadcast_bounded(v, bounded=True))
     )
     nll = -F.log(
         (F.col("c2").cast("double") + 1) / (F.col("c1") + F.col("v"))

@@ -329,24 +329,33 @@ def scd2_dimension_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, word, count(*) AS tf FROM tok GROUP BY source, word
     ), df AS (
       SELECT word, count(DISTINCT source) AS df FROM tok GROUP BY word
+    ), n AS (
+      SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_sources
+      FROM documents
     ), scored AS (
       SELECT tf.source, tf.word,
-             round(tf * ln(20.0 / df), 6) AS tfidf,
+             round(tf * ln(n_sources / df), 6) AS tfidf,
              row_number() OVER (PARTITION BY tf.source
-                                ORDER BY round(tf * ln(20.0 / df), 6) DESC,
+                                ORDER BY round(tf * ln(n_sources / df), 6) DESC,
                                          tf.word) AS rk
-      FROM tf JOIN df USING (word)
+      FROM tf JOIN df USING (word) CROSS JOIN n
     )
     SELECT source, word, tfidf FROM scored WHERE rk <= 3
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source TF-IDF top terms — the corpus-profiling signal for
-    source weighting/contamination checks. Two mergeable aggregates
-    (term frequency per source, document frequency per term) joined on
-    the term, then a per-source top-k window. The IDF join is
-    broadcast (|vocab| rows); ties break on the term so top-k is
-    deterministic."""
+    source weighting/contamination checks. Three mergeable aggregates
+    (term frequency per source, document frequency per term, corpus
+    source count — no fixture-cardinality literal) joined on the
+    term, then a per-source top-k window. The IDF side is a |vocab|-
+    sized CORPUS-DERIVED frame, so it reaches the join UNHINTED
+    (Heaps' law: a 100 TB web corpus has billions of distinct tokens;
+    AQE broadcasts it only while its runtime size allows — a forced
+    hint would override the size check into a driver OOM). The
+    single-row source-count frame is hinted: its size is a constant.
+    Ties break on the term so top-k is deterministic."""
+    from logicash_etl_spark.operators.joins import broadcast_bounded
     from logicash_etl_spark.operators.text import tokens
 
     docs = read_table(spark, sf_dir, "documents")
@@ -355,10 +364,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("source", "word").agg(F.count("*").alias("tf"))
     df = tok.groupBy("word").agg(F.countDistinct("source").alias("df"))
-    n_sources = 20.0  # fixture source cardinality; a real pipeline derives it
-    scored = tf.join(F.broadcast(df), on="word").select(
-        "source", "word",
-        F.round(F.col("tf") * F.log(n_sources / F.col("df")), 6).alias("tfidf"),
+    n = docs.agg(
+        F.countDistinct("source").cast("double").alias("n_sources")
+    )
+    scored = (
+        tf.join(broadcast_bounded(df, bounded=False), on="word")
+        .crossJoin(broadcast_bounded(n, bounded=True))
+        .select(
+            "source", "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_sources") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window as W
 
@@ -829,10 +846,18 @@ def collocation_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift = (
         (F.col("c_ab").cast("double") * F.col("t_u")) * F.col("t_u")
     ) / ((F.col("t_b").cast("double") * F.col("__ca")) * F.col("__cb"))
+    # the unigram count frames are |vocab|-sized and CORPUS-DERIVED —
+    # unhinted, so AQE broadcasts them only while their runtime size
+    # allows (at 100 TB of web text the vocabulary is billions of
+    # tokens; a forced hint would override Catalyst's size check into
+    # a driver OOM). The single-row totals frame stays hinted — its
+    # size is a constant of the plan, not of the data.
+    from logicash_etl_spark.operators.joins import broadcast_bounded
+
     scored = (
-        bi.join(F.broadcast(a), F.col("w1") == F.col("__wa"))
-        .join(F.broadcast(b), F.col("w2") == F.col("__wb"))
-        .crossJoin(F.broadcast(tot))
+        bi.join(broadcast_bounded(a, bounded=False), F.col("w1") == F.col("__wa"))
+        .join(broadcast_bounded(b, bounded=False), F.col("w2") == F.col("__wb"))
+        .crossJoin(broadcast_bounded(tot, bounded=True))
         .select("w1", "w2", "c_ab", lift.alias("__lift"))
     )
     out = top_k(scored, F.col("__lift"), 20, tiebreak=["w1", "w2"])

@@ -83,20 +83,36 @@ _DRAIN_MEMO: dict[tuple[str, str], dict] = {}
 
 def _drain_state(name: str, sf_dir: str, prefix: str) -> dict:
     """Per-(query, sf_dir) drain state. First call allocates a fresh
-    root (cold drain); later calls return the same dict, so the query
-    re-starts its checkpointed stream — an INCREMENTAL drain that
-    plans one no-new-files micro-batch on a quiet lot — and reads the
-    durable sink it already wrote. ``state["cold"]`` tells the caller
-    whether one-time fixture setup (lot writes, history base) must
-    run; the caller flips nothing — this helper updates it."""
+    root (cold drain); later calls — IF the previous drain completed
+    (``_mark_drained``) — return the same dict, so the query re-starts
+    its checkpointed stream: an INCREMENTAL drain that plans one
+    no-new-files micro-batch on a quiet lot and reads the durable sink
+    it already wrote. ``state["cold"]`` tells the caller whether
+    one-time fixture setup (lot writes, history base) must run.
+
+    A drain that RAISED never warms: its memo entry is discarded here
+    and the retry cold-drains on a FRESH root (the abandoned root may
+    hold a half-written checkpoint or partially-produced lots —
+    resuming it would replay fixture setup against corrupt state, and
+    skipping setup would silently drain nothing)."""
     key = (name, os.path.abspath(sf_dir))
     state = _DRAIN_MEMO.get(key)
+    if state is not None and not state.get("done"):
+        state = None
     if state is None:
-        state = {"root": session_tmpdir(prefix), "cold": True}
+        state = {"root": session_tmpdir(prefix), "cold": True, "done": False}
         _DRAIN_MEMO[key] = state
     else:
         state["cold"] = False
     return state
+
+
+def _mark_drained(state: dict) -> None:
+    """Record a SUCCESSFUL drain: only now do later calls see a warm
+    (incremental) path. Queries call this after the stream has drained
+    and the sink readback is constructed — never before, so a raise
+    anywhere in the drain leaves the entry cold-on-fresh-root."""
+    state["done"] = True
 
 
 def clear_lots() -> None:
@@ -211,7 +227,8 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lot = _events_lot(spark, sf_dir)
-    root = _drain_state("stateful_counts", sf_dir, "lq_stream_state_")["root"]
+    drain = _drain_state("stateful_counts", sf_dir, "lq_stream_state_")
+    root = drain["root"]
     stream = stream_parquet_dir(spark, lot, S.EVENTS)
     counted = stream.groupBy("user_id").applyInPandasWithState(
         count_fn,
@@ -223,19 +240,28 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = f"{root}/out"
     # update-mode output lands via foreachBatch into parquet (a file
     # sink proper is append-only; a memory sink can't recover the
-    # checkpoint on re-invocation): each epoch appends its updated
-    # rows, idempotent per epoch via the checkpointed batch id
+    # checkpoint on re-invocation). GENUINELY idempotent per epoch:
+    # each epoch overwrites its OWN partition dir keyed on the
+    # checkpointed batch id, so a replayed epoch (foreachBatch is
+    # at-least-once) rewrites epoch=N in place instead of appending
+    # duplicates — the exactly-once sink contract foreachBatch
+    # requires, not merely duplicates-absorbed-downstream.
     run_available_now_foreach_batch(
         counted,
         f"{root}/ckpt",
-        lambda bdf, _eid: bdf.write.mode("append").parquet(out),
+        lambda bdf, eid: bdf.write.mode("overwrite").parquet(
+            f"{out}/epoch={eid}"
+        ),
         state_partitions=_state_parts(spark, lot),
         output_mode="update",
     )
+    _mark_drained(drain)
     # one row per state UPDATE: keep the final count per key
-    # (max = monotone counter)
+    # (max = monotone counter); the inferred epoch partition column
+    # is dropped by the select
     return (
-        spark.read.schema("user_id long, n_events long").parquet(out)
+        spark.read.parquet(out)
+        .select("user_id", "n_events")
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
@@ -284,13 +310,15 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lot = _events_lot(spark, sf_dir)
-    root = _drain_state("session_windows", sf_dir, "lq_stream_sess_")["root"]
+    drain = _drain_state("session_windows", sf_dir, "lq_stream_sess_")
+    root = drain["root"]
     stream = stream_parquet_dir(spark, lot, S.EVENTS)
     sess = session_windows(stream, gap="30 minutes", key="user_id", watermark="1 hour")
     out = f"{root}/out"
     run_available_now_to_parquet(
         sess, f"{root}/ckpt", out, state_partitions=_state_parts(spark, lot)
     )
+    _mark_drained(drain)
     return spark.read.schema(sess.schema).parquet(out)
 
 
@@ -324,7 +352,8 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lot = _events_lot(spark, sf_dir)
-    root = _drain_state("tumbling_counts", sf_dir, "lq_stream_tumble_")["root"]
+    drain = _drain_state("tumbling_counts", sf_dir, "lq_stream_tumble_")
+    root = drain["root"]
     stream = stream_parquet_dir(spark, lot, S.EVENTS)
     agg = windowed_counts(
         stream, window="1 hour", watermark="30 minutes", keys=["event_type"]
@@ -333,6 +362,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now_to_parquet(
         agg, f"{root}/ckpt", out, state_partitions=_state_parts(spark, lot)
     )
+    _mark_drained(drain)
     return spark.read.schema(agg.schema).parquet(out)
 
 
@@ -366,7 +396,8 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logicash_etl_spark.streaming.sources import run_available_now_to_parquet
 
     dup_lot = _dup_events_lot(spark, sf_dir)
-    root = _drain_state("dedup_counts", sf_dir, "lq_stream_dedup_")["root"]
+    drain = _drain_state("dedup_counts", sf_dir, "lq_stream_dedup_")
+    root = drain["root"]
     stream = stream_parquet_dir(spark, dup_lot, S.EVENTS)
     deduped = dedup_stream(stream, keys=["event_id"], watermark="1 hour")
     out = f"{root}/deduped"
@@ -374,6 +405,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped, f"{root}/ckpt", out,
         state_partitions=_state_parts(spark, dup_lot),
     )
+    _mark_drained(drain)
     return (
         spark.read.schema(S.EVENTS).parquet(out)
         .groupBy("event_type")
@@ -412,7 +444,8 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logicash_etl_spark.streaming.ops import interval_join
 
     lot = _events_lot(spark, sf_dir)
-    root = _drain_state("interval_join", sf_dir, "lq_stream_ij_")["root"]
+    drain = _drain_state("interval_join", sf_dir, "lq_stream_ij_")
+    root = drain["root"]
     clicks = (
         stream_parquet_dir(spark, lot, S.EVENTS)
         .filter(F.col("event_type") == "click")
@@ -445,6 +478,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now_to_parquet(
         joined, f"{root}/ckpt", out, state_partitions=_state_parts(spark, lot)
     )
+    _mark_drained(drain)
     return spark.read.schema(joined.schema).parquet(out).select(
         F.col("j_user").alias("user_id"),
         "click_id",
@@ -520,6 +554,7 @@ def streaming_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, f"{root}/ckpt", apply_batch,
         state_partitions=_state_parts(spark, upsert_lot),
     )
+    _mark_drained(drain)
     final = spark.read.parquet(state["path"])
     return final.select(
         "user_id",
@@ -565,7 +600,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type", "tier"],
     )
     lot = _events_lot(spark, sf_dir)
-    root = _drain_state("static_enrich", sf_dir, "lq_stream_enrich_")["root"]
+    drain = _drain_state("static_enrich", sf_dir, "lq_stream_enrich_")
+    root = drain["root"]
     stream = stream_parquet_dir(spark, lot, S.EVENTS)
     # aggregate INSIDE the stream (update mode, no watermark needed for
     # a global running agg): the sink then carries one row per tier per
@@ -586,21 +622,28 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = f"{root}/out"
     # update-mode rows land via foreachBatch (file sinks are
-    # append-only; memory sinks can't recover the checkpoint)
+    # append-only; memory sinks can't recover the checkpoint), each
+    # epoch OVERWRITING its own batch-id-keyed partition dir so a
+    # replayed epoch rewrites in place — idempotent by construction
     run_available_now_foreach_batch(
         enriched,
         f"{root}/ckpt",
-        lambda bdf, _eid: bdf.write.mode("append").parquet(out),
+        lambda bdf, eid: bdf.write.mode("overwrite").parquet(
+            f"{out}/epoch={eid}"
+        ),
         state_partitions=_state_parts(spark, lot),
         output_mode="update",
     )
+    _mark_drained(drain)
     # update mode re-emits a tier's row per epoch; the final state is
-    # the emission with the highest running count
+    # the emission with the highest running count (the inferred epoch
+    # partition column is dropped by the select)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("tier").orderBy(F.col("n_events").desc())
     return (
-        spark.read.schema(enriched.schema).parquet(out)
+        spark.read.parquet(out)
+        .select("tier", "n_events", "total_value")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("tier", "n_events", F.col("total_value").cast("double"))
@@ -743,6 +786,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
+    _mark_drained(drain)
 
     # epoch=N partition dirs add an inferred partition column — keep
     # only the verdict columns the oracle models
@@ -859,7 +903,8 @@ def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lot = _late_events_lot(spark, sf_dir)
-    root = _drain_state("late_data_audit", sf_dir, "lq_stream_late_")["root"]
+    drain = _drain_state("late_data_audit", sf_dir, "lq_stream_late_")
+    root = drain["root"]
     stream = stream_parquet_dir(
         spark, lot, S.EVENTS, max_files_per_trigger=1
     )
@@ -871,6 +916,7 @@ def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg, f"{root}/ckpt", out,
         state_partitions=_state_parts(spark, lot),
     )
+    _mark_drained(drain)
     return spark.read.schema(agg.schema).parquet(out)
 
 
@@ -951,7 +997,8 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     from logicash_etl_spark.streaming.ops import interval_join
 
     lot = _outer_join_lot(spark, sf_dir)
-    root = _drain_state("outer_interval_join", sf_dir, "lq_stream_loj_")["root"]
+    drain = _drain_state("outer_interval_join", sf_dir, "lq_stream_loj_")
+    root = drain["root"]
     clicks = (
         stream_parquet_dir(spark, lot, S.EVENTS, max_files_per_trigger=1)
         .filter(F.col("event_type") == "click")
@@ -990,6 +1037,7 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         joined, f"{root}/ckpt", out,
         state_partitions=_state_parts(spark, lot),
     )
+    _mark_drained(drain)
     return spark.read.schema(joined.schema).parquet(out).select(
         F.col("j_user").alias("user_id"),
         "click_id",
@@ -1051,7 +1099,8 @@ def streaming_jittered_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lot = _jitter_dup_lot(spark, sf_dir)
-    root = _drain_state("jittered_dedup", sf_dir, "lq_stream_jit_")["root"]
+    drain = _drain_state("jittered_dedup", sf_dir, "lq_stream_jit_")
+    root = drain["root"]
     stream = stream_parquet_dir(spark, lot, S.EVENTS)
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
@@ -1061,6 +1110,7 @@ def streaming_jittered_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped, f"{root}/ckpt", out,
         state_partitions=_state_parts(spark, lot),
     )
+    _mark_drained(drain)
     return (
         spark.read.schema(S.EVENTS).parquet(out)
         .groupBy("event_type")

@@ -2,7 +2,12 @@
 (no SparkSession): the rotation arithmetic that decides which queries
 land in the driver's 50-row CORRECTNESS snapshot. A broken invariant
 here silently costs a round of driver signal (round-6 lesson: 62
-changed queries against a 50-row window left 14 waiting)."""
+changed queries against a 50-row window left 14 waiting).
+
+Round-8 scheme (green-rotation aging): head = changed-this-round ∪
+never-driver-checked ∪ OLDEST greens, with the green ledger parsed
+from CORRECTNESS_r*.json — self-maintaining, no hand-edited list.
+"""
 
 from __future__ import annotations
 
@@ -24,43 +29,77 @@ def test_every_query_has_an_oracle():
     )
 
 
-def test_rotation_lists_are_registered_names():
+def test_changed_list_is_registered_names():
     qs = entry.queries()
-    for lst in (entry._CHECK_FIRST, entry._CHANGED_R7):
-        missing = [n for n in lst if n not in qs]
-        assert not missing, f"rotation list names not in catalog: {missing}"
-    stale = [n for n in entry._DRIVER_GREEN if n not in qs]
-    assert not stale, f"_DRIVER_GREEN names not in catalog: {stale}"
+    missing = [n for n in entry._CHANGED_R8 if n not in qs]
+    assert not missing, f"_CHANGED_R8 names not in catalog: {missing}"
 
 
-def test_snapshot_head_covers_unchecked_and_changed():
-    """Every query without a driver-green row, and every query changed
-    this round, must sit inside the first SNAPSHOT_ROWS entries — the
-    only rows the driver's correctness pass reads."""
+def test_green_ledger_parses_and_covers_catalog():
+    """The aging rotation only works if the ledger parses: every
+    registered query must either hold a green row in some
+    CORRECTNESS_r*.json or sit inside the snapshot head (where the
+    next driver round records one)."""
+    green = entry._green_rounds()
+    assert green, "no CORRECTNESS ledger parsed — aging would degrade"
     names = list(entry.queries())
     head = set(names[:SNAPSHOT_ROWS])
-    nongreen = [n for n in names if n not in entry._DRIVER_GREEN]
+    unproven_outside = [
+        n for n in names if n not in green and n not in head
+    ]
+    assert not unproven_outside, (
+        f"queries with no driver-green row outside the head: "
+        f"{unproven_outside}"
+    )
+
+
+def test_snapshot_head_covers_changed_and_unchecked():
+    """Every changed-this-round query and every query without a
+    driver-green row must sit inside the first SNAPSHOT_ROWS entries —
+    the only rows the driver's correctness pass reads. Changed queries
+    come FIRST (a head overflow should push out re-confirmations of
+    old greens, never changed work)."""
+    names = list(entry.queries())
+    head = set(names[:SNAPSHOT_ROWS])
+    changed = [n for n in entry._CHANGED_R8 if n in set(names)]
+    assert len(changed) <= SNAPSHOT_ROWS, "changed list exceeds snapshot"
+    assert names[: len(changed)] == changed
+    green = entry._green_rounds()
+    nongreen = [n for n in names if n not in green]
     outside = [n for n in nongreen if n not in head]
     assert not outside, f"never-driver-checked queries outside head: {outside}"
-    changed_outside = [n for n in entry._CHANGED_R7 if n not in head]
-    assert not changed_outside, (
-        f"changed-this-round queries outside head: {changed_outside}"
+
+
+def test_head_fills_with_oldest_greens():
+    """GREEN-ROTATION AGING: after the changed and never-checked
+    queries, the remaining head slots must hold the greens whose last
+    driver confirmation is OLDEST — ascending (round, name) — so
+    driver rows refresh on a rolling cadence instead of going stale."""
+    green = entry._green_rounds()
+    names = list(entry.queries())
+    changed = [n for n in entry._CHANGED_R8 if n in set(names)]
+    k = len(changed) + len([n for n in names if n not in green])
+    expected_tail = sorted(
+        (n for n in names[k:]), key=lambda n: (green[n], n)
     )
-    # and the never-checked ones come FIRST (before re-confirmations)
-    k = len([n for n in entry._CHECK_FIRST if n in set(names)])
-    assert names[:k] == [n for n in entry._CHECK_FIRST if n in set(names)]
+    assert names[k:] == expected_tail, (
+        "greens not ordered oldest-confirmation-first after the head "
+        "priority lists"
+    )
 
 
-def test_green_set_matches_recorded_correctness_rows():
-    """_DRIVER_GREEN must be a subset of names that actually hold a
-    green row in some CORRECTNESS_r*.json — the set is a LEDGER, not
-    an opinion."""
+def test_green_rounds_matches_raw_ledger():
+    """_green_rounds() must agree with a direct read of the JSON files
+    — green means rows AND schema AND hash all matched, latest round
+    wins."""
     import glob
     import json
+    import re
 
     repo = os.path.dirname(os.path.abspath(entry.__file__))
-    green_on_disk: set[str] = set()
+    expected: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rows = json.load(open(path))
         for name, r in rows.items():
             if (
@@ -69,6 +108,5 @@ def test_green_set_matches_recorded_correctness_rows():
                 and r.get("schema_match")
                 and r.get("hash_match")
             ):
-                green_on_disk.add(name)
-    unproven = sorted(set(entry._DRIVER_GREEN) - green_on_disk)
-    assert not unproven, f"_DRIVER_GREEN without a recorded green row: {unproven}"
+                expected[name] = max(expected.get(name, 0), int(m.group(1)))
+    assert entry._green_rounds() == expected

@@ -736,3 +736,28 @@ def test_warm_redrain_returns_identical_results(spark, sf_smoke):
         map(str, QUERIES["streaming_tumbling_counts"](spark, sf_smoke).collect())
     )
     assert again == cold2
+
+
+def test_failed_cold_drain_never_warms():
+    """A drain that RAISES must not warm the memo (round-7 ADVICE #1):
+    bench.py's run_one swallows exceptions, so if a failed cold drain
+    flipped the state warm, the retry would skip fixture setup (lot
+    production, history base) and silently drain nothing. Contract:
+    warmth is recorded only by _mark_drained after a successful drain;
+    an unmarked entry is discarded and the retry cold-drains on a
+    FRESH root (the abandoned root may hold a half-written checkpoint
+    or partially-produced lots)."""
+    from logicash_etl_spark.queries import streaming as sq
+
+    key_name, key_dir = "unit_test_drain", "/tmp/lq_unit_sfdir"
+    s1 = sq._drain_state(key_name, key_dir, "lq_unit_")
+    assert s1["cold"] and not s1["done"]
+    # the drain raises here -> _mark_drained never runs
+    s2 = sq._drain_state(key_name, key_dir, "lq_unit_")
+    assert s2["cold"], "retry after a failed drain must be COLD"
+    assert s2["root"] != s1["root"], "retry must not resume the corrupt root"
+    # successful drain -> warm incremental path from then on
+    sq._mark_drained(s2)
+    s3 = sq._drain_state(key_name, key_dir, "lq_unit_")
+    assert s3 is s2 and not s3["cold"] and s3["root"] == s2["root"]
+    del sq._DRAIN_MEMO[(key_name, __import__("os").path.abspath(key_dir))]
