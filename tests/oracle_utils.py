@@ -21,11 +21,20 @@ TABLES = (
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """DuckDB connection with the fixture tables registered as views.
+
+    Handles both layouts: the driver fixtures are single parquet FILES
+    (``<sf_dir>/<table>.parquet``); Spark-written working sets (e.g.
+    the scaling_check 10x replica) are DIRECTORIES of part files —
+    those get a ``/*.parquet`` glob so sf1 parity runs through the
+    same comparator as the driver-scale tests."""
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     return con
 
 
