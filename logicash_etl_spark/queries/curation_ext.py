@@ -897,3 +897,145 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(4, "near_dup", nd))
         .unionByName(stage(5, "token_budget", adm))
     )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), uni AS (
+      SELECT doc_id, source, unnest(ws) AS f FROM w
+    ), bi AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(generate_series(1, len(ws) - 1),
+                                i -> ws[i] || ' ' || ws[i + 1])
+                         ELSE [] END) AS f
+      FROM w
+    ), feats AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(f), 1, 4)) AS INT) % 1024 AS b
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ), dist AS (
+      SELECT b, count(*) AS raw_c,
+             SUM(CASE WHEN CAST(substr(source, 4) AS INT) < 4
+                      THEN 1 ELSE 0 END) AS tgt_c
+      FROM feats GROUP BY b
+    ), tot AS (
+      SELECT CAST(SUM(raw_c) AS DOUBLE) AS raw_tot,
+             CAST(SUM(tgt_c) AS DOUBLE) AS tgt_tot
+      FROM dist
+    ), lnr AS (
+      SELECT b,
+             ln((CAST(tgt_c AS DOUBLE) + 0.5)
+                / ((SELECT tgt_tot FROM tot) + 512.0))
+           - ln((CAST(raw_c AS DOUBLE) + 0.5)
+                / ((SELECT raw_tot FROM tot) + 512.0)) AS lnr
+      FROM dist
+    )
+    SELECT f.doc_id, f.source,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           round(SUM(l.lnr), 6) AS log_w
+    FROM feats f JOIN lnr l USING (b)
+    GROUP BY f.doc_id, f.source
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): per-document
+    log importance weight of the raw corpus against a TARGET domain
+    (here sources src0-src3), under hashed-n-gram bag-of-features
+    generative models — the published method for "give me the web
+    documents that look like my high-quality domain".
+
+    Features are unigrams + bigrams hashed into K=1024 buckets (the
+    paper's hashing trick, md5-portable so the oracle reproduces the
+    exact bucket assignment); both the target and raw distributions
+    are add-0.5-smoothed multinomials over the buckets; a document's
+    log weight is the sum over its feature OCCURRENCES of
+    ln p_target(b) - ln p_raw(b). Selection is then a filter or
+    top-quota on log_w — kept out of this query so the weights
+    themselves are hash-checked.
+
+    Plan (100 TB posture): ONE tokenize pass fans out to feature
+    occurrences (persisted — consumed by the distribution build and
+    the scoring join); the distribution table is K rows BY
+    CONSTRUCTION (a constant of the config, not the corpus — unlike
+    a vocabulary it cannot grow), so it and its single-row totals are
+    legitimately broadcast under the broadcast_bounded policy; the
+    scoring join is map-side against those K rows and the only
+    shuffles are the K-bucket count and the per-doc sum. Contrast
+    unigram_surprisal_score, whose |vocab| table must stay unhinted —
+    the hashing trick is exactly what makes THIS distribution frame
+    bounded."""
+    from logicash_etl_spark.operators.joins import broadcast_bounded
+
+    k_buckets = 1024
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    w = docs.select(
+        "doc_id", "source", tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.zip_with(
+            F.slice("ws", 1, F.size("ws") - 1),
+            F.slice("ws", 2, F.size("ws") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = w.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(F.col("ws"), bigrams)).alias("f"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("f"), 1, 4), 16, 10).cast("int")
+            % k_buckets
+        ).alias("b"),
+    ).persist()
+    is_target = F.substring("source", 4, 8).cast("int") < 4
+    dist = feats.groupBy("b").agg(
+        F.count("*").alias("raw_c"),
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("tgt_c"),
+    )
+    tot = dist.agg(
+        F.sum("raw_c").cast("double").alias("raw_tot"),
+        F.sum("tgt_c").cast("double").alias("tgt_tot"),
+    )
+    half_k = k_buckets / 2.0
+    lnr = (
+        dist.crossJoin(broadcast_bounded(tot, bounded=True))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.col("tgt_c").cast("double") + 0.5)
+                    / (F.col("tgt_tot") + half_k)
+                )
+                - F.log(
+                    (F.col("raw_c").cast("double") + 0.5)
+                    / (F.col("raw_tot") + half_k)
+                )
+            ).alias("lnr"),
+        )
+    )
+    out = (
+        feats.join(broadcast_bounded(lnr, bounded=True), on="b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.round(F.sum("lnr"), 6).alias("log_w"),
+        )
+    )
+    # materialize before unpersisting the shared feature frame
+    out = out.localCheckpoint()
+    feats.unpersist()
+    return out
