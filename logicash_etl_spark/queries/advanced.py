@@ -936,3 +936,149 @@ def doc_stats_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         stats, "doc_id long, n_bytes long, n_ws_tokens long"
     )
+
+
+def _morton_sql(xc: str, yc: str, bits: int = 10) -> str:
+    """SQL text for the Morton (Z-order) interleave of two
+    bits-wide non-negative integer columns — generated from one
+    loop so the Spark expression below and the DuckDB oracle share
+    the exact arithmetic."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xc} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yc} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_file_skipping",
+    oracle=f"""
+    WITH mx AS (
+      SELECT max(l_orderkey) AS mo, max(l_partkey) AS mp FROM lineitem
+    ), xy AS (
+      SELECT (l_orderkey * 1024) // (mo + 1) AS x,
+             (l_partkey * 1024) // (mp + 1) AS y
+      FROM lineitem, mx
+    ), z AS (
+      SELECT x, y, {_morton_sql('x', 'y')} AS zv FROM xy
+    ), tagged AS (
+      SELECT 'zorder' AS layout, zv >> 14 AS file_id, x, y FROM z
+      UNION ALL
+      SELECT 'linear_x' AS layout, x >> 4 AS file_id, x, y FROM z
+    ), files AS (
+      SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+             min(x) AS x_min, max(x) AS x_max,
+             min(y) AS y_min, max(y) AS y_max
+      FROM tagged GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           round(avg(x_max - x_min + 1), 2) AS avg_x_span,
+           round(avg(y_max - y_min + 1), 2) AS avg_y_span,
+           CAST(SUM(CASE WHEN x_max >= 256 AND x_min <= 271
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_scan_x_band,
+           CAST(SUM(CASE WHEN y_max >= 256 AND y_min <= 271
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_scan_y_band
+    FROM files GROUP BY layout
+    """,
+)
+def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout vs linear clustering,
+    measured as FILE SKIPPING — the `OPTIMIZE ZORDER BY` analog of
+    Delta/Iceberg, expressed as a first-class layout report. Rows
+    are mapped to a 1024x1024 grid over (l_orderkey, l_partkey),
+    assigned to 64 "files" two ways — 64 Z-value cells (zorder) vs
+    64 x-range cells (linear_x, a plain sort by one key) — and each
+    file records its per-column min/max exactly as a lakehouse
+    manifest would. The report shows the layout tradeoff in data-
+    skipping terms: a 16-wide predicate band on x scans few files
+    under EITHER layout, but the same band on y scans EVERY
+    linear_x file while zorder still prunes ~7/8 of them, because
+    Morton interleaving bounds BOTH dimensions' spans per file
+    (avg_x_span/avg_y_span make the mechanism visible).
+
+    Determinism: grid coordinates are integer floor-divisions of
+    positive keys (identical in both engines), the Morton interleave
+    is generated from one loop shared with the oracle text, and all
+    stats are integer min/max/counts — nothing floating-point except
+    the 2-decimal span averages.
+
+    Scale (100 TB posture): the whole report is two hash
+    aggregations (file stats, then layout rollup) over a single
+    scan — no global sort is needed because fixed Z-cells ARE the
+    clustering assignment; in a real write path the same zv column
+    feeds repartitionByRange(zv) + sortWithinPartitions, Spark's
+    sampling range partitioner, which scales to any cluster width.
+    The min/max-per-file frame is the exact input a format manifest
+    (parquet row-group stats, Delta file stats) stores, so
+    files_scan_* is a faithful count of the IO a predicate pays
+    under each layout."""
+    from functools import reduce as _reduce
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    mx = li.agg(
+        F.max("l_orderkey").alias("mo"), F.max("l_partkey").alias("mp")
+    )
+    xy = li.crossJoin(F.broadcast(mx)).select(
+        F.expr("(l_orderkey * 1024) div (mo + 1)").alias("x"),
+        F.expr("(l_partkey * 1024) div (mp + 1)").alias("y"),
+    )
+    zv = _reduce(
+        lambda a, b: a + b,
+        [
+            F.shiftleft(
+                F.shiftright(F.col(c), i).bitwiseAND(F.lit(1)), s
+            )
+            for i in range(10)
+            for c, s in (("x", 2 * i), ("y", 2 * i + 1))
+        ],
+    )
+    z = xy.select("x", "y", zv.alias("zv"))
+    tagged = z.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright("zv", 14).alias("file_id"),
+        "x",
+        "y",
+    ).unionByName(
+        z.select(
+            F.lit("linear_x").alias("layout"),
+            F.shiftright("x", 4).alias("file_id"),
+            "x",
+            "y",
+        )
+    )
+    files = tagged.groupBy("layout", "file_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
+    in_band = lambda lo, hi, mn, mx_: (  # noqa: E731
+        (F.col(mx_) >= lo) & (F.col(mn) <= hi)
+    )
+    return files.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.avg(F.col("x_max") - F.col("x_min") + 1), 2).alias(
+            "avg_x_span"
+        ),
+        F.round(F.avg(F.col("y_max") - F.col("y_min") + 1), 2).alias(
+            "avg_y_span"
+        ),
+        F.sum(
+            F.when(in_band(256, 271, "x_min", "x_max"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("files_scan_x_band"),
+        F.sum(
+            F.when(in_band(256, 271, "y_min", "y_max"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("files_scan_y_band"),
+    )

@@ -72,6 +72,7 @@ _AUDITED = {
     ("operators/skyline.py", "off = F.broadcast("),
     ("queries/advanced.py", ".crossJoin(F.broadcast(tot))"),
     ("queries/advanced.py", "return tot.crossJoin(F.broadcast(top)).select("),
+    ("queries/advanced.py", "xy = li.crossJoin(F.broadcast(mx)).select("),
     ("queries/analytics.py", "adj = pu.crossJoin(F.broadcast(g)).select("),
     ("queries/analytics.py", "binned = tagged.crossJoin(F.broadcast(rng)).select("),
     ("queries/analytics.py", 'dev = ev.join(F.broadcast(med), on="event_type")'),
