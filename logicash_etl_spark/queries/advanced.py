@@ -1039,19 +1039,26 @@ def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     z = xy.select("x", "y", zv.alias("zv"))
+    # Tag each row with BOTH layouts via a map-side explode instead of
+    # a union — a union would re-evaluate the whole upstream per
+    # branch (two extra fact scans; plan-pinned in
+    # test_zorder_layout_single_fact_scan).
     tagged = z.select(
-        F.lit("zorder").alias("layout"),
-        F.shiftright("zv", 14).alias("file_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright("zv", 14).alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("linear_x").alias("layout"),
+                    F.shiftright("x", 4).alias("file_id"),
+                ),
+            )
+        ).alias("t"),
         "x",
         "y",
-    ).unionByName(
-        z.select(
-            F.lit("linear_x").alias("layout"),
-            F.shiftright("x", 4).alias("file_id"),
-            "x",
-            "y",
-        )
-    )
+    ).select("t.layout", "t.file_id", "x", "y")
     files = tagged.groupBy("layout", "file_id").agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.min("x").alias("x_min"),

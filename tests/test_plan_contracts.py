@@ -789,3 +789,37 @@ def test_pq_expressions_compile_in_codegen(spark, sf_dir):
         assert pq_ann_topk(emb, q, books, k=3, rerank_candidates=8).count() > 0
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_zorder_layout_single_fact_scan(spark, sf_dir):
+    """The layout report reads lineitem once per pass (extrema +
+    grid) — both layouts are tagged by a map-side explode, never a
+    union that re-evaluates the upstream (which doubled the fact
+    scans); no sort anywhere (fixed Z-cells are the clustering
+    assignment, so the report needs no global ordering)."""
+    df = QUERIES["zorder_file_skipping"](spark, sf_dir)
+    s = scans(df)
+    assert len(s) == 2, f"expected 2 column-pruned scans, got {len(s)}"
+    for sc in s:
+        assert set(sc["schema_cols"]) <= {"l_orderkey", "l_partkey"}
+    ps = plan_string(df)
+    assert "SortMergeJoin" not in ps and "SortExec" not in ps
+    # file-stats aggregation + layout rollup (+ the extrema agg's
+    # single-row exchange); anything more means a branch re-shuffled
+    assert count_exchanges(df) <= 3
+
+
+def test_bootstrap_replicates_stay_map_side(spark, sf_dir):
+    """Poisson-bootstrap contract: the x25 replicate fan-out must be
+    map-side work — two column-pruned scans of events (replicate pass
+    + point-estimate pass), hash aggregation with partial combine (no
+    sort-based fallback), and no sort-merge join on the tiny
+    per-type frames."""
+    df = QUERIES["poisson_bootstrap_ci"](spark, sf_dir)
+    s = scans(df)
+    assert len(s) == 2, f"expected 2 scans of events, got {len(s)}"
+    for sc in s:
+        assert set(sc["schema_cols"]) <= {"event_id", "event_type", "value"}
+    ps = plan_string(df)
+    assert "SortMergeJoin" not in ps and "SortExec" not in ps
+    assert count_exchanges(df) <= 4
