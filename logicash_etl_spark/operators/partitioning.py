@@ -281,3 +281,74 @@ def grouped_bottom_k(
     if rank_col is not None:
         return out.withColumnRenamed("__bk_r2", rank_col)
     return out.drop("__bk_r2")
+
+
+def skew_profile(
+    df: DataFrame, key: str, label: str | None = None, n_parts: int = 32
+) -> DataFrame:
+    """One-row shuffle-skew diagnostic for ``key`` as a join/groupBy
+    key — the "measure" half of the diagnose-then-salt workflow
+    (operators/joins.py:skew_salt_join is the "fix" half): per-key
+    frequencies, the share held by the heaviest keys, and the
+    simulated per-reducer loads under hash partitioning into
+    ``n_parts`` tasks, whose max/avg ratio is the straggler factor a
+    shuffle on this key would pay.
+
+    Determinism: partition assignment uses an md5-derived bucket
+    (portable to the SQL oracle) rather than Spark's internal
+    murmur, so both engines simulate the identical placement; every
+    statistic is a count or an exact-integer ratio rounded at the
+    end.
+
+    Scale: one groupBy(key) is the only data-sized shuffle (the
+    per-key count frame is then tiny-aggregated twice); top-k uses
+    TakeOrderedAndProject, never a global sort. avg load divides by
+    ALL n_parts, so empty reducers count toward the skew ratio
+    exactly as idle tasks would."""
+    from pyspark.sql import functions as F
+
+    lbl = label or key
+    cnts = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    b = cnts.select(
+        F.col(key).cast("string").alias("k"),
+        "cnt",
+        (
+            F.conv(
+                F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % n_parts
+        ).alias("bucket"),
+    )
+    tot = b.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.max("cnt").cast("bigint").alias("top1_rows"),
+    )
+    top10 = (
+        b.orderBy(F.desc("cnt"), "k")
+        .limit(10)
+        .agg(F.sum("cnt").cast("bigint").alias("top10_rows"))
+    )
+    loads = b.groupBy("bucket").agg(F.sum("cnt").alias("load"))
+    lstats = loads.agg(F.max("load").cast("bigint").alias("max_part_load"))
+    return (
+        tot.crossJoin(F.broadcast(top10))
+        .crossJoin(F.broadcast(lstats))
+        .select(
+            F.lit(lbl).alias("key_name"),
+            "n_keys",
+            "total_rows",
+            F.round(
+                100.0 * F.col("top1_rows") / F.col("total_rows"), 4
+            ).alias("top1_pct"),
+            F.round(
+                100.0 * F.col("top10_rows") / F.col("total_rows"), 4
+            ).alias("top10_pct"),
+            "max_part_load",
+            F.round(
+                F.col("max_part_load")
+                / (F.col("total_rows") / F.lit(float(n_parts))),
+                3,
+            ).alias("skew_ratio"),
+        )
+    )

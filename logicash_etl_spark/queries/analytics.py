@@ -1075,3 +1075,73 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("bm") - 1.96 * F.col("sd"), 6).alias("ci_lo"),
         F.round(F.col("bm") + 1.96 * F.col("sd"), 6).alias("ci_hi"),
     )
+
+
+def _skew_profile_sql(key_expr: str, label: str) -> str:
+    """Oracle block mirroring operators/partitioning.skew_profile for
+    one key — generated from a shared template so both profiled keys
+    run the exact same arithmetic."""
+    return f"""
+    SELECT '{label}' AS key_name,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(total_rows AS BIGINT) AS total_rows,
+           round(100 * CAST(top1_rows AS DOUBLE) / total_rows, 4)
+             AS top1_pct,
+           round(100 * CAST(top10_rows AS DOUBLE) / total_rows, 4)
+             AS top10_pct,
+           CAST(max_part_load AS BIGINT) AS max_part_load,
+           round(CAST(max_part_load AS DOUBLE)
+                 / (CAST(total_rows AS DOUBLE) / 32), 3) AS skew_ratio
+    FROM (
+      WITH c AS (
+        SELECT CAST({key_expr} AS VARCHAR) AS k, count(*) AS cnt
+        FROM events GROUP BY 1
+      )
+      SELECT count(*) AS n_keys, SUM(cnt) AS total_rows,
+             max(cnt) AS top1_rows,
+             (SELECT SUM(cnt) FROM
+               (SELECT cnt FROM c ORDER BY cnt DESC, k LIMIT 10))
+               AS top10_rows,
+             (SELECT max(load) FROM
+               (SELECT SUM(cnt) AS load FROM
+                 (SELECT cnt,
+                         CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT)
+                           % 32 AS bucket
+                  FROM c)
+                GROUP BY bucket)) AS max_part_load
+      FROM c
+    )
+    """
+
+
+@query(
+    "join_skew_profile",
+    oracle=(
+        _skew_profile_sql("user_id", "user_id")
+        + " UNION ALL "
+        + _skew_profile_sql("event_type", "event_type")
+    ),
+)
+def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic for two candidate join/groupBy keys of
+    the events stream — the "measure" report an engineer runs BEFORE
+    shuffling 100 TB on a key (its "fix" counterpart is
+    operators/joins.py:skew_salt_join, and AQE's skew-join handles
+    the residual at runtime): per-key cardinality, heavy-hitter
+    shares, and the simulated max-reducer load under hash
+    partitioning into 32 tasks. The two profiled keys bracket the
+    design space — user_id (high-cardinality, balanced: skew_ratio
+    falls toward 1 as |keys| grows past the task count, safe to
+    shuffle) vs event_type (5 values: >80% of reducers idle and the
+    straggler factor ~6x, exactly why low-cardinality keys must
+    never be shuffle keys).
+
+    Determinism + scale: see operators/partitioning.skew_profile —
+    md5-bucket placement portable to the oracle; one data-sized
+    shuffle per profiled key; top-k via per-partition heaps."""
+    from logicash_etl_spark.operators.partitioning import skew_profile
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return skew_profile(ev, "user_id").unionByName(
+        skew_profile(ev, "event_type")
+    )

@@ -64,6 +64,8 @@ _AUDITED = {
     ("operators/joins.py", "sa.crossJoin(F.broadcast(sb))"),
     ("operators/joins.py", "salted_small = small.crossJoin(F.broadcast(salts))"),
     ("operators/partitioning.py", "off = F.broadcast("),
+    ("operators/partitioning.py", "tot.crossJoin(F.broadcast(top10))"),
+    ("operators/partitioning.py", ".crossJoin(F.broadcast(lstats))"),
     ("operators/similarity.py", '.join(F.broadcast(q), on="query_id")'),
     ("operators/similarity.py", "cand.join(F.broadcast(q_vec), query_id)"),
     ("operators/similarity.py", 'joined = codes.join(F.broadcast(q), on=codes[id_col] != F.col("query_id"))'),
