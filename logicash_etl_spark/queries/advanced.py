@@ -1089,3 +1089,161 @@ def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("files_scan_y_band"),
     )
+
+
+_HIST_FRACTIONS = [i / 32 for i in range(33)]
+_HIST_THRESHOLDS = [50000.0, 150000.0, 300000.0]
+
+
+@query(
+    "histogram_selectivity_report",
+    oracle=f"""
+    WITH s AS (
+      SELECT quantile_cont(v, {_HIST_FRACTIONS}) AS q,
+             count(*) AS total,
+             SUM(CASE WHEN v <= 50000 THEN 1 ELSE 0 END) AS a1,
+             SUM(CASE WHEN v <= 150000 THEN 1 ELSE 0 END) AS a2,
+             SUM(CASE WHEN v <= 300000 THEN 1 ELSE 0 END) AS a3
+      FROM (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders)
+    ), b AS (
+      SELECT list_transform(q,
+               x -> CAST(floor(x * 100 + 0.5) AS BIGINT)) AS bounds,
+             total, a1, a2, a3
+      FROM s
+    ), t AS (
+      SELECT unnest([
+        {{'x': CAST(5000000 AS BIGINT), 'actual': a1}},
+        {{'x': CAST(15000000 AS BIGINT), 'actual': a2}},
+        {{'x': CAST(30000000 AS BIGINT), 'actual': a3}}]) AS p,
+        bounds, total
+      FROM b
+    ), est AS (
+      SELECT CAST(p.x AS DOUBLE) / 100 AS threshold, p.actual AS actual,
+             CAST(total AS DOUBLE) / 32
+             * list_reduce(list_transform(range(1, 33), i ->
+                 CASE WHEN bounds[i+1] <= bounds[i]
+                      THEN CASE WHEN p.x >= bounds[i+1]
+                                THEN CAST(1 AS DOUBLE)
+                                ELSE CAST(0 AS DOUBLE) END
+                      ELSE least(CAST(1 AS DOUBLE), greatest(
+                             CAST(0 AS DOUBLE),
+                             CAST(p.x - bounds[i] AS DOUBLE)
+                             / CAST(bounds[i+1] - bounds[i] AS DOUBLE)))
+                 END),
+                 (acc, e) -> acc + e)
+               AS raw_est
+      FROM t
+    )
+    SELECT threshold,
+           CAST(actual AS BIGINT) AS actual_rows,
+           round(raw_est, 4) AS est_rows,
+           round(100 * (raw_est - actual) / actual, 2) AS rel_err_pct
+    FROM est
+    """,
+)
+def histogram_selectivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram statistics + CBO-style selectivity
+    estimation, as a first-class report: the 32-bucket equi-depth
+    histogram an ANALYZE TABLE would store for orders.o_totalprice,
+    evaluated against three range predicates — estimated rows under
+    the uniform-within-bucket assumption vs exact counts vs relative
+    error. This is the estimator behind cost-based join ordering and
+    scan pruning decisions; the report makes its accuracy measurable
+    (sub-1% here, the reason 32 buckets is a defensible default).
+
+    Determinism: bucket bounds are exact interpolated percentiles
+    quantized to integer CENTS via floor(x*100 + 0.5) — pure double
+    arithmetic identical on both engines (their native round(double)
+    functions diverge at .xx5) — so an interpolation ulp cannot
+    leak; the per-bucket overlap fractions divide exact integer
+    differences, the 32-term sum is an order-pinned left fold on
+    both engines (F.aggregate / list_reduce), and outputs round at
+    the edge.
+
+    Scale (100 TB posture): ONE scan computes the percentile sketch,
+    the total, and all three exact predicate counts in a single
+    aggregate (the exact percentile swaps for percentile_approx at
+    scale — same plan, mergeable sketch); estimation is arithmetic
+    over the 33-element bounds array on a single row, exploded to
+    one row per predicate. No joins, no second scan, no driver-side
+    math."""
+    v = F.col("v")
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    s = o.agg(
+        F.percentile("v", F.lit(_HIST_FRACTIONS)).alias("q"),
+        F.count("*").alias("total"),
+        F.sum((v <= 50000).cast("int")).alias("a1"),
+        F.sum((v <= 150000).cast("int")).alias("a2"),
+        F.sum((v <= 300000).cast("int")).alias("a3"),
+    )
+    # Bounds quantize to integer CENTS via floor(x*100 + 0.5): pure
+    # double arithmetic bit-identical on both engines — the engines'
+    # native round(double, 2) functions disagree at .xx5 boundaries
+    # (BigDecimal HALF_UP vs scaled-nearbyint), which flipped a bound
+    # by 0.01 on real data.
+    b = s.select(
+        F.transform(
+            "q", lambda x: F.floor(x * 100 + 0.5).cast("bigint")
+        ).alias("bounds"),
+        "total",
+        "a1",
+        "a2",
+        "a3",
+    )
+    t = b.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(x * 100)).cast("bigint").alias("xc"),
+                        F.col(a).cast("bigint").alias("actual"),
+                    )
+                    for x, a in zip(_HIST_THRESHOLDS, ["a1", "a2", "a3"])
+                ]
+            )
+        ).alias("p"),
+        "bounds",
+        "total",
+    )
+    lo = lambda i: F.element_at(F.col("bounds"), i)  # noqa: E731
+    hi = lambda i: F.element_at(F.col("bounds"), i + 1)  # noqa: E731
+    x = F.col("p.xc")
+    one, zero = F.lit(1).cast("double"), F.lit(0).cast("double")
+    overlap = lambda acc, i: acc + (  # noqa: E731
+        F.when(
+            hi(i) <= lo(i),
+            F.when(x >= hi(i), one).otherwise(zero),
+        ).otherwise(
+            F.least(
+                one,
+                F.greatest(
+                    zero,
+                    (x - lo(i)).cast("double")
+                    / (hi(i) - lo(i)).cast("double"),
+                ),
+            )
+        )
+    )
+    raw_est = (
+        F.col("total").cast("double")
+        / 32
+        * F.aggregate(
+            F.sequence(F.lit(1), F.lit(32)), F.lit(0.0), overlap
+        )
+    )
+    return t.select(
+        (x.cast("double") / 100).alias("threshold"),
+        F.col("p.actual").alias("actual_rows"),
+        raw_est.alias("__raw"),
+    ).select(
+        "threshold",
+        "actual_rows",
+        F.round("__raw", 4).alias("est_rows"),
+        F.round(
+            100 * (F.col("__raw") - F.col("actual_rows"))
+            / F.col("actual_rows"),
+            2,
+        ).alias("rel_err_pct"),
+    )
