@@ -1039,3 +1039,108 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint()
     feats.unpersist()
     return out
+
+
+@query(
+    "padding_waste_report",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents
+    ), a AS (
+      SELECT n_tok,
+             CAST((row_number() OVER (ORDER BY doc_id) - 1) // 32
+                  AS BIGINT) AS batch
+      FROM d
+    ), s AS (
+      SELECT n_tok,
+             CAST((row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 32
+                  AS BIGINT) AS batch
+      FROM d
+    ), pa AS (
+      SELECT batch, count(*) AS c, max(n_tok) AS m, SUM(n_tok) AS t
+      FROM a GROUP BY batch
+    ), ps AS (
+      SELECT batch, count(*) AS c, max(n_tok) AS m, SUM(n_tok) AS t
+      FROM s GROUP BY batch
+    )
+    SELECT 'arrival' AS strategy,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(SUM(t) AS BIGINT) AS total_tokens,
+           CAST(SUM(c * m - t) AS BIGINT) AS padded_tokens,
+           round(100 * CAST(SUM(c * m - t) AS DOUBLE)
+                 / CAST(SUM(c * m) AS DOUBLE), 4) AS waste_pct
+    FROM pa
+    UNION ALL
+    SELECT 'length_sorted' AS strategy,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(SUM(t) AS BIGINT) AS total_tokens,
+           CAST(SUM(c * m - t) AS BIGINT) AS padded_tokens,
+           round(100 * CAST(SUM(c * m - t) AS DOUBLE)
+                 / CAST(SUM(c * m) AS DOUBLE), 4) AS waste_pct
+    FROM ps
+    """,
+)
+def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting for fixed-size training batches
+    (B=32): every sequence in a batch pads to the batch max, so the
+    batch burns c*max(len) token slots to carry sum(len) real tokens.
+    The report quantifies the win of LENGTH-SORTED batching over
+    arrival-order batching — the standard pre-packing lever (and the
+    motivation for sequence packing, sequence_packing_stats, when
+    even sorted batches waste too much).
+
+    Both batch assignments are global ranks computed WITHOUT a
+    single-partition window, via operators/partitioning.
+    global_prefix_sum (range-bucketed two-pass scan; the only
+    full-data movement is one shuffle into order-preserving buckets).
+    The sort key for the length-sorted strategy is the composite
+    n_tok * 1e9 + doc_id — unique, integer, and identical to the
+    (n_tok, doc_id) lexicographic order the oracle's row_number
+    uses. Everything downstream is integer counts; the one division
+    rounds at the edge."""
+    from logicash_etl_spark.operators.partitioning import global_prefix_sum
+    from logicash_etl_spark.operators.text import token_count
+
+    batch_size = 32
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+
+    def strategy(name: str, key: F.Column) -> DataFrame:
+        keyed = docs.select(
+            "n_tok", key.cast("bigint").alias("__key"), F.lit(1).alias("__one")
+        )
+        ranked = global_prefix_sum(keyed, "__key", "__one", out_col="__rank")
+        batches = (
+            ranked.select(
+                "n_tok", F.expr(f"__rank div {batch_size}").alias("batch")
+            )
+            .groupBy("batch")
+            .agg(
+                F.count("*").alias("c"),
+                F.max("n_tok").alias("m"),
+                F.sum("n_tok").alias("t"),
+            )
+        )
+        cap = F.sum(F.col("c") * F.col("m"))
+        real = F.sum("t")
+        return batches.agg(
+            F.lit(name).alias("strategy"),
+            F.count("*").cast("bigint").alias("n_batches"),
+            real.cast("bigint").alias("total_tokens"),
+            (cap - real).cast("bigint").alias("padded_tokens"),
+            F.round(
+                100 * (cap - real).cast("double") / cap.cast("double"), 4
+            ).alias("waste_pct"),
+        )
+
+    arrival = strategy("arrival", F.col("doc_id"))
+    by_len = strategy(
+        "length_sorted",
+        F.col("n_tok").cast("bigint") * F.lit(1_000_000_000)
+        + F.col("doc_id"),
+    )
+    return arrival.unionByName(by_len)
