@@ -1145,3 +1145,99 @@ def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(ev, "user_id").unionByName(
         skew_profile(ev, "event_type")
     )
+
+
+def _blowup_sql(table: str, key: str) -> str:
+    """Oracle block for one (table, key) pair-blowup profile —
+    template-shared so both profiled tables run identical
+    arithmetic."""
+    return f"""
+    SELECT '{table}.{key}' AS table_key,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_group,
+           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS exact_pairs,
+           CAST(16 * SUM(CASE WHEN CAST(('0x' || substr(md5(
+                    CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0
+                 THEN c * (c - 1) // 2 ELSE 0 END) AS BIGINT)
+             AS est_pairs_sampled,
+           round(100 * (CAST(16 * SUM(CASE WHEN CAST(('0x' || substr(
+                    md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 16 = 0
+                 THEN c * (c - 1) // 2 ELSE 0 END) AS DOUBLE)
+                 - CAST(SUM(c * (c - 1) // 2) AS DOUBLE))
+                 / CAST(SUM(c * (c - 1) // 2) AS DOUBLE), 2)
+             AS rel_err_pct
+    FROM (SELECT {key} AS k, count(*) AS c FROM {table} GROUP BY 1)
+    """
+
+
+@query(
+    "selfjoin_blowup_estimate",
+    oracle=(
+        _blowup_sql("events", "user_id")
+        + " UNION ALL "
+        + _blowup_sql("lineitem", "l_orderkey")
+    ),
+)
+def selfjoin_blowup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-generation cost planning: BEFORE running a per-group
+    quadratic operator (copurchase lift, record-linkage blocking,
+    within-basket pair mining), estimate the pair count it will
+    materialize — exactly (sum over keys of c*(c-1)/2 from one
+    groupBy) and from a deterministic 1-in-16 KEY sample (md5-bucket
+    of the key, scaled x16), the estimator a planner would use when
+    even the per-key count pass is too expensive and group counts
+    come from a sample or a sketch. The report carries both plus the
+    sampling error, for the two natural pair-generation keys in the
+    fixture corpus — events by user (sessions/linkage) and lineitem
+    by order (baskets/copurchase).
+
+    Key-sampling (not row-sampling) is the correct design: sampling
+    ROWS thins every group and biases c*(c-1)/2 quadratically
+    downward, while sampling whole KEYS keeps each sampled group
+    intact — an unbiased Horvitz-Thompson estimate of the total.
+
+    Determinism + scale: one groupBy per table is the only
+    data-sized shuffle; everything after is arithmetic on the
+    per-key count frame (integer-exact: c*(c-1) is always even, so
+    the //2 is exact on both engines); the md5 key-bucket is
+    portable to the oracle. At 100 TB this report is what decides
+    between running the pair op as-is, a-priori pruning, or capping
+    group sizes (the copurchase_lift_top20 knob)."""
+    tables = [("events", "user_id"), ("lineitem", "l_orderkey")]
+    outs = []
+    for table, key in tables:
+        c = (
+            read_table(spark, sf_dir, table)
+            .select(F.col(key).alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("c"))
+        )
+        pairs = F.expr("c * (c - 1) div 2")
+        sampled = (
+            F.conv(
+                F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % 16
+            == 0
+        )
+        est = 16 * F.sum(F.when(sampled, pairs).otherwise(0))
+        exact = F.sum(pairs)
+        outs.append(
+            c.agg(
+                F.lit(f"{table}.{key}").alias("table_key"),
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.max("c").cast("bigint").alias("max_group"),
+                exact.cast("bigint").alias("exact_pairs"),
+                est.cast("bigint").alias("est_pairs_sampled"),
+                F.round(
+                    100
+                    * (est.cast("double") - exact.cast("double"))
+                    / exact.cast("double"),
+                    2,
+                ).alias("rel_err_pct"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
