@@ -50,39 +50,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # to this file — the rotation is self-maintaining: each new driver
 # round re-ages the catalog with no hand-edited green list.
 
-# Changed in round 8 (broadcast-policy sweep on the text-scoring
-# family + bloom demos, derived n_sources, epoch-idempotent
-# foreachBatch sinks, drain-lifecycle hardening, exact-Fraction
-# prefix bound):
-_CHANGED_R8 = [
-    "tfidf_top_terms", "collocation_lift_top20",
-    "unigram_surprisal_score", "bigram_surprisal_score",
-    "bloom_join_prune_stats", "bloom_pruned_revenue",
-    "prefix_jaccard_dups",
-    # drain lifecycle (_mark_drained) touched all 11 streaming
-    # queries; stateful_counts and static_enrich also changed sink
-    # layout (epoch-partitioned overwrite)
+# Changed in round 9 (schema-pinned streaming sink readbacks,
+# exact-Fraction overflow guard on the prefix bound, percentile
+# exact/sketch switch with the sketch as the operator default):
+_CHANGED_R9 = [
+    # sink readback now schema-pinned (no footer inference)
     "streaming_stateful_counts", "stream_static_enrich",
-    "streaming_tumbling_counts", "streaming_session_windows",
-    "streaming_dedup_counts", "streaming_interval_join",
     "streaming_upsert_scd1", "streaming_incremental_dedup",
-    "streaming_late_data_audit", "streaming_outer_interval_join",
-    "streaming_jittered_dedup",
+    # Fraction denominator overflow guard (2/3-style thresholds)
+    "prefix_jaccard_dups",
+    # refactored onto dq.profile.selectivity_report / percentiles
+    # (exact=True at the call site, sketch as the operator default)
+    "histogram_selectivity_report", "value_percentiles",
+    "value_outlier_mad", "approx_sketches",
 ]
 
 
 def _green_rounds() -> dict[str, int]:
     """name -> latest round with a driver-green row (rows + schema +
     hash all matched), parsed from the CORRECTNESS_r*.json ledger in
-    this directory. Unreadable files are skipped: a query with no
-    parseable green row simply sorts to the front (checked sooner),
-    never silently out of the snapshot."""
+    this directory. A RED row in a round NEWER than the last green
+    un-proves the query: it drops out of the green map entirely and
+    lands in the never-checked bucket at the FRONT of the rotation
+    (a regressed query must re-earn its green, not age as if still
+    proven). Unreadable files are skipped: a query with no parseable
+    green row simply sorts to the front (checked sooner), never
+    silently out of the snapshot."""
     import glob
     import json
     import re as _re
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    out: dict[str, int] = {}
+    green: dict[str, int] = {}
+    red: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -96,14 +96,19 @@ def _green_rounds() -> dict[str, int]:
         if not isinstance(rows, dict):
             continue
         for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
             if (
-                isinstance(r, dict)
-                and r.get("rows_match")
+                r.get("rows_match")
                 and r.get("schema_match")
                 and r.get("hash_match")
             ):
-                out[name] = max(out.get(name, 0), rnd)
-    return out
+                green[name] = max(green.get(name, 0), rnd)
+            else:
+                red[name] = max(red.get(name, 0), rnd)
+    return {
+        n: rnd for n, rnd in green.items() if red.get(n, -1) <= rnd
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -111,7 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered changed-first, then never-driver-checked, then greens by
     ascending last-confirmation round (oldest refresh first)."""
     green = _green_rounds()
-    ordered = [n for n in _CHANGED_R8 if n in QUERIES]
+    ordered = [n for n in _CHANGED_R9 if n in QUERIES]
     head = set(ordered)
     ordered += sorted(n for n in QUERIES if n not in green and n not in head)
     rest = [n for n in QUERIES if n in green and n not in head]

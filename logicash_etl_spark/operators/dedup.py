@@ -718,10 +718,32 @@ def prefix_filter_pairs(
     # arithmetic on p/q so recall is exactly 1 at the boundary.
     # Fraction(str(x)) is EXACT for any float: str() yields a finite
     # decimal (the shortest round-tripping repr), and every finite
-    # decimal is a rational. No limit_denominator — quantizing would
-    # silently evaluate the bounds at a nearby threshold, not the
-    # caller's (e.g. 0.1234567 needs q = 10^7 > 1e6).
+    # decimal is a rational. A threshold like 2/3 arrives as the float
+    # 0.6666666666666666, whose exact fraction has q = 10^16 — large
+    # enough that the integer bound products below (worst case
+    # ~2*max_set_size*(p+q)) overflow int64 for set sizes above a few
+    # hundred and, with ANSI off, WRAP SILENTLY into wrong filters. So:
+    # keep the exact fraction when its products provably fit; otherwise
+    # reduce via limit_denominator and accept the reduction ONLY if it
+    # round-trips to the caller's float (2/3 does — same threshold,
+    # exact); else fail loudly rather than compute wrong bounds.
+    # q <= 2^31 keeps every product under 2^63 for set sizes < 2^30
+    # (a single document's distinct shingle count; ~10^9 shingles/doc
+    # is far beyond any real document).
+    _MAX_DEN = 1 << 31
     frac = Fraction(str(threshold))
+    if frac.denominator > _MAX_DEN:
+        reduced = frac.limit_denominator(_MAX_DEN)
+        if float(reduced) != float(threshold):
+            raise ValueError(
+                f"threshold {threshold!r} needs denominator "
+                f"{frac.denominator} > 2^31; integer Jaccard bounds "
+                "would overflow int64. Pass a threshold whose exact "
+                "rational form has a denominator <= 2^31 (e.g. a "
+                "short decimal like 0.7, or a float that is exactly "
+                "p/q such as 2/3)."
+            )
+        frac = reduced
     t_num, t_den = frac.numerator, frac.denominator
 
     sh = (

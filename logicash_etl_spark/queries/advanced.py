@@ -7,6 +7,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from logicash_etl_spark.dq.profile import percentiles
 from logicash_etl_spark.functions.money import dsum
 from logicash_etl_spark.operators.joins import broadcast_bounded
 from logicash_etl_spark.queries.registry import query
@@ -96,12 +97,16 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         # split the quantile sketch into scalar columns: the driver
         # canonicalizer cannot hash array-typed output
-        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("price_p50"),
-        F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("price_p95"),
-        F.percentile(price, 0.495).alias("p50_lo"),
-        F.percentile(price, 0.505).alias("p50_hi"),
-        F.percentile(price, 0.945).alias("p95_lo"),
-        F.percentile(price, 0.955).alias("p95_hi"),
+        percentiles("l_extendedprice", 0.5).alias("price_p50"),
+        percentiles("l_extendedprice", 0.95).alias("price_p95"),
+        # exact=True is INTRINSIC here, not an oracle concession: the
+        # query verifies the sketch against true rank bounds — a
+        # sketch checked against itself proves nothing. The exact
+        # aggregates are grouped (per returnflag), bounded per group.
+        percentiles(price, 0.495, exact=True).alias("p50_lo"),
+        percentiles(price, 0.505, exact=True).alias("p50_hi"),
+        percentiles(price, 0.945, exact=True).alias("p95_lo"),
+        percentiles(price, 0.955, exact=True).alias("p95_hi"),
     )
     rel_err = (
         F.abs(F.col("approx_orders") - F.col("exact_orders"))
@@ -1147,103 +1152,20 @@ def histogram_selectivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram an ANALYZE TABLE would store for orders.o_totalprice,
     evaluated against three range predicates — estimated rows under
     the uniform-within-bucket assumption vs exact counts vs relative
-    error. This is the estimator behind cost-based join ordering and
-    scan pruning decisions; the report makes its accuracy measurable
-    (sub-1% here, the reason 32 buckets is a defensible default).
+    error (sub-1% here, the reason 32 buckets is a defensible
+    default). Thin fixture binding over
+    :func:`logicash_etl_spark.dq.profile.selectivity_report`, which
+    owns the one-scan plan, the cross-engine quantization rules, and
+    the exact-vs-sketch switch.
 
-    Determinism: bucket bounds are exact interpolated percentiles
-    quantized to integer CENTS via floor(x*100 + 0.5) — pure double
-    arithmetic identical on both engines (their native round(double)
-    functions diverge at .xx5) — so an interpolation ulp cannot
-    leak; the per-bucket overlap fractions divide exact integer
-    differences, the 32-term sum is an order-pinned left fold on
-    both engines (F.aggregate / list_reduce), and outputs round at
-    the edge.
+    ``exact=True`` here because the driver oracle hash-compares
+    interpolated bucket bounds; the OPERATOR defaults to the
+    percentile_approx sketch (mergeable, bounded memory), so the
+    100 TB path needs no code edit — this call site is the opt-in,
+    not the other way around."""
+    from logicash_etl_spark.dq.profile import selectivity_report
 
-    Scale (100 TB posture): ONE scan computes the percentile sketch,
-    the total, and all three exact predicate counts in a single
-    aggregate (the exact percentile swaps for percentile_approx at
-    scale — same plan, mergeable sketch); estimation is arithmetic
-    over the 33-element bounds array on a single row, exploded to
-    one row per predicate. No joins, no second scan, no driver-side
-    math."""
-    v = F.col("v")
     o = read_table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").cast("double").alias("v")
     )
-    s = o.agg(
-        F.percentile("v", F.lit(_HIST_FRACTIONS)).alias("q"),
-        F.count("*").alias("total"),
-        F.sum((v <= 50000).cast("int")).alias("a1"),
-        F.sum((v <= 150000).cast("int")).alias("a2"),
-        F.sum((v <= 300000).cast("int")).alias("a3"),
-    )
-    # Bounds quantize to integer CENTS via floor(x*100 + 0.5): pure
-    # double arithmetic bit-identical on both engines — the engines'
-    # native round(double, 2) functions disagree at .xx5 boundaries
-    # (BigDecimal HALF_UP vs scaled-nearbyint), which flipped a bound
-    # by 0.01 on real data.
-    b = s.select(
-        F.transform(
-            "q", lambda x: F.floor(x * 100 + 0.5).cast("bigint")
-        ).alias("bounds"),
-        "total",
-        "a1",
-        "a2",
-        "a3",
-    )
-    t = b.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(int(x * 100)).cast("bigint").alias("xc"),
-                        F.col(a).cast("bigint").alias("actual"),
-                    )
-                    for x, a in zip(_HIST_THRESHOLDS, ["a1", "a2", "a3"])
-                ]
-            )
-        ).alias("p"),
-        "bounds",
-        "total",
-    )
-    lo = lambda i: F.element_at(F.col("bounds"), i)  # noqa: E731
-    hi = lambda i: F.element_at(F.col("bounds"), i + 1)  # noqa: E731
-    x = F.col("p.xc")
-    one, zero = F.lit(1).cast("double"), F.lit(0).cast("double")
-    overlap = lambda acc, i: acc + (  # noqa: E731
-        F.when(
-            hi(i) <= lo(i),
-            F.when(x >= hi(i), one).otherwise(zero),
-        ).otherwise(
-            F.least(
-                one,
-                F.greatest(
-                    zero,
-                    (x - lo(i)).cast("double")
-                    / (hi(i) - lo(i)).cast("double"),
-                ),
-            )
-        )
-    )
-    raw_est = (
-        F.col("total").cast("double")
-        / 32
-        * F.aggregate(
-            F.sequence(F.lit(1), F.lit(32)), F.lit(0.0), overlap
-        )
-    )
-    return t.select(
-        (x.cast("double") / 100).alias("threshold"),
-        F.col("p.actual").alias("actual_rows"),
-        raw_est.alias("__raw"),
-    ).select(
-        "threshold",
-        "actual_rows",
-        F.round("__raw", 4).alias("est_rows"),
-        F.round(
-            100 * (F.col("__raw") - F.col("actual_rows"))
-            / F.col("actual_rows"),
-            2,
-        ).alias("rel_err_pct"),
-    )
+    return selectivity_report(o, "v", _HIST_THRESHOLDS, exact=True)

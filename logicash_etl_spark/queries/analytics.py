@@ -157,17 +157,22 @@ def value_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back broadcast-style. Both quantiles are ROUNDED to 6dp
     before the comparison — the rounded threshold is identical bits on
     both engines, so no boundary row can flip on an interpolation ulp.
-    At 100 TB the exact quantiles swap for percentile_approx and the
-    same plan holds (sketches merge; two passes stay two passes)."""
+    Quantiles ride the sanctioned exact/sketch switch
+    (dq.profile.percentiles): exact=True ONLY for oracle hash
+    comparability — the operator defaults to the percentile_approx
+    sketch, so the 100 TB path is the default call and the same plan
+    holds (sketches merge; two passes stay two passes)."""
+    from logicash_etl_spark.dq.profile import percentiles
+
     ev = read_table(spark, sf_dir, "events").select("event_type", "value")
     med = ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+        F.round(percentiles("value", 0.5, exact=True), 6).alias("med")
     )
     dev = ev.join(F.broadcast(med), on="event_type")
     mad = dev.groupBy("event_type").agg(
-        F.round(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 6).alias(
-            "mad"
-        )
+        F.round(
+            percentiles(F.abs(F.col("value") - F.col("med")), 0.5, exact=True), 6
+        ).alias("mad")
     )
     return (
         dev.join(F.broadcast(mad), on="event_type")
@@ -1077,10 +1082,13 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _skew_profile_sql(key_expr: str, label: str) -> str:
+def _skew_profile_sql(key_expr: str, label: str, n_parts: int = 32) -> str:
     """Oracle block mirroring operators/partitioning.skew_profile for
     one key — generated from a shared template so both profiled keys
-    run the exact same arithmetic."""
+    run the exact same arithmetic. ``n_parts`` is templated exactly
+    like key/label: an oracle-paired caller passing a non-default
+    bucket count to skew_profile must pass the SAME value here, or
+    the simulated placements diverge."""
     return f"""
     SELECT '{label}' AS key_name,
            CAST(n_keys AS BIGINT) AS n_keys,
@@ -1091,7 +1099,8 @@ def _skew_profile_sql(key_expr: str, label: str) -> str:
              AS top10_pct,
            CAST(max_part_load AS BIGINT) AS max_part_load,
            round(CAST(max_part_load AS DOUBLE)
-                 / (CAST(total_rows AS DOUBLE) / 32), 3) AS skew_ratio
+                 / (CAST(total_rows AS DOUBLE) / {n_parts}), 3)
+             AS skew_ratio
     FROM (
       WITH c AS (
         SELECT CAST({key_expr} AS VARCHAR) AS k, count(*) AS cnt
@@ -1106,7 +1115,7 @@ def _skew_profile_sql(key_expr: str, label: str) -> str:
                (SELECT SUM(cnt) AS load FROM
                  (SELECT cnt,
                          CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT)
-                           % 32 AS bucket
+                           % {n_parts} AS bucket
                   FROM c)
                 GROUP BY bucket)) AS max_part_load
       FROM c

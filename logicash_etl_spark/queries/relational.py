@@ -737,13 +737,18 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (generator.py:210-270 uses
-    median). At 100 TB swap to percentile_approx — same call shape,
-    sketch-mergeable; exact kept here for oracle comparability."""
+    median), via the sanctioned exact/sketch switch
+    (dq.profile.percentiles): exact=True ONLY because the oracle
+    hash-compares interpolated values — the operator defaults to the
+    percentile_approx sketch, which is the 100 TB call (same shape,
+    mergeable)."""
+    from logicash_etl_spark.dq.profile import percentiles
+
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
-        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.round(percentiles("value", 0.5, exact=True), 6).alias("p50"),
+        F.round(percentiles("value", 0.9, exact=True), 6).alias("p90"),
+        F.round(percentiles("value", 0.99, exact=True), 6).alias("p99"),
     )
 
 

@@ -65,8 +65,11 @@ _LOT_ROWS: dict[str, int] = {}
 
 def _state_parts(spark: SparkSession, lot: str) -> int:
     if lot not in _LOT_ROWS:
-        # metadata-only parquet count: row counts come from footers
-        _LOT_ROWS[lot] = spark.read.parquet(lot).count()
+        # metadata-only parquet count: row counts come from footers.
+        # Every lot here is events-shaped (see _events_lot and
+        # siblings); the explicit schema skips inference I/O and is
+        # the module-wide no-schema-less-readback rule.
+        _LOT_ROWS[lot] = spark.read.schema(S.EVENTS).parquet(lot).count()
     return max(_STATE_PARTS, min(32, _LOT_ROWS[lot] // 25_000))
 
 
@@ -257,10 +260,13 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _mark_drained(drain)
     # one row per state UPDATE: keep the final count per key
-    # (max = monotone counter); the inferred epoch partition column
-    # is dropped by the select
+    # (max = monotone counter). Schema pinned like every sibling sink
+    # readback — partition discovery still appends the epoch column
+    # from the directory names (no footer sniffing), and the select
+    # drops it
     return (
-        spark.read.parquet(out)
+        spark.read.schema("user_id long, n_events long")
+        .parquet(out)
         .select("user_id", "n_events")
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
@@ -537,7 +543,7 @@ def streaming_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = latest
         else:
             merged = upsert_if_newer(
-                spark.read.parquet(prev),
+                spark.read.schema(S.EVENTS).parquet(prev),
                 latest,
                 keys=["user_id"],
                 order_by="ts",
@@ -555,7 +561,7 @@ def streaming_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=_state_parts(spark, upsert_lot),
     )
     _mark_drained(drain)
-    final = spark.read.parquet(state["path"])
+    final = spark.read.schema(S.EVENTS).parquet(state["path"])
     return final.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -642,7 +648,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("tier").orderBy(F.col("n_events").desc())
     return (
-        spark.read.parquet(out)
+        spark.read.schema(enriched.schema)
+        .parquet(out)
         .select("tier", "n_events", "total_value")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -788,10 +795,13 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     _mark_drained(drain)
 
-    # epoch=N partition dirs add an inferred partition column — keep
-    # only the verdict columns the oracle models
+    # epoch=N partition dirs append a discovered partition column —
+    # schema pinned to the verdict layout (history.py writes exactly
+    # these three), and the select drops the epoch
     return (
-        spark.read.parquet(verdicts).select("doc_id", "source", "status")
+        spark.read.schema("doc_id long, source string, status string")
+        .parquet(verdicts)
+        .select("doc_id", "source", "status")
     )
 
 

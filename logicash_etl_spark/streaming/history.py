@@ -45,6 +45,11 @@ _BASE0 = "base"
 _GEN = "gen_epoch"
 _BASE_E = "base_epoch"
 
+# the fingerprint store's layout (write_history_base and the
+# per-epoch generation writes both emit exactly this): pinned so the
+# fold/dedup reads never footer-sniff a multi-generation directory set
+_HIST_SCHEMA = "fp string, origin string"
+
 
 def _complete(path: str) -> bool:
     """A snapshot dir counts only once its committer marker exists:
@@ -90,7 +95,7 @@ def compact_history(
     dirs = history_dirs(hist_dir, epoch_id)
     if len(dirs) - 1 <= keep_gens:
         return False
-    spark.read.parquet(*dirs).write.mode("overwrite").parquet(
+    spark.read.schema(_HIST_SCHEMA).parquet(*dirs).write.mode("overwrite").parquet(
         os.path.join(hist_dir, f"{_BASE_E}{epoch_id}")
     )
     for d in os.listdir(hist_dir):
@@ -132,7 +137,9 @@ def incremental_dedup_batch_fn(
         return df.coalesce(out_partitions) if out_partitions else df
 
     def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
-        cur = spark.read.parquet(*history_dirs(hist_dir, epoch_id))
+        cur = spark.read.schema(_HIST_SCHEMA).parquet(
+            *history_dirs(hist_dir, epoch_id)
+        )
         first = F.min("doc_id").over(Window.partitionBy("fp"))
         out = (
             bdf.join(cur, "fp", "left")

@@ -7,6 +7,8 @@ changed queries against a 50-row window left 14 waiting).
 Round-8 scheme (green-rotation aging): head = changed-this-round ∪
 never-driver-checked ∪ OLDEST greens, with the green ledger parsed
 from CORRECTNESS_r*.json — self-maintaining, no hand-edited list.
+Round 9 adds red-un-proves-green: a red row newer than a query's last
+green drops it from the ledger so it re-enters the head immediately.
 """
 
 from __future__ import annotations
@@ -31,8 +33,8 @@ def test_every_query_has_an_oracle():
 
 def test_changed_list_is_registered_names():
     qs = entry.queries()
-    missing = [n for n in entry._CHANGED_R8 if n not in qs]
-    assert not missing, f"_CHANGED_R8 names not in catalog: {missing}"
+    missing = [n for n in entry._CHANGED_R9 if n not in qs]
+    assert not missing, f"_CHANGED_R9 names not in catalog: {missing}"
 
 
 def test_green_ledger_parses_and_covers_catalog():
@@ -61,7 +63,7 @@ def test_snapshot_head_covers_changed_and_unchecked():
     old greens, never changed work)."""
     names = list(entry.queries())
     head = set(names[:SNAPSHOT_ROWS])
-    changed = [n for n in entry._CHANGED_R8 if n in set(names)]
+    changed = [n for n in entry._CHANGED_R9 if n in set(names)]
     assert len(changed) <= SNAPSHOT_ROWS, "changed list exceeds snapshot"
     assert names[: len(changed)] == changed
     green = entry._green_rounds()
@@ -77,7 +79,7 @@ def test_head_fills_with_oldest_greens():
     driver rows refresh on a rolling cadence instead of going stale."""
     green = entry._green_rounds()
     names = list(entry.queries())
-    changed = [n for n in entry._CHANGED_R8 if n in set(names)]
+    changed = [n for n in entry._CHANGED_R9 if n in set(names)]
     k = len(changed) + len([n for n in names if n not in green])
     expected_tail = sorted(
         (n for n in names[k:]), key=lambda n: (green[n], n)
@@ -97,16 +99,54 @@ def test_green_rounds_matches_raw_ledger():
     import re
 
     repo = os.path.dirname(os.path.abspath(entry.__file__))
-    expected: dict[str, int] = {}
+    greens: dict[str, int] = {}
+    reds: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        # mirror _green_rounds exactly: skip non-numeric suffixes and
+        # unparseable JSON rather than crashing on the edge cases the
+        # function deliberately tolerates
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rows = json.load(open(path))
+        if not m:
+            continue
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
         for name, r in rows.items():
-            if (
-                isinstance(r, dict)
-                and r.get("rows_match")
+            if not isinstance(r, dict):
+                continue
+            ok = (
+                r.get("rows_match")
                 and r.get("schema_match")
                 and r.get("hash_match")
-            ):
-                expected[name] = max(expected.get(name, 0), int(m.group(1)))
+            )
+            bucket = greens if ok else reds
+            bucket[name] = max(bucket.get(name, 0), int(m.group(1)))
+    expected = {
+        n: rnd for n, rnd in greens.items() if reds.get(n, -1) <= rnd
+    }
     assert entry._green_rounds() == expected
+
+
+def test_red_row_unproves_green(tmp_path, monkeypatch):
+    """A query green in round N but RED in round N+1 must drop out of
+    the green ledger (re-entering the head's never-checked bucket),
+    not age quietly at green[n]=N."""
+    import json
+
+    g = {"q_ok": {"rows_match": True, "schema_match": True,
+                  "hash_match": True}}
+    bad = {"q_ok": {"rows_match": True, "schema_match": True,
+                    "hash_match": False}}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(g))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(bad))
+    monkeypatch.setattr(
+        entry.os.path, "abspath", lambda _: str(tmp_path / "x.py")
+    )
+    assert entry._green_rounds() == {}
+
+    # and a NEWER green re-proves it
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(g))
+    assert entry._green_rounds() == {"q_ok": 3}

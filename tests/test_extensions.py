@@ -1648,6 +1648,71 @@ def test_prefix_filter_pairs_exact_rational_boundary(spark):
     assert abs(got[0].jaccard - 0.1) < 1e-12
 
 
+def test_prefix_filter_pairs_reduces_repeating_threshold(spark):
+    """A threshold like 2/3 arrives as the float 0.6666666666666666
+    whose exact fraction has denominator 10^16 — large enough that
+    the integer bound products overflow int64 for realistic shingle
+    sets and wrap SILENTLY with ANSI off (advice r8). The guard must
+    reduce it to the exact 2/3 (which round-trips to the same float)
+    and produce correct pairs — here J = 28/42 = 2/3 EXACTLY, right
+    at the boundary, with 40+ shingles per doc (the old 10^16-scaled
+    products would sit ~100x past int64)."""
+    from logicash_etl_spark.operators.dedup import prefix_filter_pairs
+
+    shared = [f"s{i}" for i in range(30)]
+    a_only = [f"a{i}" for i in range(9)]
+    b_only = [f"b{i}" for i in range(9)]
+    # BELOW the boundary: doc = shared ++ 9 unique words = 39 words
+    # -> 37 shingles; 28 lie fully inside the shared run (positions
+    # 0..27), the 2 seam shingles mix shared+unique words and the 7
+    # suffix shingles are unique. J = 28/(37+37-28) = 14/23 < 2/3 ->
+    # must produce NO pair (and the bound arithmetic ran 10^16-free).
+    docs = [
+        (1, " ".join(shared + a_only)),
+        (2, " ".join(shared + b_only)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = prefix_filter_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=2 / 3
+    ).collect()
+    assert got == []
+    # AT the boundary: 7 unique words -> 35 shingles per doc, still
+    # 28 shared; J = 28/(35+35-28) = 28/42 = 2/3 EXACTLY -> must
+    # survive (the reduced 2/3 fraction keeps recall exact at J = t).
+    trimmed = [
+        (1, " ".join(shared + a_only[:7])),
+        (2, " ".join(shared + b_only[:7])),
+    ]
+    df2 = spark.createDataFrame(trimmed, "doc_id bigint, text string")
+    got2 = prefix_filter_pairs(
+        df2, "doc_id", "text", shingle_n=3, threshold=2 / 3
+    ).collect()
+    assert len(got2) == 1 and (got2[0].id_a, got2[0].id_b) == (1, 2)
+    assert abs(got2[0].jaccard - 2 / 3) < 1e-12
+
+
+def test_prefix_filter_pairs_rejects_unreducible_threshold(spark):
+    """A threshold whose exact fraction needs q > 2^31 AND does not
+    round-trip through limit_denominator must raise loudly instead of
+    computing wrapped int64 bounds."""
+    import pytest
+
+    from logicash_etl_spark.operators.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id bigint, text string"
+    )
+    # 0.700000000000001's exact fraction needs q = 10^15 and its
+    # best q<=2^31 approximation is 7/10 — a DIFFERENT threshold
+    # (float(7/10) != 0.700000000000001), so silently reducing would
+    # evaluate the caller's bounds at the wrong t. Must raise.
+    with pytest.raises(ValueError, match="denominator"):
+        prefix_filter_pairs(
+            df, "doc_id", "text", shingle_n=3,
+            threshold=0.700000000000001,
+        )
+
+
 def test_bloom_probe_literal_rejects_m_bits_mismatch(spark):
     """Probing with a smaller m_bits than the filter was built with
     would silently drop out-of-range words -> false negatives; the
