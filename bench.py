@@ -96,13 +96,58 @@ def main() -> None:
     # min'd away.
     timings: dict[str, float] = {}
     first_pass: dict[str, float] = {}
+    second_pass: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in sorted(QUERIES):
         timings[name] = first_pass[name] = run_one(name)
     for name in sorted(QUERIES):
-        second = run_one(name)
+        second = second_pass[name] = run_one(name)
         if second >= 0:
             timings[name] = min(timings[name], second) if timings[name] >= 0 else second
+
+    # MACHINE-READABLE VARIANCE (round-8 judge ask): identical-code
+    # bench runs drifted 8-9% within round 8 and the r7->r8 cold delta
+    # needed manual forensics to separate drift from regression. A
+    # THIRD pass over the slowest queries (where regressions show up
+    # and where absolute noise is largest) gives two warm samples per
+    # query (passes 2 and 3 — pass 1 carries one-time cold costs by
+    # design, so it is excluded from the spread); the per-query and
+    # aggregate spread land in the artifact so the next reader can
+    # test "is this delta inside the measured band?" mechanically.
+    N_VARIANCE = 20
+    slowest = sorted(
+        (n for n in timings if timings[n] >= 0),
+        key=lambda n: timings[n],
+        reverse=True,
+    )[:N_VARIANCE]
+    third_pass: dict[str, float] = {}
+    for name in slowest:
+        third_pass[name] = run_one(name)
+    var_per_query: dict[str, dict[str, float]] = {}
+    spreads: list[float] = []
+    for name in slowest:
+        p2, p3 = second_pass.get(name, -1.0), third_pass.get(name, -1.0)
+        if p2 < 0 or p3 < 0:
+            continue
+        lo, hi = min(p2, p3), max(p2, p3)
+        spread_pct = round(100 * (hi - lo) / lo, 2) if lo > 0 else 0.0
+        var_per_query[name] = {
+            "warm_samples": [p2, p3],
+            "spread_pct": spread_pct,
+        }
+        spreads.append(spread_pct)
+    spreads.sort()
+    variance = {
+        "n_queries_sampled": len(spreads),
+        "basis": "two warm passes (2 and 3) per query; pass 1 excluded"
+        " (one-time cold costs by design)",
+        "median_spread_pct": spreads[len(spreads) // 2] if spreads else None,
+        "max_spread_pct": spreads[-1] if spreads else None,
+        "per_query": var_per_query,
+    }
+    # `value` stays min(pass1, pass2) for every query — including the
+    # third pass in the min would bias the 20 sampled queries low
+    # relative to the unsampled rest and break cross-round totals.
     # two totals so the noise correction is visible, not silent:
     # `value` = sum of per-query minima (comparable across rounds),
     # `raw_wall_clock` = actual elapsed time across both passes.
@@ -147,6 +192,8 @@ def main() -> None:
         "raw_wall_clock": raw_wall,
         "queries": timings,
         "first_pass": first_pass,
+        "second_pass": second_pass,
+        "variance": variance,
         "lot_build": lot_build,
         "lot_build_total": round(sum(lot_build.values()), 4),
         "lakehouse": lakehouse,
@@ -177,6 +224,8 @@ def main() -> None:
                 "first_pass_total": cold_total,
                 "unit": "sec",
                 "raw_wall_clock": raw_wall,
+                "variance_median_spread_pct": variance["median_spread_pct"],
+                "variance_max_spread_pct": variance["max_spread_pct"],
                 "queries": kept,
                 "n_queries": len(timings),
                 "omitted_fast": len(timings) - len(kept),
@@ -195,6 +244,8 @@ def main() -> None:
         "first_pass_total": cold_total,
         "unit": "sec",
         "raw_wall_clock": raw_wall,
+        "variance_median_spread_pct": variance["median_spread_pct"],
+        "variance_max_spread_pct": variance["max_spread_pct"],
         "queries": kept,
         "n_queries": len(timings),
         "omitted_fast": len(timings) - len(kept),

@@ -40,9 +40,14 @@ from logicash_etl_spark.session import get_spark  # noqa: E402
 REPS = 3
 
 
-def _drain(spark, lot, root, layout: str) -> tuple[float, float, int]:
+def _drain(
+    spark, lot, root, layout: str, max_files_per_trigger: int | None = None
+) -> tuple[float, float, int]:
     """One COLD drain of the stateful-counts shape into ``layout``
-    ('append' | 'epoch'); returns (drain_sec, readback_sec, n_rows)."""
+    ('append' | 'epoch'); returns (drain_sec, readback_sec, n_rows).
+    ``max_files_per_trigger=1`` forces one EPOCH PER LOT FILE, the
+    many-epoch shape where per-epoch sink costs (one write job + one
+    partition dir each) actually accumulate."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -61,7 +66,9 @@ def _drain(spark, lot, root, layout: str) -> tuple[float, float, int]:
         state.update((total,))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
 
-    stream = stream_parquet_dir(spark, lot, S.EVENTS)
+    stream = stream_parquet_dir(
+        spark, lot, S.EVENTS, max_files_per_trigger=max_files_per_trigger
+    )
     counted = stream.groupBy("user_id").applyInPandasWithState(
         count_fn,
         outputStructType="user_id long, n_events long",
@@ -108,51 +115,65 @@ def main() -> None:
     from logicash_etl_spark.tmp import session_tmpdir
 
     lot = _events_lot(spark, sf_dir)
-    runs: dict[str, dict[str, list[float]]] = {
-        "append": {"drain": [], "read": []},
-        "epoch": {"drain": [], "read": []},
-    }
-    rows: dict[str, int] = {}
-    for rep in range(REPS):
-        for layout in ("append", "epoch"):
-            root = session_tmpdir(f"lq_sink_ab_{layout}{rep}_")
-            d, r, n = _drain(spark, lot, root, layout)
-            runs[layout]["drain"].append(d)
-            runs[layout]["read"].append(r)
-            rows[layout] = n
-            print(
-                f"  rep{rep} {layout:6s} drain={d:6.2f}s "
-                f"read={r:5.2f}s rows={n}",
-                file=sys.stderr,
-            )
-    assert rows["append"] == rows["epoch"], (
-        "layouts must agree on final state rows"
-    )
-    med = lambda xs: round(statistics.median(xs), 3)  # noqa: E731
+    # many-epoch variant: same rows re-laid as N_FILES files, streamed
+    # one file per trigger -> N_FILES epochs -> N_FILES sink writes
+    N_FILES = 16
+    from logicash_etl_spark import schemas as S
+
+    lot16 = session_tmpdir("lq_sink_ab_lot16_") + "/lot"
+    spark.read.schema(S.EVENTS).parquet(lot).repartition(N_FILES).write.parquet(lot16)
+
+    def scenario(lot_path, mfpt, tag):
+        runs = {
+            "append": {"drain": [], "read": []},
+            "epoch": {"drain": [], "read": []},
+        }
+        rows = {}
+        for rep in range(REPS):
+            for layout in ("append", "epoch"):
+                root = session_tmpdir(f"lq_sink_ab_{tag}_{layout}{rep}_")
+                d, r, n = _drain(spark, lot_path, root, layout, mfpt)
+                runs[layout]["drain"].append(d)
+                runs[layout]["read"].append(r)
+                rows[layout] = n
+                print(
+                    f"  {tag} rep{rep} {layout:6s} drain={d:6.2f}s "
+                    f"read={r:5.2f}s rows={n}",
+                    file=sys.stderr,
+                )
+        assert rows["append"] == rows["epoch"], (
+            "layouts must agree on final state rows"
+        )
+        med = lambda xs: round(statistics.median(xs), 3)  # noqa: E731
+        return {
+            "rows": rows["epoch"],
+            "append": {
+                "drain_median_s": med(runs["append"]["drain"]),
+                "readback_median_s": med(runs["append"]["read"]),
+                "drain_all": [round(x, 3) for x in runs["append"]["drain"]],
+            },
+            "epoch_overwrite": {
+                "drain_median_s": med(runs["epoch"]["drain"]),
+                "readback_median_s": med(runs["epoch"]["read"]),
+                "drain_all": [round(x, 3) for x in runs["epoch"]["drain"]],
+            },
+            "drain_overhead_x": round(
+                statistics.median(runs["epoch"]["drain"])
+                / statistics.median(runs["append"]["drain"]),
+                3,
+            ),
+            "readback_overhead_x": round(
+                statistics.median(runs["epoch"]["read"])
+                / statistics.median(runs["append"]["read"]),
+                3,
+            ),
+        }
+
     out = {
         "sf_dir": sf_dir,
         "reps": REPS,
-        "rows": rows["epoch"],
-        "append": {
-            "drain_median_s": med(runs["append"]["drain"]),
-            "readback_median_s": med(runs["append"]["read"]),
-            "drain_all": [round(x, 3) for x in runs["append"]["drain"]],
-        },
-        "epoch_overwrite": {
-            "drain_median_s": med(runs["epoch"]["drain"]),
-            "readback_median_s": med(runs["epoch"]["read"]),
-            "drain_all": [round(x, 3) for x in runs["epoch"]["drain"]],
-        },
-        "drain_overhead_x": round(
-            statistics.median(runs["epoch"]["drain"])
-            / statistics.median(runs["append"]["drain"]),
-            3,
-        ),
-        "readback_overhead_x": round(
-            statistics.median(runs["epoch"]["read"])
-            / statistics.median(runs["append"]["read"]),
-            3,
-        ),
+        "single_epoch": scenario(lot, None, "1ep"),
+        "multi_epoch_16": scenario(lot16, 1, "16ep"),
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "SINK_AB.json"), "w") as fh:
