@@ -1250,3 +1250,107 @@ def selfjoin_blowup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+@query(
+    "cusum_changepoint_report",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+      FROM daily
+    ), pre AS (
+      SELECT day, n,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(SUM(x) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS prefix,
+             s
+      FROM daily, tot
+    ), cs AS (
+      SELECT day, n * prefix - i * s AS cusum_scaled, n FROM pre
+    ), ranked AS (
+      SELECT day, cusum_scaled, n,
+             CAST(row_number() OVER (ORDER BY abs(cusum_scaled) DESC,
+                                     day) AS INT) AS rank
+      FROM cs
+    )
+    SELECT rank, day, CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+           CAST(floor(CAST(cusum_scaled AS DOUBLE) / n + 0.5) AS BIGINT)
+             AS cusum_cents
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def cusum_changepoint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-value series —
+    the classic sequential drift detector (Page 1954) a pipeline
+    monitor runs over ingest volume: the cumulative sum of deviations
+    from the series mean peaks AT a level-shift boundary, so the
+    argmax |CUSUM| is the maximum-likelihood single-changepoint
+    estimate. Emits the top-3 candidate days by |CUSUM|.
+
+    Exactness: the textbook statistic CUSUM_i = sum_{d<=i}(x_d - S/n)
+    is rational; multiplying through by n gives the INTEGER-exact
+    ``cusum_scaled_i = n * prefix_i - i * S`` over value-cents
+    (floor(x*100+0.5) quantization, the engine-portable rounding) —
+    no float accumulates anywhere; ``cusum_cents`` (the deviation sum
+    in cents) divides back at the edge via floor(x/n + 0.5), pure
+    double arithmetic identical on both engines.
+
+    Scale (100 TB posture): ONE data-sized shuffle (groupBy day);
+    everything after runs on the daily frame, whose row count is the
+    TIME HORIZON (thousands of rows at any corpus size), so the
+    unpartitioned ordered window and the single-row totals broadcast
+    are bounded by the calendar, not the data. Headroom: n * prefix
+    stays within int64 while total-cents x days < 2^63 (~9e18 —
+    cents-years of margin at any realistic volume); past that the
+    daily frame is small enough to widen to decimal(38,0) in place."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    daily = ev.groupBy("day").agg(F.sum("cents").alias("x"))
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    w_ord = W.orderBy("day")
+    pre = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        F.row_number().over(w_ord).cast("bigint").alias("i"),
+        F.sum("x")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("prefix"),
+        "s",
+    )
+    cs = pre.select(
+        "day",
+        (F.col("n") * F.col("prefix") - F.col("i") * F.col("s")).alias(
+            "cusum_scaled"
+        ),
+        "n",
+    )
+    ranked = cs.select(
+        "day",
+        "cusum_scaled",
+        "n",
+        F.row_number()
+        .over(W.orderBy(F.abs("cusum_scaled").desc(), F.col("day")))
+        .cast("int")
+        .alias("rank"),
+    ).filter(F.col("rank") <= 3)
+    return ranked.select(
+        "rank",
+        "day",
+        F.col("cusum_scaled").cast("bigint").alias("cusum_scaled"),
+        F.floor(F.col("cusum_scaled").cast("double") / F.col("n") + 0.5)
+        .cast("bigint")
+        .alias("cusum_cents"),
+    )

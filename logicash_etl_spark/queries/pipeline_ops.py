@@ -623,6 +623,119 @@ def repeated_passage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_overlap_matrix",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT source, h
+      FROM w, UNNEST(CASE WHEN len(ws) >= 8
+                          THEN list_transform(generate_series(1, len(ws) - 7),
+                                              i -> md5(array_to_string(ws[i:i+7], ' ')))
+                          ELSE [] END) AS t(h)
+    ), per_src AS (
+      SELECT source, count(*) AS n FROM sh GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS shared_passages
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(shared_passages AS BIGINT) AS shared_passages,
+           round(CAST(shared_passages AS DOUBLE)
+                 / least(pa.n, pb.n), 6) AS overlap_coeff
+    FROM pairs
+    JOIN per_src pa ON pa.source = pairs.source_a
+    JOIN per_src pb ON pb.source = pairs.source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-LEVEL duplication matrix: for every pair of
+    sources, how many distinct 8-word passages they share, plus the
+    overlap coefficient (shared / min(|A|, |B|) distinct passages) —
+    the signal a mixture planner needs BEFORE weighting sources
+    (two heavily-overlapping crawls should not both get full weight;
+    `domain_mixture_weights` sets proportions as if sources were
+    disjoint, this measures how wrong that assumption is) and the
+    source-granular complement of `repeated_passage_report`'s
+    per-source shared ratios.
+
+    Scale (100 TB posture): NO data-sized self-join — the oracle's
+    sh⋈sh is the semantic spec only. The plan is inverted-index
+    shaped: distinct (source, passage) rows (the explode is map-side,
+    the distinct is ONE shuffle on (source, h)), then groupBy(h) with
+    collect_set(source) — bounded by SOURCE CARDINALITY (a catalog
+    dimension, ~20 here; never by docs or corpus size) — and the i<j
+    pair expansion happens per passage over that tiny sorted array
+    (≤ C(|sources|,2) rows out per passage). The per-source totals
+    frame is |sources| rows; AQE broadcasts both final joins. A hot
+    boilerplate passage in k sources costs C(k,2) ≤ C(20,2) rows,
+    not docs².
+
+    Determinism: pair order is pinned by array_sort before expansion
+    (source_a < source_b, matching the oracle's a.source < b.source);
+    every count is exact integer; the single double divides two
+    exact integers and rounds at the edge."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(word_shingles("text", 8), F.md5)
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    per_src = sh.groupBy("source").agg(F.count("*").alias("n"))
+    srcs = F.col("srcs")
+    pair_structs = F.flatten(
+        F.transform(
+            srcs,
+            lambda a, i: F.transform(
+                F.slice(srcs, i + 2, F.size(srcs)),
+                lambda b: F.struct(
+                    a.alias("source_a"), b.alias("source_b")
+                ),
+            ),
+        )
+    )
+    pairs = (
+        sh.groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_passages"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("source_a"), F.col("n").alias("__na")
+    )
+    pb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n").alias("__nb")
+    )
+    return (
+        pairs.join(pa, on="source_a")
+        .join(pb, on="source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_passages",
+            F.round(
+                F.col("shared_passages").cast("double")
+                / F.least("__na", "__nb"),
+                6,
+            ).alias("overlap_coeff"),
+        )
+    )
+
+
 def _bpe_train_ctes(n_merges: int = 8) -> str:
     r"""Chained-CTE SQL that TRAINS the same BPE merge table
     ``operators/text.bpe_train`` learns — the iterative argmax loop

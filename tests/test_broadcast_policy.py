@@ -76,6 +76,9 @@ _AUDITED = {
     ("queries/advanced.py", "return tot.crossJoin(F.broadcast(top)).select("),
     ("queries/advanced.py", "xy = li.crossJoin(F.broadcast(mx)).select("),
     ("queries/analytics.py", "adj = pu.crossJoin(F.broadcast(g)).select("),
+    # single-row (n, s) totals over the DAILY frame (time-horizon
+    # bounded) — audited r9, cusum_changepoint_report
+    ("queries/analytics.py", "pre = daily.crossJoin(F.broadcast(tot)).select("),
     ("queries/analytics.py", "binned = tagged.crossJoin(F.broadcast(rng)).select("),
     ("queries/analytics.py", 'dev = ev.join(F.broadcast(med), on="event_type")'),
     ("queries/analytics.py", 'dev.join(F.broadcast(mad), on="event_type")'),

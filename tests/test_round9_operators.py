@@ -1,0 +1,96 @@
+"""Unit tests for the round-9 operators: hand-checkable math behind
+the oracle-paired queries — cross-source passage overlap on a 3-doc
+corpus, the JL projection's exact single-coordinate invariant, and
+CUSUM on a crafted level shift."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from logicash_etl_spark.schemas import DOCUMENTS, EMBEDDINGS, EVENTS
+
+
+def test_source_overlap_counts_shared_passages(spark, tmp_path):
+    """Two sources sharing exactly one 8-word passage: the matrix must
+    report shared_passages=1 and overlap_coeff = 1 / min(|A|, |B|)."""
+    from logicash_etl_spark.queries import QUERIES
+
+    shared = " ".join(f"p{i}" for i in range(8))  # exactly 1 shingle
+    other = " ".join(f"q{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, shared, "en", "srcA", len(shared)),
+            (2, other, "en", "srcA", len(other)),
+            (3, shared, "en", "srcB", len(shared)),
+        ],
+        DOCUMENTS,
+    )
+    d = str(tmp_path / "mini")
+    docs.write.parquet(f"{d}/documents.parquet")
+    rows = QUERIES["source_overlap_matrix"](spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # srcA holds 2 distinct passages, srcB holds 1; 1 shared
+    assert (r.source_a, r.source_b) == ("srcA", "srcB")
+    assert r.shared_passages == 1
+    assert r.overlap_coeff == 1.0  # 1 / min(2, 1)
+
+
+def test_jl_single_coordinate_distance_is_exact(spark, tmp_path):
+    """A pair differing by 1.0 in ONE coordinate has d2 = 1 and
+    p2 = sum_j (0.25 * s_jc)^2 = 16 * 0.0625 = 1 EXACTLY (every
+    column of the Rademacher matrix has unit norm after the 1/sqrt(k)
+    scale) — so the distortion ratio must be exactly 1.0 at ppm
+    precision, for any coordinate and any sign pattern."""
+    from logicash_etl_spark.queries import QUERIES
+
+    base = [0.0] * 64
+    bumped = list(base)
+    bumped[37] = 1.0
+    emb = spark.createDataFrame(
+        [(1, base, 7), (2, bumped, 7)], EMBEDDINGS
+    )
+    d = str(tmp_path / "mini")
+    emb.write.parquet(f"{d}/embeddings.parquet")
+    rows = QUERIES["jl_projection_distortion"](spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.label == 7 and r.n_pairs == 1
+    assert r.mean_ratio == 1.0
+    assert r.min_ratio == 1.0 and r.max_ratio == 1.0
+    assert r.frac_within_30pct == 1.0
+
+
+def test_cusum_peaks_at_level_shift(spark, tmp_path):
+    """A series of 10 days at 100.00 then 10 days at 200.00: the mean
+    is 150, CUSUM after day i<=10 is -50*i (in currency), so the
+    |CUSUM| argmax is exactly day 10 with deviation-sum -500.00
+    (cusum_cents = -50000) and cusum_scaled = n*prefix - i*S =
+    20*100000 - 10*300000 = -1_000_000."""
+    from logicash_etl_spark.queries import QUERIES
+
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 1 + i),
+            i % 3,
+            "purchase",
+            100.0 if i < 10 else 200.0,
+            "{}",
+        )
+        for i in range(20)
+    ]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, EVENTS).write.parquet(
+        f"{d}/events.parquet"
+    )
+    out = QUERIES["cusum_changepoint_report"](spark, d).collect()
+    top = {r.rank: r for r in out}
+    assert top[1].day == dt.datetime(2024, 1, 10)
+    assert top[1].cusum_scaled == -1_000_000
+    assert top[1].cusum_cents == -50_000
+    # neighbors of the shift rank next (|cusum| = 450 on both sides)
+    assert {top[2].day, top[3].day} == {
+        dt.datetime(2024, 1, 9),
+        dt.datetime(2024, 1, 11),
+    }
