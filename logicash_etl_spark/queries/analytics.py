@@ -1310,11 +1310,18 @@ def cusum_changepoint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily frame is small enough to widen to decimal(38,0) in place."""
     from pyspark.sql import Window as W
 
+    from logicash_etl_spark.operators.caching import scoped_persist
+
     ev = read_table(spark, sf_dir, "events").select(
         F.date_trunc("day", "ts").alias("day"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
     )
-    daily = ev.groupBy("day").agg(F.sum("cents").alias("x"))
+    # daily feeds TWO consumers (the totals agg and the prefix
+    # window); without the persist Catalyst re-derives the lineage and
+    # the events fact gets scanned TWICE — at 100 TB the dominant cost
+    # of the whole query. The persisted frame is the tiny daily series
+    # (calendar-bounded), not the fact.
+    daily = scoped_persist(ev.groupBy("day").agg(F.sum("cents").alias("x")))
     tot = daily.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("s"),

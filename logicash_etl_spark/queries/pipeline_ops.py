@@ -680,8 +680,15 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source_a < source_b, matching the oracle's a.source < b.source);
     every count is exact integer; the single double divides two
     exact integers and rounds at the edge."""
+    from logicash_etl_spark.operators.caching import scoped_persist
+
     docs = read_table(spark, sf_dir, "documents")
-    sh = (
+    # sh feeds TWO consumers (per-source totals and the pair
+    # expansion): persist the distinct (source, h) index so the
+    # documents fact is tokenized + scanned ONCE, not twice — the
+    # dominant cost at 100 TB. The persisted frame is the distinct
+    # index, already the smallest shape in the plan.
+    sh = scoped_persist(
         docs.select(
             "source",
             F.explode(
