@@ -710,3 +710,93 @@ def pq_ann_topk(
         rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy MAXIMAL MARGINAL RELEVANCE selection (Carbonell &
+    Goldstein, SIGIR'98): pick ``k`` exemplars that are relevant to
+    ``query_vec`` but mutually diverse — at step i the winner
+    maximizes ``lam * cos(x, q) - (1 - lam) * max_{s in S} cos(x, s)``
+    over the not-yet-selected pool (first pick: relevance alone).
+    The selection a few-shot prompt builder or eval-set curator wants
+    instead of plain top-k, whose neighbors are often near-copies.
+
+    Scale contract: greedy MMR is inherently k sequential passes —
+    each pass is ONE scan of the (persisted) relevance-scored pool
+    with the selected set as k LITERAL vectors folded map-side (no
+    join, no shuffle; the per-candidate work is |S| sequential-fold
+    cosines). Driver state is the k selected (id, vector) rows —
+    bounded by k, the centroids/codebook precedent. At 100 TB the
+    pool is a pre-filtered candidate set (an ANN shortlist or a
+    stratified sample), not the raw corpus; the per-pass plan is
+    unchanged.
+
+    Determinism: every cosine is a sequential IEEE fold with the
+    1e-12 norm floor (bitwise reproducible — the lsh_ann_topk
+    convention); the selected vectors re-enter as literals whose
+    doubles round-trip exactly; ``lam`` and ``1-lam`` must BOTH be
+    given as exact literals by the caller convention (0.7/0.3 —
+    computing 1-0.7 would yield 0.30000000000000004); ties break by
+    ascending id. Scores round to 6dp IN the plan (engine rounding,
+    not Python's banker's rounding)."""
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    spark = corpus.sparkSession
+    q_lit = F.array(*[F.lit(float(v)) for v in query_vec])
+    xv = as_double(vec_col)
+    base = scoped_persist(
+        corpus.select(
+            F.col(id_col),
+            xv.alias("__v"),
+            (
+                _dot(xv, q_lit)
+                / F.greatest(_norm(xv) * _norm(q_lit), F.lit(1e-12))
+            ).alias("__rel"),
+        )
+    )
+    lam_c = F.lit(float(lam))
+    div_c = F.lit(round(1.0 - lam, 10))
+    selected: list[tuple] = []
+    out: list[tuple] = []
+    for step in range(1, k + 1):
+        if selected:
+            sims = [
+                _dot(F.col("__v"), F.array(*[F.lit(float(x)) for x in sv]))
+                / F.greatest(
+                    _norm(F.col("__v"))
+                    * _norm(F.array(*[F.lit(float(x)) for x in sv])),
+                    F.lit(1e-12),
+                )
+                for _, sv in selected
+            ]
+            msim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = lam_c * F.col("__rel") - div_c * msim
+        else:
+            score = lam_c * F.col("__rel")
+        pool = base
+        if selected:
+            pool = base.filter(
+                ~F.col(id_col).isin([sid for sid, _ in selected])
+            )
+        top = (
+            pool.select(
+                F.col(id_col),
+                "__v",
+                F.round(score, 6).alias("__score"),
+            )
+            .orderBy(F.desc("__score"), F.asc(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((top[id_col], list(top["__v"])))
+        out.append((step, top[id_col], float(top["__score"])))
+    return spark.createDataFrame(
+        out, f"rank int, {id_col} long, mmr_score double"
+    )

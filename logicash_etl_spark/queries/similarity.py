@@ -918,3 +918,91 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("frac_within_30pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance — diverse exemplar selection
+# ---------------------------------------------------------------------------
+def _mmr_ctes(k: int = 5) -> str:
+    """Unrolled greedy-MMR oracle (the BPE-train unrolled-loop
+    convention): stage i picks argmax of round(0.7*rel - 0.3*msim, 6)
+    over the pool minus stages 1..i-1, msim = max cosine to the
+    already-selected vectors. Cosines are sequential folds with the
+    1e-12 norm floor — bitwise identical to the Spark operator's."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / greatest("
+            f"sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b})), 1e-12)"
+        )
+
+    parts = [
+        """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id > 0
+    ), q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), rel AS (
+      SELECT vec_id, v, """
+        + cos("v", "qv")
+        + """ AS rel
+      FROM base, q
+    ), s1 AS (
+      SELECT vec_id, v, round(0.7 * rel, 6) AS score
+      FROM rel ORDER BY score DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for i in range(2, k + 1):
+        prev_ids = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i)
+        )
+        prev_vs = " UNION ALL ".join(
+            f"SELECT v FROM s{j}" for j in range(1, i)
+        )
+        parts.append(
+            f""", c{i} AS (
+      SELECT r.vec_id, r.v, r.rel,
+             (SELECT max({cos('r.v', 's.v')})
+              FROM ({prev_vs}) s(v)) AS msim
+      FROM rel r WHERE r.vec_id NOT IN ({prev_ids})
+    ), s{i} AS (
+      SELECT vec_id, v, round(0.7 * rel - 0.3 * msim, 6) AS score
+      FROM c{i} ORDER BY score DESC, vec_id LIMIT 1
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS rank, vec_id, score AS mmr_score"
+        f" FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n    " + finals
+
+
+@query("mmr_diverse_exemplars", oracle=_mmr_ctes(5))
+def mmr_diverse_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse exemplar selection via greedy MMR (Carbonell &
+    Goldstein SIGIR'98): the 5 vectors most relevant to the query
+    (vec_id 0's embedding) under a diversity penalty against the
+    already-picked set — what a few-shot prompt builder or eval-set
+    curator wants where plain top-k returns near-copies of one
+    neighborhood. Operator: operators/similarity.mmr_select (k
+    sequential passes over a persisted relevance-scored pool, the
+    selected set folded map-side as k literal vectors; driver state
+    bounded by k — see the operator docstring for the 100 TB
+    contract). Oracle: the greedy loop unrolled into k CTE stages
+    (the BPE-train convention), bit-identical fold cosines, identical
+    6dp-rounded argmax keys."""
+    from logicash_etl_spark.operators.similarity import mmr_select
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.transform("embedding", lambda x: x.cast("double")))
+        .collect()[0][0]
+    )
+    return mmr_select(
+        emb.filter(F.col("vec_id") > 0), qv, k=5, lam=0.7
+    )

@@ -94,3 +94,28 @@ def test_cusum_peaks_at_level_shift(spark, tmp_path):
         dt.datetime(2024, 1, 9),
         dt.datetime(2024, 1, 11),
     }
+
+
+def test_mmr_skips_the_duplicate_topk_would_take(spark):
+    """Crafted 3-vector pool against q = e1 (all values dyadic, exact
+    in float32): v1 = (.5, .375, 0) has rel = 0.8; v2 = v1 exactly
+    (the near-copy plain top-2 would also take, cos(v2, v1) = 1);
+    v3 = (.375, 0, .5) has rel = 0.6 and cos(v3, v1) = 0.48. Greedy
+    MMR at lam = 0.7 picks v1 (0.56), then must SKIP the duplicate
+    (0.7*0.8 - 0.3*1.0 = 0.26) for the diverse v3
+    (0.7*0.6 - 0.3*0.48 = 0.276)."""
+    from logicash_etl_spark.operators.similarity import mmr_select
+
+    pad = [0.0] * 61
+    pool = spark.createDataFrame(
+        [
+            (1, [0.5, 0.375, 0.0] + pad, 0),
+            (2, [0.5, 0.375, 0.0] + pad, 0),
+            (3, [0.375, 0.0, 0.5] + pad, 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = [1.0, 0.0, 0.0] + pad
+    out = {r.rank: r for r in mmr_select(pool, q, k=2, lam=0.7).collect()}
+    assert out[1].vec_id == 1 and abs(out[1].mmr_score - 0.56) < 1e-9
+    assert out[2].vec_id == 3 and abs(out[2].mmr_score - 0.276) < 1e-9
