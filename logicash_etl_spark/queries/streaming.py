@@ -1131,3 +1131,135 @@ def streaming_jittered_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "streaming_quota_enforcement",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accepted,
+           CAST(SUM(CASE WHEN rn > 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rejected,
+           CAST(SUM(CASE WHEN rn <= 5
+                         THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS accepted_value_cents
+    FROM ranked GROUP BY user_id
+    """,
+)
+def streaming_quota_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key RATE LIMITING as a custom stateful streaming operator:
+    each user gets a quota of 5 events; arrivals beyond it are
+    rejected at the ingest edge, and the accepted events' value is
+    accounted exactly — the admission-control shape (API throttling,
+    per-tenant ingest caps, budget-gated sampling) that needs an
+    arbitrary per-key DECISION, not just an aggregate, so it rides
+    ``applyInPandasWithState`` (Arrow-batched, the engine's sanctioned
+    arbitrary-state path). State per key is ONE counter (consumed
+    quota), carried across micro-batches and drains: a later lot's
+    events land against the quota already spent, which no stateless
+    window can express.
+
+    Determinism: admission order within a batch is pinned by an
+    explicit (ts, event_id) sort inside the state function; across
+    batches it is the checkpointed admission order (this fixture
+    drains the single-file lot in one epoch, so batch order IS global
+    order and the SQL twin's row_number models it exactly). Values
+    quantize to cents via floor(x*100 + 0.5) in numpy — bit-identical
+    to both engines' double arithmetic.
+
+    Scale: state is 8 bytes per user; the per-batch work is one
+    sort of each user's batch slice (Arrow-local, no extra shuffle
+    beyond the groupBy the operator already requires); the sink is
+    the epoch-overwrite exactly-once layout with a schema-pinned
+    readback."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from logicash_etl_spark.streaming.sources import (
+        run_available_now_foreach_batch,
+    )
+
+    QUOTA = 5
+
+    def quota_fn(key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        used, acc_cents, rejected = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        take = max(0, QUOTA - used)
+        accepted = batch.head(take)
+        used += len(accepted)
+        rejected += len(batch) - len(accepted)
+        acc_cents += int(
+            np.floor(accepted["value"].to_numpy() * 100 + 0.5)
+            .astype("int64")
+            .sum()
+        )
+        state.update((used, acc_cents, rejected))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [used + rejected],
+                "n_accepted": [used],
+                "n_rejected": [rejected],
+                "accepted_value_cents": [acc_cents],
+            }
+        )
+
+    lot = _events_lot(spark, sf_dir)
+    drain = _drain_state("quota_enforcement", sf_dir, "lq_stream_quota_")
+    root = drain["root"]
+    stream = stream_parquet_dir(spark, lot, S.EVENTS)
+    gated = stream.groupBy("user_id").applyInPandasWithState(
+        quota_fn,
+        outputStructType=(
+            "user_id long, n_seen long, n_accepted long, "
+            "n_rejected long, accepted_value_cents long"
+        ),
+        stateStructType="used long, acc_cents long, rejected long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = f"{root}/out"
+    run_available_now_foreach_batch(
+        gated,
+        f"{root}/ckpt",
+        lambda bdf, eid: bdf.write.mode("overwrite").parquet(
+            f"{out}/epoch={eid}"
+        ),
+        state_partitions=_state_parts(spark, lot),
+        output_mode="update",
+    )
+    _mark_drained(drain)
+    # update mode re-emits a user's row per epoch; final state is the
+    # emission with the highest n_seen (monotone). Schema pinned; the
+    # discovered epoch partition column is dropped by the select.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        spark.read.schema(
+            "user_id long, n_seen long, n_accepted long, "
+            "n_rejected long, accepted_value_cents long"
+        )
+        .parquet(out)
+        .select(
+            "user_id", "n_seen", "n_accepted", "n_rejected",
+            "accepted_value_cents",
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id", "n_accepted", "n_rejected", "accepted_value_cents"
+        )
+    )
