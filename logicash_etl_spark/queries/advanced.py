@@ -1169,3 +1169,206 @@ def histogram_selectivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("v")
     )
     return selectivity_report(o, "v", _HIST_THRESHOLDS, exact=True)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout — the better-locality alternative to Z-order
+# ---------------------------------------------------------------------------
+def _hilbert_stage_sql(s: int, n: int) -> dict[str, str]:
+    """One xy->d Hilbert iteration (the classic bit-interleave walk:
+    quadrant digit base-4, then reflect+swap rotation into the child
+    frame) as THREE simultaneous SQL expressions over columns
+    (x, y, d) — generated text shared verbatim by the Spark stages
+    and the DuckDB oracle CTEs (the Morton/BPE convention). The
+    quadrant digit (3*rx) XOR ry is written arithmetically
+    (3*rx + ry - 2*rx*ry — identical truth table on {0,1}) so no
+    engine-specific XOR syntax is needed."""
+    rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+    return {
+        "d": f"d + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})",
+        "x": (
+            f"CASE WHEN {ry} = 1 THEN x "
+            f"WHEN {rx} = 1 THEN {n - 1} - y ELSE y END"
+        ),
+        "y": (
+            f"CASE WHEN {ry} = 1 THEN y "
+            f"WHEN {rx} = 1 THEN {n - 1} - x ELSE x END"
+        ),
+    }
+
+
+def _hilbert_stages(order: int = 10) -> list[dict[str, str]]:
+    n = 1 << order
+    return [
+        _hilbert_stage_sql(1 << (order - 1 - i), n) for i in range(order)
+    ]
+
+
+def _hilbert_oracle_sql() -> str:
+    ctes = [
+        """
+    WITH mx AS (
+      SELECT max(l_orderkey) AS mo, max(l_partkey) AS mp FROM lineitem
+    ), h0 AS (
+      SELECT (l_orderkey * 1024) // (mo + 1) AS x,
+             (l_partkey * 1024) // (mp + 1) AS y,
+             (l_orderkey * 1024) // (mo + 1) AS x0,
+             (l_partkey * 1024) // (mp + 1) AS y0,
+             CAST(0 AS BIGINT) AS d
+      FROM lineitem, mx
+    )"""
+    ]
+    for i, st in enumerate(_hilbert_stages(), start=1):
+        ctes.append(
+            f""", h{i} AS (
+      SELECT {st['x']} AS x, {st['y']} AS y, x0, y0, {st['d']} AS d
+      FROM h{i - 1}
+    )"""
+        )
+    return (
+        "".join(ctes)
+        + f""", tagged AS (
+      SELECT 'hilbert' AS layout, (d * 48) // 1048576 AS file_id,
+             x0 AS x, y0 AS y
+      FROM h10
+      UNION ALL
+      SELECT 'zorder' AS layout,
+             (({_morton_sql('x0', 'y0')}) * 48) // 1048576 AS file_id,
+             x0 AS x, y0 AS y
+      FROM h10
+    ), files AS (
+      SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+             min(x) AS x_min, max(x) AS x_max,
+             min(y) AS y_min, max(y) AS y_max
+      FROM tagged GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           round(avg(x_max - x_min + 1), 2) AS avg_x_span,
+           round(avg(y_max - y_min + 1), 2) AS avg_y_span,
+           round(avg((x_max - x_min + 1) * (y_max - y_min + 1)), 2)
+             AS avg_box_area,
+           CAST(SUM(CASE WHEN x_max >= 256 AND x_min <= 271
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_scan_x_band,
+           CAST(SUM(CASE WHEN y_max >= 256 AND y_min <= 271
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_scan_y_band
+    FROM files GROUP BY layout
+    """
+    )
+
+
+@query("hilbert_layout_report", oracle=_hilbert_oracle_sql())
+def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve data layout vs Z-order, as the same manifest-
+    style file-skipping report `zorder_file_skipping` produces — the
+    layout-advisor's second candidate. The Hilbert curve visits every
+    cell of the grid with CONSECUTIVE cells always grid-adjacent (no
+    Morton 'seams' where the curve jumps across the grid), so equal
+    curve segments have tighter bounding boxes: avg_box_area is the
+    apples-to-apples locality metric, and the file count is
+    DELIBERATELY 48 — at any power-of-4 granularity both curves'
+    aligned segments are the SAME quadrant partition (measured:
+    identical stats at 64 files, a genuinely useless comparison),
+    while at 48 the segments straddle quadrant seams and Hilbert's
+    continuity wins (~25% tighter boxes on a uniform grid). That
+    alignment sensitivity is itself the operational lesson: Z-order
+    matches Hilbert exactly when file sizes are quadrant-aligned,
+    and only then.
+
+    The xy->d walk is 10 reflect+swap iterations generated as shared
+    SQL text (one generator feeds the 10 chained Spark selects AND
+    the 10 oracle CTEs — the Morton/BPE convention), pure integer
+    CASE/bit arithmetic: deterministic, codegen-friendly, identical
+    in both engines. Unit tests pin the walk against an independent
+    Python reference AND the defining curve property (bijective,
+    consecutive-adjacent) on a full order-4 grid.
+
+    Scale: identical posture to zorder_file_skipping — one fact scan,
+    two hash aggregations, no global sort (fixed curve cells ARE the
+    clustering assignment; a real write path feeds the same d column
+    to repartitionByRange + sortWithinPartitions)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    mx = li.agg(
+        F.max("l_orderkey").alias("mo"), F.max("l_partkey").alias("mp")
+    )
+    xy = li.crossJoin(F.broadcast(mx)).select(
+        F.expr("(l_orderkey * 1024) div (mo + 1)").alias("x"),
+        F.expr("(l_partkey * 1024) div (mp + 1)").alias("y"),
+    )
+    cur = xy.select(
+        "x",
+        "y",
+        F.col("x").alias("x0"),
+        F.col("y").alias("y0"),
+        F.lit(0).cast("bigint").alias("d"),
+    )
+    for st in _hilbert_stages():
+        cur = cur.select(
+            F.expr(st["x"]).alias("x"),
+            F.expr(st["y"]).alias("y"),
+            "x0",
+            "y0",
+            F.expr(st["d"]).alias("d"),
+        )
+    zv = F.expr(_morton_sql("x0", "y0"))
+    tagged = cur.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hilbert").alias("layout"),
+                    F.expr("(d * 48) div 1048576").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    ((zv * 48) / F.lit(1048576))
+                    .cast("bigint")
+                    .alias("file_id"),
+                ),
+            )
+        ).alias("t"),
+        F.col("x0").alias("x"),
+        F.col("y0").alias("y"),
+    ).select("t.layout", "t.file_id", "x", "y")
+    files = tagged.groupBy("layout", "file_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
+    in_band = lambda lo, hi, mn, mx_: (  # noqa: E731
+        (F.col(mx_) >= lo) & (F.col(mn) <= hi)
+    )
+    return files.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.avg(F.col("x_max") - F.col("x_min") + 1), 2).alias(
+            "avg_x_span"
+        ),
+        F.round(F.avg(F.col("y_max") - F.col("y_min") + 1), 2).alias(
+            "avg_y_span"
+        ),
+        F.round(
+            F.avg(
+                (F.col("x_max") - F.col("x_min") + 1)
+                * (F.col("y_max") - F.col("y_min") + 1)
+            ),
+            2,
+        ).alias("avg_box_area"),
+        F.sum(
+            F.when(in_band(256, 271, "x_min", "x_max"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("files_scan_x_band"),
+        F.sum(
+            F.when(in_band(256, 271, "y_min", "y_max"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("files_scan_y_band"),
+    )
