@@ -1647,3 +1647,104 @@ def parquet_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("n_v1_rows_null_chars"),
     )
+
+
+@query(
+    "k_anonymity_report",
+    oracle="""
+    WITH tagged AS (
+      SELECT 'coarse' AS qi_level,
+             concat_ws('|', CAST(c_nationkey AS VARCHAR), c_mktsegment)
+               AS qi_key
+      FROM customer
+      UNION ALL
+      SELECT 'fine' AS qi_level,
+             concat_ws('|', CAST(c_nationkey AS VARCHAR), c_mktsegment,
+                       CAST(CAST(floor(c_acctbal / 1000) AS BIGINT)
+                            AS VARCHAR)) AS qi_key
+      FROM customer
+    ), classes AS (
+      SELECT qi_level, qi_key, count(*) AS sz
+      FROM tagged GROUP BY qi_level, qi_key
+    )
+    SELECT qi_level,
+           CAST(SUM(sz) AS BIGINT) AS n_records,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(sz) AS BIGINT) AS achieved_k,
+           CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS unique_classes,
+           CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             AS records_at_risk_lt5,
+           CAST(floor(10000.0 * SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+                      / SUM(sz) + 0.5) AS BIGINT) / 100.0
+             AS pct_at_risk_lt5
+    FROM classes GROUP BY qi_level
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ANONYMITY equivalence-class audit (Sweeney 2002) — the
+    privacy risk analytic run before releasing or training on a
+    table: group records by their quasi-identifier tuple (the columns
+    an attacker can link externally) and measure the class-size
+    distribution. A record in a class of size 1 is re-identifiable
+    outright; the achieved k is the min class size. Two QI
+    granularities side by side show the generalization tradeoff the
+    anonymizer actually tunes: 'coarse' (nation + market segment,
+    k-anonymous at a healthy k) vs 'fine' (+ account-balance band,
+    where uniques appear and the at-risk mass concentrates) — the
+    compliance sibling of `right_to_erasure_audit`.
+
+    Determinism: class sizes are exact counts; the only ratio is
+    quantized via floor(x*100 + 0.5) BEFORE the output division, so
+    the percentage is exact to 2dp on both engines (never a native
+    round() at a .xx5 boundary).
+
+    Scale: ONE customer scan (both QI levels tagged by a map-side
+    explode, the zorder-report convention), one groupBy per
+    (level, qi_key) — the only data-sized shuffle — then a
+    level-rollup over class rows. No joins; the class frame is
+    |distinct QI tuples|, the thing being measured."""
+    cust = read_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    tagged = cust.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("coarse").alias("qi_level"),
+                    F.concat_ws(
+                        "|",
+                        F.col("c_nationkey").cast("string"),
+                        "c_mktsegment",
+                    ).alias("qi_key"),
+                ),
+                F.struct(
+                    F.lit("fine").alias("qi_level"),
+                    F.concat_ws(
+                        "|",
+                        F.col("c_nationkey").cast("string"),
+                        "c_mktsegment",
+                        band.cast("string"),
+                    ).alias("qi_key"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.qi_level", "t.qi_key")
+    classes = tagged.groupBy("qi_level", "qi_key").agg(
+        F.count("*").alias("sz")
+    )
+    at_risk = F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+    return classes.groupBy("qi_level").agg(
+        F.sum("sz").cast("bigint").alias("n_records"),
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("sz").cast("bigint").alias("achieved_k"),
+        F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("unique_classes"),
+        at_risk.cast("bigint").alias("records_at_risk_lt5"),
+        (
+            F.floor(
+                10000.0 * at_risk / F.sum("sz") + 0.5
+            ).cast("bigint")
+            / 100.0
+        ).alias("pct_at_risk_lt5"),
+    )

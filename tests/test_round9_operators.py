@@ -184,3 +184,31 @@ def test_hilbert_is_a_space_filling_curve():
     for d in range(255):
         (x1, y1), (x2, y2) = inv[d], inv[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, inv[d], inv[d + 1])
+
+
+def test_k_anonymity_hand_fixture(spark, tmp_path):
+    """4 customers: two share (nation 1, 'AUTO'), two are unique at
+    the coarse level already. coarse: 3 classes, achieved k = 1,
+    2 uniques, all 4 records in classes < 5 -> 100% at risk. fine
+    (+1000-wide acctbal band) splits the shared pair (100.0 vs
+    2500.0): 4 singleton classes."""
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import CUSTOMER
+
+    rows = [
+        (1, "a", 1, 100.0, "AUTO"),
+        (2, "b", 1, 2500.0, "AUTO"),
+        (3, "c", 2, 100.0, "AUTO"),
+        (4, "d", 1, 100.0, "BUILDING"),
+    ]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, CUSTOMER).write.parquet(
+        f"{d}/customer.parquet"
+    )
+    out = {
+        r.qi_level: r for r in QUERIES["k_anonymity_report"](spark, d).collect()
+    }
+    c, f = out["coarse"], out["fine"]
+    assert (c.n_classes, c.achieved_k, c.unique_classes) == (3, 1, 2)
+    assert c.records_at_risk_lt5 == 4 and c.pct_at_risk_lt5 == 100.0
+    assert (f.n_classes, f.achieved_k, f.unique_classes) == (4, 1, 4)
