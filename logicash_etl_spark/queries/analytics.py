@@ -1361,3 +1361,166 @@ def cusum_changepoint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cusum_cents"),
     )
+
+
+@query(
+    "km_return_time_survival",
+    oracle="""
+    WITH hz AS (
+      SELECT max(ts) AS h FROM events
+    ), gaps AS (
+      SELECT CASE WHEN nxt IS NULL
+                  THEN CAST(floor(CAST(epoch_us(h) - epoch_us(ts)
+                                       AS DOUBLE) / 3600000000) AS BIGINT)
+                  ELSE CAST(floor(CAST(epoch_us(nxt) - epoch_us(ts)
+                                       AS DOUBLE) / 3600000000) AS BIGINT)
+             END AS dur_h,
+             CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS censored
+      FROM (
+        SELECT ts, lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+        FROM events
+      ), hz
+    ), byh AS (
+      SELECT dur_h,
+             SUM(1 - censored) AS churned,
+             SUM(censored) AS n_censored
+      FROM gaps GROUP BY dur_h
+    ), risk AS (
+      SELECT dur_h, churned, n_censored,
+             (SELECT count(*) FROM gaps)
+               - COALESCE(SUM(churned + n_censored)
+                          OVER (ORDER BY dur_h
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS at_risk
+      FROM byh
+    ), km AS (
+      SELECT dur_h, churned, n_censored, at_risk,
+             max(CASE WHEN churned >= at_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur_h) AS dead,
+             SUM(CASE WHEN churned >= at_risk THEN 0.0
+                      ELSE ln(CAST(at_risk - churned AS DOUBLE)
+                              / at_risk) END)
+               OVER (ORDER BY dur_h) AS cum_ln
+      FROM risk
+    )
+    SELECT dur_h,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(churned AS BIGINT) AS churned,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE round(exp(cum_ln), 6) END AS km_survival
+    FROM km WHERE dur_h < 48
+    """,
+)
+def km_return_time_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN–MEIER survival over user RETURN TIMES — the estimator
+    behind churn/retention/push-timing analyses, on the duration that
+    actually varies in an event stream: the gap until a user's next
+    event. Every consecutive event pair is a complete observation
+    (the user DID return after dur_h hours); each user's time from
+    final event to the stream horizon is a RIGHT-CENSORED one (they
+    had not returned yet — dropping these, the naive mistake, biases
+    survival low). Emits the life table for the first 48 hours:
+    at-risk count, completed returns, censored exits, and the KM
+    product-limit estimate S(t) = prod(1 - d_i/n_i).
+
+    Determinism: durations quantize to whole hours via
+    floor(us_gap / 3.6e9) (pure double arithmetic on exact integer
+    microseconds); the life-table columns are exact integers. The KM
+    product is evaluated as exp of an ORDER-PINNED cumulative sum of
+    ln factors (each factor (r-d)/r divides exact integers); ln/exp
+    may differ by an ulp across engines, absorbed by the 6dp edge
+    round. A day where everyone at risk churns (factor 0) would make
+    ln blow up — DuckDB errors on ln(0) where Spark yields NULL — so
+    both sides gate it with the same cumulative 'dead' flag and pin
+    survival to exactly 0.0 from there on.
+
+    Scale: one window over events partitioned BY USER (data-sized,
+    key-parallel) computes the gaps; the life table is one groupBy
+    over gap rows; the cumulative windows run on the duration-hour
+    frame (bounded by the horizon, not the data). The single-row
+    horizon frame broadcasts."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    from pyspark.sql import Window as W
+
+    hz = ev.agg(F.max("ts").alias("h"))
+    w_u = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("nxt", F.lead("ts").over(w_u))
+        .crossJoin(F.broadcast(hz))
+        .select(
+            F.floor(
+                (
+                    F.unix_micros(F.coalesce("nxt", "h"))
+                    - F.unix_micros("ts")
+                ).cast("double")
+                / 3600000000
+            )
+            .cast("bigint")
+            .alias("dur_h"),
+            F.col("nxt").isNull().cast("int").alias("censored"),
+        )
+    )
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # the life table feeds TWO consumers (its own total and the
+    # at-risk windows): persist it so the events window runs ONCE —
+    # the persisted frame is duration-hours rows, horizon-bounded
+    byh = scoped_persist(
+        gaps.groupBy("dur_h").agg(
+            F.sum(1 - F.col("censored")).alias("churned"),
+            F.sum("censored").alias("n_censored"),
+        )
+    )
+    tot = byh.agg(
+        F.sum(F.col("churned") + F.col("n_censored")).alias("__total")
+    )
+    w_ord = W.orderBy("dur_h")
+    w_prev = w_ord.rowsBetween(W.unboundedPreceding, -1)
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = byh.crossJoin(F.broadcast(tot)).select(
+        "dur_h",
+        "churned",
+        "n_censored",
+        (
+            F.col("__total")
+            - F.coalesce(
+                F.sum(F.col("churned") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            )
+        ).alias("at_risk"),
+    )
+    dead_flag = F.max(
+        F.when(F.col("churned") >= F.col("at_risk"), 1).otherwise(0)
+    ).over(w_run)
+    cum_ln = F.sum(
+        F.when(F.col("churned") >= F.col("at_risk"), F.lit(0.0)).otherwise(
+            F.log(
+                (F.col("at_risk") - F.col("churned")).cast("double")
+                / F.col("at_risk")
+            )
+        )
+    ).over(w_run)
+    return (
+        risk.select(
+            "dur_h",
+            F.col("at_risk").cast("bigint").alias("at_risk"),
+            F.col("churned").cast("bigint").alias("churned"),
+            F.col("n_censored").cast("bigint").alias("n_censored"),
+            dead_flag.alias("__dead"),
+            cum_ln.alias("__cum_ln"),
+        )
+        .filter(F.col("dur_h") < 48)
+        .select(
+            "dur_h",
+            "at_risk",
+            "churned",
+            "n_censored",
+            F.when(F.col("__dead") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp("__cum_ln"), 6))
+            .alias("km_survival"),
+        )
+    )

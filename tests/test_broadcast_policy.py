@@ -79,6 +79,10 @@ _AUDITED = {
     # single-row (n, s) totals over the DAILY frame (time-horizon
     # bounded) — audited r9, cusum_changepoint_report
     ("queries/analytics.py", "pre = daily.crossJoin(F.broadcast(tot)).select("),
+    # km_return_time_survival (r9): single-row horizon frame and the
+    # single-row life-table total
+    ("queries/analytics.py", ".crossJoin(F.broadcast(hz))"),
+    ("queries/analytics.py", "risk = byh.crossJoin(F.broadcast(tot)).select("),
     ("queries/analytics.py", "binned = tagged.crossJoin(F.broadcast(rng)).select("),
     ("queries/analytics.py", 'dev = ev.join(F.broadcast(med), on="event_type")'),
     ("queries/analytics.py", 'dev.join(F.broadcast(mad), on="event_type")'),

@@ -212,3 +212,43 @@ def test_k_anonymity_hand_fixture(spark, tmp_path):
     assert (c.n_classes, c.achieved_k, c.unique_classes) == (3, 1, 2)
     assert c.records_at_risk_lt5 == 4 and c.pct_at_risk_lt5 == 100.0
     assert (f.n_classes, f.achieved_k, f.unique_classes) == (4, 1, 4)
+
+
+def test_km_life_table_hand_fixture(spark, tmp_path):
+    """2 users, 5 gap observations with known durations:
+    d=0h: 1 return + 1 censored; d=1h: 1 return + 1 censored;
+    d=2h: 1 return and nobody left. at_risk = 5, 3, 1;
+    KM = 0.8, 0.8*(2/3) = 0.533333, then the everyone-churns row
+    must hit the dead-flag path and pin survival to exactly 0.0
+    (ln(0) is an ERROR in DuckDB and NULL in Spark — the flag is
+    what keeps both engines identical)."""
+    import datetime as dt
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import EVENTS
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda minutes: t0 + dt.timedelta(minutes=minutes)  # noqa: E731
+    rows = [
+        # user 1: one 1.5h-gap pair, then censored 1.5h before horizon
+        (1, m(0), 1, "a", 1.0, "{}"),
+        (2, m(90), 1, "a", 1.0, "{}"),
+        # user 2: a 30-min gap, a 2.5h gap, last event AT the horizon
+        (3, m(0), 2, "a", 1.0, "{}"),
+        (4, m(30), 2, "a", 1.0, "{}"),
+        (5, m(180), 2, "a", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, EVENTS).write.parquet(
+        f"{d}/events.parquet"
+    )
+    out = {
+        r.dur_h: r
+        for r in QUERIES["km_return_time_survival"](spark, d).collect()
+    }
+    assert (out[0].at_risk, out[0].churned, out[0].n_censored) == (5, 1, 1)
+    assert (out[1].at_risk, out[1].churned, out[1].n_censored) == (3, 1, 1)
+    assert (out[2].at_risk, out[2].churned, out[2].n_censored) == (1, 1, 0)
+    assert out[0].km_survival == 0.8
+    assert out[1].km_survival == 0.533333
+    assert out[2].km_survival == 0.0
