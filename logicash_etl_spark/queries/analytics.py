@@ -1290,7 +1290,13 @@ def cusum_changepoint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitor runs over ingest volume: the cumulative sum of deviations
     from the series mean peaks AT a level-shift boundary, so the
     argmax |CUSUM| is the maximum-likelihood single-changepoint
-    estimate. Emits the top-3 candidate days by |CUSUM|.
+    estimate. Emits the top-3 candidate days by |CUSUM|. Complements
+    (does not duplicate) ``cusum_changepoints`` in windows_plus.py:
+    that one is the PER-USER one-sided alarm monitor (S = max(0,
+    S+d) in closed window form, alarm counting against a threshold);
+    this one LOCATES the level shift on the global daily series —
+    the offline two-sided retrospection vs the online per-key
+    monitor.
 
     Exactness: the textbook statistic CUSUM_i = sum_{d<=i}(x_d - S/n)
     is rational; multiplying through by n gives the INTEGER-exact
