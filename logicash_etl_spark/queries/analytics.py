@@ -1530,3 +1530,161 @@ def km_return_time_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("km_survival"),
         )
     )
+
+
+@query(
+    "sequential_ab_msprt",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS dn_a,
+             SUM(CASE WHEN user_id % 2 = 0
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS ds_a,
+             SUM(CASE WHEN user_id % 2 = 0
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           * CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS dq_a,
+             SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS dn_b,
+             SUM(CASE WHEN user_id % 2 = 1
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS ds_b,
+             SUM(CASE WHEN user_id % 2 = 1
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           * CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS dq_b
+      FROM events GROUP BY 1
+    ), cum AS (
+      SELECT day,
+             CAST(SUM(dn_a) OVER w AS BIGINT) AS n_a,
+             CAST(SUM(ds_a) OVER w AS BIGINT) AS s_a,
+             CAST(SUM(dq_a) OVER w AS BIGINT) AS q_a,
+             CAST(SUM(dn_b) OVER w AS BIGINT) AS n_b,
+             CAST(SUM(ds_b) OVER w AS BIGINT) AS s_b,
+             CAST(SUM(dq_b) OVER w AS BIGINT) AS q_b
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ), stat AS (
+      SELECT day, n_a, n_b,
+             CAST(s_a AS DOUBLE) / (100.0 * n_a)
+               - CAST(s_b AS DOUBLE) / (100.0 * n_b) AS delta,
+             ((CAST(q_a AS DOUBLE) / 10000.0
+               - n_a * (CAST(s_a AS DOUBLE) / (100.0 * n_a))
+                     * (CAST(s_a AS DOUBLE) / (100.0 * n_a)))
+              + (CAST(q_b AS DOUBLE) / 10000.0
+                 - n_b * (CAST(s_b AS DOUBLE) / (100.0 * n_b))
+                       * (CAST(s_b AS DOUBLE) / (100.0 * n_b))))
+             / (n_a + n_b - 2) AS var_p
+      FROM cum WHERE n_a >= 2 AND n_b >= 2
+    ), lam AS (
+      SELECT day, n_a, n_b, delta,
+             CAST(floor(1000000.0 * (
+               0.5 * ln((var_p * (1.0 / n_a + 1.0 / n_b))
+                        / (var_p * (1.0 / n_a + 1.0 / n_b) + 100.0))
+               + delta * delta * 100.0
+                 / (2.0 * (var_p * (1.0 / n_a + 1.0 / n_b))
+                    * (var_p * (1.0 / n_a + 1.0 / n_b) + 100.0))
+             ) + 0.5) AS BIGINT) AS llq
+      FROM stat
+    )
+    SELECT day, n_a, n_b,
+           CAST(floor(100.0 * delta + 0.5) AS BIGINT) / 100.0
+             AS mean_diff,
+           llq / 1000000.0 AS log_lambda,
+           llq > 2995732 AS significant,
+           CAST(max(llq) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) > 2995732 AS ever_significant
+    FROM lam
+    """,
+)
+def sequential_ab_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALWAYS-VALID sequential A/B monitoring via the mixture
+    sequential probability ratio test (Wald 1945; Johari et al.
+    KDD'17 'Peeking at A/B Tests'): a fixed-horizon t-test read daily
+    inflates false positives badly (the peeking problem); the mSPRT's
+    mixture likelihood ratio can be monitored EVERY day and still
+    controls type-I error at any stopping time. Per day: cumulative
+    per-arm counts, the mean difference, log Lambda under a
+    N(0, tau^2 = 100) effect-size mixture over the estimator's
+    variance V = sigma_pooled^2 (1/n_a + 1/n_b), significance at
+    alpha = 0.05 (log Lambda > ln 20), and the ever-significant flag
+    (once crossed, the decision is made — that is what always-valid
+    means). Complements the fixed-horizon `ab_test_report` and the
+    variance-reduced `cuped_adjusted_ab`; arm assignment is the same
+    user_id % 2.
+
+    Determinism: all cumulative inputs are exact integer cents
+    (floor(x*100+0.5)) summed in an ORDER-PINNED day window; the
+    statistic is a fixed sequence of double ops over those exact
+    integers, quantized to integer ppm via floor(x*1e6 + 0.5) BEFORE
+    any comparison — the significance thresholds compare quantized
+    integers against the Python-computed literal
+    floor(1e6*ln(20)+0.5) = 2995732, identical on both engines
+    (ln/exp ulp risk confined to the ppm quantization boundary).
+
+    Scale: one data-sized shuffle (groupBy day with conditional
+    per-arm sums); every window runs on the CALENDAR-bounded daily
+    frame. int64 headroom: cents^2 sums bound by rows x (max
+    cents)^2 — 1e16 at this fixture shape, 2^63 cap documented."""
+    from pyspark.sql import Window as W
+
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    is_a = F.col("user_id") % 2 == 0
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.when(is_a, 1).otherwise(0).alias("ia"),
+        F.when(is_a, cents).otherwise(0).alias("ca"),
+        F.when(is_a, cents * cents).otherwise(0).alias("qa"),
+        F.when(~is_a, 1).otherwise(0).alias("ib"),
+        F.when(~is_a, cents).otherwise(0).alias("cb"),
+        F.when(~is_a, cents * cents).otherwise(0).alias("qb"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.sum("ia").alias("dn_a"),
+        F.sum("ca").alias("ds_a"),
+        F.sum("qa").alias("dq_a"),
+        F.sum("ib").alias("dn_b"),
+        F.sum("cb").alias("ds_b"),
+        F.sum("qb").alias("dq_b"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.select(
+        "day",
+        *[
+            F.sum(c).over(w).cast("bigint").alias(a)
+            for c, a in [
+                ("dn_a", "n_a"), ("ds_a", "s_a"), ("dq_a", "q_a"),
+                ("dn_b", "n_b"), ("ds_b", "s_b"), ("dq_b", "q_b"),
+            ]
+        ],
+    ).filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    m_a = F.col("s_a").cast("double") / (100.0 * F.col("n_a"))
+    m_b = F.col("s_b").cast("double") / (100.0 * F.col("n_b"))
+    delta = m_a - m_b
+    var_p = (
+        (F.col("q_a").cast("double") / 10000.0 - F.col("n_a") * m_a * m_a)
+        + (F.col("q_b").cast("double") / 10000.0 - F.col("n_b") * m_b * m_b)
+    ) / (F.col("n_a") + F.col("n_b") - 2)
+    v = var_p * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    log_lam = 0.5 * F.log(v / (v + 100.0)) + delta * delta * 100.0 / (
+        2.0 * v * (v + 100.0)
+    )
+    lam = cum.select(
+        "day",
+        "n_a",
+        "n_b",
+        delta.alias("delta"),
+        F.floor(1000000.0 * log_lam + 0.5).cast("bigint").alias("llq"),
+    )
+    runmax = F.max("llq").over(w)
+    return lam.select(
+        "day",
+        "n_a",
+        "n_b",
+        (
+            F.floor(100.0 * F.col("delta") + 0.5).cast("bigint") / 100.0
+        ).alias("mean_diff"),
+        (F.col("llq") / 1000000.0).alias("log_lambda"),
+        (F.col("llq") > 2995732).alias("significant"),
+        (runmax > 2995732).alias("ever_significant"),
+    )

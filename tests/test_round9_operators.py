@@ -252,3 +252,50 @@ def test_km_life_table_hand_fixture(spark, tmp_path):
     assert out[0].km_survival == 0.8
     assert out[1].km_survival == 0.533333
     assert out[2].km_survival == 0.0
+
+
+def _msprt_fixture(spark, tmp_path, a_vals, b_vals, days=4):
+    import datetime as dt
+
+    from logicash_etl_spark.schemas import EVENTS
+
+    rows = []
+    eid = 0
+    for d in range(days):
+        ts = dt.datetime(2024, 1, 1 + d, 12)
+        for u, v in [(0, a_vals[0]), (2, a_vals[1]),
+                     (1, b_vals[0]), (3, b_vals[1])]:
+            rows.append((eid, ts, u, "a", float(v), "{}"))
+            eid += 1
+    p = str(tmp_path / "mini")
+    spark.createDataFrame(rows, EVENTS).write.parquet(
+        f"{p}/events.parquet"
+    )
+    return p
+
+
+def test_msprt_detects_large_effect(spark, tmp_path):
+    """Arm A pays ~200, arm B ~100 (within-arm variance 200 after
+    day 1): V = 200, logLambda = 0.5*ln(200/300) + 1e6/(2*200*300)
+    ~ 8.13 >> ln 20 — significant from the FIRST day, and
+    ever_significant latches."""
+    from logicash_etl_spark.queries import QUERIES
+
+    d = _msprt_fixture(spark, tmp_path, (190, 210), (90, 110))
+    out = QUERIES["sequential_ab_msprt"](spark, d).collect()
+    assert len(out) == 4
+    assert all(r.significant and r.ever_significant for r in out)
+    assert all(r.mean_diff == 100.0 for r in out)
+
+
+def test_msprt_null_effect_never_fires(spark, tmp_path):
+    """Identical arms: delta = 0, so logLambda = 0.5*ln(V/(V+100))
+    < 0 every day — the always-valid monitor must never fire no
+    matter how often it is peeked at."""
+    from logicash_etl_spark.queries import QUERIES
+
+    d = _msprt_fixture(spark, tmp_path, (90, 110), (90, 110))
+    out = QUERIES["sequential_ab_msprt"](spark, d).collect()
+    assert len(out) == 4
+    assert not any(r.significant or r.ever_significant for r in out)
+    assert all(r.log_lambda < 0 for r in out)
