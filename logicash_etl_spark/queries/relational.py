@@ -1748,3 +1748,69 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("pct_at_risk_lt5"),
     )
+
+
+@query(
+    "l_diversity_report",
+    oracle="""
+    WITH cls AS (
+      SELECT concat_ws('|', CAST(c_nationkey AS VARCHAR), c_mktsegment)
+               AS qi_key,
+             count(*) AS sz,
+             count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+               AS l
+      FROM customer
+      GROUP BY qi_key
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(SUM(sz) AS BIGINT) AS n_records,
+           CAST(min(l) AS BIGINT) AS achieved_l,
+           CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_l_lt3,
+           CAST(SUM(CASE WHEN l < 3 THEN sz ELSE 0 END) AS BIGINT)
+             AS records_l_lt3,
+           CAST(min(CASE WHEN l < 3 THEN sz END) AS BIGINT)
+             AS smallest_weak_class
+    FROM cls
+    """,
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit (Machanavajjhala et al. ICDE 2006) — the
+    criterion k-anonymity misses: a class can be large (k-anonymous)
+    yet carry only ONE sensitive value, so membership alone discloses
+    it (the homogeneity attack). Over the same coarse quasi-identifier
+    classes as `k_anonymity_report` (nation + market segment), with
+    the account-balance band as the sensitive attribute: achieved l
+    (min distinct sensitive values per class), the weak-class count
+    below l=3, and the record mass exposed there. The two reports
+    together are the release gate: k bounds re-identification, l
+    bounds attribute disclosure.
+
+    Scale: one scan, one groupBy over QI classes with an exact
+    per-class COUNT(DISTINCT sensitive) — the distinct is bounded by
+    the sensitive attribute's band cardinality (a few dozen),
+    per-class, never corpus-wide — then a single rollup row."""
+    cust = read_table(spark, sf_dir, "customer")
+    cls = cust.groupBy(
+        F.concat_ws(
+            "|", F.col("c_nationkey").cast("string"), "c_mktsegment"
+        ).alias("qi_key")
+    ).agg(
+        F.count("*").alias("sz"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+        ).alias("l"),
+    )
+    weak = F.col("l") < 3
+    return cls.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum("sz").cast("bigint").alias("n_records"),
+        F.min("l").cast("bigint").alias("achieved_l"),
+        F.sum(weak.cast("int")).cast("bigint").alias("classes_l_lt3"),
+        F.sum(F.when(weak, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("records_l_lt3"),
+        F.min(F.when(weak, F.col("sz")))
+        .cast("bigint")
+        .alias("smallest_weak_class"),
+    )

@@ -299,3 +299,29 @@ def test_msprt_null_effect_never_fires(spark, tmp_path):
     assert len(out) == 4
     assert not any(r.significant or r.ever_significant for r in out)
     assert all(r.log_lambda < 0 for r in out)
+
+
+def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
+    """A class can be k-anonymous yet 1-diverse (homogeneity attack):
+    3 customers share QI (nation 1, AUTO) AND the same balance band
+    -> l = 1 for that class; a second class (nation 2) holds two
+    distinct bands -> l = 2. achieved_l = 1, one weak class of size
+    3, 3 records exposed."""
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import CUSTOMER
+
+    rows = [
+        (1, "a", 1, 100.0, "AUTO"),
+        (2, "b", 1, 200.0, "AUTO"),   # same 0-band as 100.0
+        (3, "c", 1, 900.0, "AUTO"),   # still band 0
+        (4, "d", 2, 100.0, "AUTO"),
+        (5, "e", 2, 2500.0, "AUTO"),  # band 2
+    ]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, CUSTOMER).write.parquet(
+        f"{d}/customer.parquet"
+    )
+    r = QUERIES["l_diversity_report"](spark, d).collect()[0]
+    assert (r.n_classes, r.n_records, r.achieved_l) == (2, 5, 1)
+    assert (r.classes_l_lt3, r.records_l_lt3) == (2, 5)
+    assert r.smallest_weak_class == 2
