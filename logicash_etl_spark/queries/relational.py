@@ -1814,3 +1814,176 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("smallest_weak_class"),
     )
+
+
+@query(
+    "t_closeness_report",
+    oracle="""
+    WITH cust AS (
+      SELECT concat_ws('|', CAST(c_nationkey AS VARCHAR), c_mktsegment)
+               AS qi_key,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer
+    ),
+    gb AS (SELECT band, count(*) AS gcnt FROM cust GROUP BY band),
+    gcum AS (
+      SELECT band,
+             CAST(SUM(gcnt) OVER (ORDER BY band) AS BIGINT) AS cum_g
+      FROM gb
+    ),
+    tot AS (
+      SELECT CAST(max(cum_g) AS BIGINT) AS n_rec,
+             CAST(count(*) AS BIGINT) AS m
+      FROM gcum
+    ),
+    cls AS (
+      SELECT qi_key, CAST(count(*) AS BIGINT) AS n_c
+      FROM cust GROUP BY qi_key
+    ),
+    cb AS (
+      SELECT qi_key, band, CAST(count(*) AS BIGINT) AS ccnt
+      FROM cust GROUP BY qi_key, band
+    ),
+    grid AS (
+      SELECT cls.qi_key, cls.n_c, g.band, g.cum_g,
+             COALESCE(cb.ccnt, 0) AS ccnt
+      FROM cls CROSS JOIN gcum g
+      LEFT JOIN cb ON cb.qi_key = cls.qi_key AND cb.band = g.band
+    ),
+    cum AS (
+      SELECT qi_key, n_c, cum_g,
+             CAST(SUM(ccnt) OVER (
+               PARTITION BY qi_key ORDER BY band
+             ) AS BIGINT) AS cum_c
+      FROM grid
+    ),
+    emd AS (
+      SELECT c.qi_key, c.n_c, t.n_rec, t.m,
+             CAST(SUM(ABS(c.cum_c * t.n_rec - c.cum_g * c.n_c))
+                  AS BIGINT) AS s
+      FROM cum c CROSS JOIN tot t
+      GROUP BY c.qi_key, c.n_c, t.n_rec, t.m
+    ),
+    ppm AS (
+      SELECT qi_key, n_c, m,
+             CAST((2000000 * s + n_rec * n_c * greatest(m - 1, 1))
+                  // (2 * n_rec * n_c * greatest(m - 1, 1))
+                  AS BIGINT) AS emd_ppm
+      FROM emd
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(max(m) AS BIGINT) AS n_bands,
+           CAST(max(emd_ppm) AS BIGINT) AS max_emd_ppm,
+           CAST(SUM(CASE WHEN emd_ppm > 200000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS classes_above_t,
+           CAST(SUM(CASE WHEN emd_ppm > 200000 THEN n_c ELSE 0 END)
+                AS BIGINT) AS records_above_t
+    FROM ppm
+    """,
+)
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit (Li, Li & Venkatasubramanian ICDE 2007) —
+    the third leg of the privacy release gate: k-anonymity bounds
+    re-identification, l-diversity bounds value homogeneity, but a
+    class can be large AND diverse yet still leak if its sensitive
+    distribution DIFFERS sharply from the global one (the skewness
+    attack — "this class is 90% high-balance" is a disclosure even
+    with many distinct values). Per coarse quasi-identifier class
+    (nation + market segment, the `k_anonymity_report` classes), the
+    Earth Mover's Distance between the class's account-balance-band
+    distribution and the global band distribution, using the ordered-
+    attribute EMD = (1/(m-1)) * sum_i |cumQ_i - cumP_i|. Reports the
+    achieved max EMD and the class/record mass above the classic
+    t = 0.2 threshold.
+
+    Determinism: the whole EMD is EXACT INTEGER arithmetic —
+    per-class cumulative counts vs global cumulative counts cross-
+    multiplied (|cum_c*N - cum_g*n_c|, no division until the end),
+    then quantized to ppm via (2e6*s + d) div (2*d), i.e.
+    floor(1e6*s/d + 0.5) computed entirely in BIGINT so both engines
+    decide thresholds identically (no IEEE division anywhere). The
+    last band's cumulative difference is 0 by construction, so
+    summing all m terms equals the canonical m-1 sum.
+
+    Scale: one customer scan feeds three map-side-combinable
+    aggregates (global bands, class sizes, class x band counts); the
+    dense class x band grid is |classes| x |bands| — both AGGREGATE
+    outputs bounded by the generalized-QI and band domains, never by
+    row count (that boundedness is the point of generalization) — so
+    the band frame and the single-row totals broadcast safely at any
+    sf. The per-class cumulative window partitions by class (no
+    global sort). At extreme N the cross-product n_rec*n_c can
+    approach int64; the swap is DECIMAL(38,0) on the two products —
+    one cast, same plan."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.concat_ws(
+            "|", F.col("c_nationkey").cast("string"), "c_mktsegment"
+        ).alias("qi_key"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    )
+    gb = cust.groupBy("band").agg(F.count("*").alias("gcnt"))
+    wg = W.orderBy("band").rowsBetween(W.unboundedPreceding, 0)
+    gcum = gb.select(
+        "band", F.sum("gcnt").over(wg).cast("bigint").alias("cum_g")
+    )
+    tot = gcum.agg(
+        F.max("cum_g").cast("bigint").alias("n_rec"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    cls = cust.groupBy("qi_key").agg(
+        F.count("*").cast("bigint").alias("n_c")
+    )
+    cb = cust.groupBy("qi_key", "band").agg(
+        F.count("*").cast("bigint").alias("ccnt")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(gcum))
+        .join(cb, ["qi_key", "band"], "left")
+        .select(
+            "qi_key",
+            "n_c",
+            "band",
+            "cum_g",
+            F.coalesce("ccnt", F.lit(0)).alias("ccnt"),
+        )
+    )
+    wc = W.partitionBy("qi_key").orderBy("band").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "qi_key",
+        "n_c",
+        "cum_g",
+        F.sum("ccnt").over(wc).cast("bigint").alias("cum_c"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("qi_key", "n_c", "n_rec", "m")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_c") * F.col("n_rec")
+                    - F.col("cum_g") * F.col("n_c")
+                )
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+        .withColumn(
+            "emd_ppm",
+            F.expr(
+                "(2000000 * s + n_rec * n_c * greatest(m - 1, 1))"
+                " div (2 * n_rec * n_c * greatest(m - 1, 1))"
+            ).cast("bigint"),
+        )
+    )
+    above = F.col("emd_ppm") > 200000
+    return emd.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.max("m").cast("bigint").alias("n_bands"),
+        F.max("emd_ppm").cast("bigint").alias("max_emd_ppm"),
+        F.sum(above.cast("int")).cast("bigint").alias("classes_above_t"),
+        F.sum(F.when(above, F.col("n_c")).otherwise(0))
+        .cast("bigint")
+        .alias("records_above_t"),
+    )

@@ -125,6 +125,12 @@ _AUDITED = {
     ("queries/relational.py", 'o.join(F.broadcast(req), o.o_custkey == req.c_custkey, "left_anti").write.mode('),
     ("queries/relational.py", "return rows.crossJoin(F.broadcast(orphans)).select("),
     ("queries/relational.py", "return t.crossJoin(F.broadcast(p)).select("),
+    # t_closeness_report — gcum is the global band frame (|band
+    # domain| rows, an aggregate bounded by the sensitive attribute's
+    # generalization, not by row count); tot is a single totals row.
+    # Audited r9.
+    ("queries/relational.py", "cls.crossJoin(F.broadcast(gcum))"),
+    ("queries/relational.py", "cum.crossJoin(F.broadcast(tot))"),
     ("queries/similarity.py", "c.crossJoin(F.broadcast(q))"),
     ("queries/similarity.py", 'emb.join(F.broadcast(q), on=emb["vec_id"] != F.col("query_id"))'),
     ("queries/similarity.py", "t = emb.crossJoin(F.broadcast(mx)).select("),

@@ -325,3 +325,32 @@ def test_l_diversity_flags_homogeneous_class(spark, tmp_path):
     assert (r.n_classes, r.n_records, r.achieved_l) == (2, 5, 1)
     assert (r.classes_l_lt3, r.records_l_lt3) == (2, 5)
     assert r.smallest_weak_class == 2
+
+
+def test_t_closeness_emd_hand_fixture(spark, tmp_path):
+    """Skewness attack on a 6-customer, 2-band corpus (global 50/50):
+    class nation-1 is ALL band 0 and class nation-2 ALL band 2 —
+    each has ordered-EMD |1.0 - 0.5| = 0.5 exactly (ppm 500000,
+    via (2e6*6 + 12) div 24 = 500000 in pure integers) and both
+    cross t = 0.2; class nation-3 mirrors the global distribution
+    exactly, so its EMD must be exactly 0 (the +d/2d half-up
+    rounding must not lift it)."""
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import CUSTOMER
+
+    rows = [
+        (1, "a", 1, 100.0, "AUTO"),   # band 0
+        (2, "b", 1, 900.0, "AUTO"),   # band 0
+        (3, "c", 2, 2500.0, "AUTO"),  # band 2
+        (4, "d", 2, 2600.0, "AUTO"),  # band 2
+        (5, "e", 3, 100.0, "AUTO"),   # band 0
+        (6, "f", 3, 2500.0, "AUTO"),  # band 2
+    ]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, CUSTOMER).write.parquet(
+        f"{d}/customer.parquet"
+    )
+    r = QUERIES["t_closeness_report"](spark, d).collect()[0]
+    assert (r.n_classes, r.n_bands) == (3, 2)
+    assert r.max_emd_ppm == 500000
+    assert (r.classes_above_t, r.records_above_t) == (2, 4)
