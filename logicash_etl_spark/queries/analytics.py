@@ -1688,3 +1688,163 @@ def sequential_ab_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("llq") > 2995732).alias("significant"),
         (runmax > 2995732).alias("ever_significant"),
     )
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             datediff('day',
+                      CAST(max(o_orderdate) AS DATE),
+                      (SELECT CAST(max(o_orderdate) AS DATE)
+                       FROM orders)) AS rec_days,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS m100
+      FROM orders
+      GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(rec_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+             quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fc,
+             quantile_cont(m100, [0.2, 0.4, 0.6, 0.8]) AS mc
+      FROM per
+    ),
+    scored AS (
+      SELECT p.rec_days, p.freq, p.m100,
+             1 + CAST(p.rec_days <= CAST(floor(c.rc[1] + 0.5) AS BIGINT) AS INT)
+               + CAST(p.rec_days <= CAST(floor(c.rc[2] + 0.5) AS BIGINT) AS INT)
+               + CAST(p.rec_days <= CAST(floor(c.rc[3] + 0.5) AS BIGINT) AS INT)
+               + CAST(p.rec_days <= CAST(floor(c.rc[4] + 0.5) AS BIGINT) AS INT)
+               AS r_score,
+             1 + CAST(p.freq > CAST(floor(c.fc[1] + 0.5) AS BIGINT) AS INT)
+               + CAST(p.freq > CAST(floor(c.fc[2] + 0.5) AS BIGINT) AS INT)
+               + CAST(p.freq > CAST(floor(c.fc[3] + 0.5) AS BIGINT) AS INT)
+               + CAST(p.freq > CAST(floor(c.fc[4] + 0.5) AS BIGINT) AS INT)
+               AS f_score,
+             1 + CAST(p.m100 > CAST(floor(c.mc[1] + 0.5) AS BIGINT) AS INT)
+               + CAST(p.m100 > CAST(floor(c.mc[2] + 0.5) AS BIGINT) AS INT)
+               + CAST(p.m100 > CAST(floor(c.mc[3] + 0.5) AS BIGINT) AS INT)
+               + CAST(p.m100 > CAST(floor(c.mc[4] + 0.5) AS BIGINT) AS INT)
+               AS m_score
+      FROM per p CROSS JOIN cuts c
+    ),
+    seg AS (
+      SELECT CASE
+               WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+               WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_returning'
+               WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+               WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+               WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+               ELSE 'needs_attention'
+             END AS segment,
+             rec_days, freq, m100, m_score
+      FROM scored
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rec_days) AS BIGINT) AS sum_recency_days,
+           CAST(SUM(freq) AS BIGINT) AS sum_orders,
+           CAST(SUM(m100) AS BIGINT) AS total_monetary_cents,
+           CAST(SUM(CASE WHEN m_score >= 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS big_spenders
+    FROM seg
+    GROUP BY segment
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — THE classic customer-base analytic (Hughes
+    1994): score every customer 1-5 on Recency (days since last
+    order, fresher = higher), Frequency (order count) and Monetary
+    (lifetime spend), then roll the base into the standard actionable
+    segments (champions / loyal / at-risk / hibernating / ...). The
+    marketing sibling of `weekly_retention_cohorts`.
+
+    Scale-first scoring: NOT a global NTILE — that is a single-
+    partition sort of the whole customer dimension (billions of rows
+    at 100 TB). Instead the 20/40/60/80th-percentile cutpoints of
+    each dimension are computed as ONE single-row aggregate,
+    broadcast, and every customer is scored by map-side comparisons
+    against the four cuts: one shuffle for the per-customer rollup,
+    one for the tiny segment rollup, no global sort anywhere. (Tile
+    populations are uneven exactly where value ties are heavy —
+    fixed-breakpoint RFM, the standard practice variant.)
+
+    Determinism: recency/frequency are exact integers; money is
+    summed in DECIMAL(18,2) and carried as integer CENTS end-to-end
+    (no double monetary anywhere — sidesteps the DuckDB
+    decimal->double two-rounding ulp entirely). The interpolated
+    percentile cuts are the one double computation — both engines
+    run type-7 interpolation on identical integer inputs — and each
+    cut is quantized to an integer via floor(c + 0.5) BEFORE any
+    row comparison, so an interpolation ulp cannot flip a boundary
+    customer (the conversion_funnel rule). Exact percentiles at the
+    oracle-paired call site (hash-exact parity needs interpolated
+    determinism); the operator default elsewhere is the mergeable
+    sketch — see dq.profile.percentiles.
+    """
+    from logicash_etl_spark.dq.profile import percentiles
+
+    o = read_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_dt"),
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum((money("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("m100"),
+    )
+    asof = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("asof"))
+    per = per.crossJoin(F.broadcast(asof)).select(
+        F.datediff("asof", "last_dt").cast("bigint").alias("rec_days"),
+        "freq",
+        "m100",
+    )
+    fr = [0.2, 0.4, 0.6, 0.8]
+    cuts = per.agg(
+        percentiles(F.col("rec_days"), fr, exact=True).alias("rc"),
+        percentiles(F.col("freq"), fr, exact=True).alias("fc"),
+        percentiles(F.col("m100"), fr, exact=True).alias("mc"),
+    )
+
+    def _q(arr: str, i: int):  # cut i, quantized to bigint
+        return F.floor(F.col(arr)[i] + 0.5).cast("bigint")
+
+    def _score(col: str, arr: str, descending_good: bool):
+        s = F.lit(1)
+        for i in range(4):
+            hit = (
+                (F.col(col) <= _q(arr, i))
+                if descending_good
+                else (F.col(col) > _q(arr, i))
+            )
+            s = s + hit.cast("int")
+        return s
+
+    scored = per.crossJoin(F.broadcast(cuts)).select(
+        "rec_days",
+        "freq",
+        "m100",
+        _score("rec_days", "rc", True).alias("r_score"),
+        _score("freq", "fc", False).alias("f_score"),
+        _score("m100", "mc", False).alias("m_score"),
+    )
+    r, f = F.col("r_score"), F.col("f_score")
+    seg = scored.withColumn(
+        "segment",
+        F.when((r >= 4) & (f >= 4), "champions")
+        .when((r >= 4) & (f <= 2), "new_or_returning")
+        .when((r >= 3) & (f >= 3), "loyal")
+        .when((r <= 2) & (f >= 3), "at_risk")
+        .when((r <= 2) & (f <= 2), "hibernating")
+        .otherwise("needs_attention"),
+    )
+    return seg.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("rec_days").cast("bigint").alias("sum_recency_days"),
+        F.sum("freq").cast("bigint").alias("sum_orders"),
+        F.sum("m100").cast("bigint").alias("total_monetary_cents"),
+        F.sum((F.col("m_score") >= 4).cast("int"))
+        .cast("bigint")
+        .alias("big_spenders"),
+    )

@@ -76,6 +76,10 @@ _AUDITED = {
     ("queries/advanced.py", "return tot.crossJoin(F.broadcast(top)).select("),
     ("queries/advanced.py", "xy = li.crossJoin(F.broadcast(mx)).select("),
     ("queries/analytics.py", "adj = pu.crossJoin(F.broadcast(g)).select("),
+    # rfm_segmentation — asof is a single max-date row; cuts is a
+    # single row of three 4-element percentile arrays. Audited r9.
+    ("queries/analytics.py", "per = per.crossJoin(F.broadcast(asof)).select("),
+    ("queries/analytics.py", "scored = per.crossJoin(F.broadcast(cuts)).select("),
     # single-row (n, s) totals over the DAILY frame (time-horizon
     # bounded) — audited r9, cusum_changepoint_report
     ("queries/analytics.py", "pre = daily.crossJoin(F.broadcast(tot)).select("),

@@ -354,3 +354,40 @@ def test_t_closeness_emd_hand_fixture(spark, tmp_path):
     assert (r.n_classes, r.n_bands) == (3, 2)
     assert r.max_emd_ppm == 500000
     assert (r.classes_above_t, r.records_above_t) == (2, 4)
+
+
+def test_rfm_scores_and_segments_hand_fixture(spark, tmp_path):
+    """5 customers with aligned rank profiles (rec 0/10/20/30/40 days,
+    freq 5/4/3/2/1 orders, spend 500/400/300/200/100): the type-7
+    cuts quantize to rc=[8,16,24,32], fc=[2,3,3,4],
+    mc=[18000,26000,34000,42000], giving scores r=5..1, f=5,4,2,1,1,
+    m=5..1 — so A,B are champions (both also m>=4 big spenders),
+    C falls through every named branch to needs_attention, and D,E
+    are hibernating. All sums are hand-added integers/cents."""
+    import datetime as dt
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import ORDERS
+
+    day = lambda d: dt.datetime(2024, 12, 31) - dt.timedelta(days=d)  # noqa: E731
+    rows = []
+    k = 0
+    # (cust, rec_days_of_last, n_orders) — each order 100.00
+    for cust, rec, n in [(1, 0, 5), (2, 10, 4), (3, 20, 3), (4, 30, 2), (5, 40, 1)]:
+        for j in range(n):
+            k += 1
+            # last order at `rec` days before asof; earlier ones older
+            rows.append((k, cust, "F", 100.0, day(rec + j * 30), "1-URGENT"))
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, ORDERS).write.parquet(f"{d}/orders.parquet")
+    out = {r.segment: r for r in QUERIES["rfm_segmentation"](spark, d).collect()}
+    assert set(out) == {"champions", "needs_attention", "hibernating"}
+    ch = out["champions"]
+    assert (ch.n_customers, ch.sum_recency_days, ch.sum_orders) == (2, 10, 9)
+    assert (ch.total_monetary_cents, ch.big_spenders) == (90000, 2)
+    na = out["needs_attention"]
+    assert (na.n_customers, na.sum_recency_days, na.sum_orders) == (1, 20, 3)
+    assert (na.total_monetary_cents, na.big_spenders) == (30000, 0)
+    hb = out["hibernating"]
+    assert (hb.n_customers, hb.sum_recency_days, hb.sum_orders) == (2, 70, 3)
+    assert (hb.total_monetary_cents, hb.big_spenders) == (30000, 0)
