@@ -1848,3 +1848,129 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("big_spenders"),
     )
+
+
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    mn AS (SELECT min(day) AS d0 FROM daily),
+    dx AS (
+      SELECT event_type,
+             CAST(datediff('day', (SELECT d0 FROM mn), day)
+                  AS BIGINT) AS x,
+             y
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             (b.y - a.y) * 1.0 / (b.x - a.x) AS slope
+      FROM dx a JOIN dx b
+        ON a.event_type = b.event_type AND b.x > a.x
+    ),
+    ts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             quantile_cont(slope, 0.5) AS ts_slope
+      FROM pairs GROUP BY event_type
+    ),
+    ols AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             (count(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1.0
+               / (count(*) * SUM(x * x) - SUM(x) * SUM(x)) AS ols_slope
+      FROM dx GROUP BY event_type
+    )
+    SELECT t.event_type, o.n_days, t.n_pairs,
+           floor(100.0 * t.ts_slope + 0.5) / 100.0
+             AS theil_sen_cents_per_day,
+           floor(100.0 * o.ols_slope + 0.5) / 100.0
+             AS ols_cents_per_day
+    FROM ts t JOIN ols o USING (event_type)
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type (Theil 1950 / Sen 1968):
+    the median of all pairwise day-slopes of the daily value total —
+    a trend estimator with a 29% breakdown point, next to the
+    least-squares slope that a single corrupted day can drag
+    arbitrarily far (the robust-statistics sibling of
+    `value_outlier_mad` vs mean/stddev). Emitting both slopes side by
+    side is the point: the gap IS the outlier diagnostic.
+
+    Scale: the pairwise stage is O(horizon^2) per group — bounded by
+    the CALENDAR (a 10-year horizon is ~6.7M pairs per group,
+    constant in corpus size), not by row count; the corpus-sized work
+    is the one daily-rollup shuffle, map-side combinable. The OLS
+    slope needs no pairs at all (closed form over exact integer
+    sums). x is re-based to the global min day (single-row broadcast)
+    so the integer moment sums stay far from int64 range at any
+    horizon x daily-volume combination.
+
+    Determinism: daily totals are exact integer CENTS (decimal sum,
+    the rfm_segmentation rule); x is an exact day index; each pair
+    slope is one double division of exact integers (identical IEEE on
+    both engines); the median is type-7 interpolation over identical
+    doubles — exact percentile at the oracle-paired call site, sketch
+    default elsewhere (dq.profile.percentiles); outputs quantize via
+    floor(100x+0.5)/100, half-up toward +inf on both engines for
+    negative slopes too."""
+    from logicash_etl_spark.dq.profile import percentiles
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        (money("value") * 100).cast("bigint").alias("cents"),
+    ).groupBy("event_type", "day").agg(
+        F.sum("cents").cast("bigint").alias("y")
+    )
+    mn = daily.agg(F.min("day").alias("d0"))
+    dx = daily.crossJoin(F.broadcast(mn)).select(
+        "event_type",
+        F.datediff("day", "d0").cast("bigint").alias("x"),
+        "y",
+    )
+    a, b = dx.alias("a"), dx.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y"))
+            * 1.0
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope"),
+    )
+    ts = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        percentiles(F.col("slope"), 0.5, exact=True).alias("ts_slope"),
+    )
+    n = F.count("*")
+    ols = dx.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_days"),
+        (
+            (n * F.sum(F.col("x") * F.col("y"))
+             - F.sum("x") * F.sum("y"))
+            * 1.0
+            / (n * F.sum(F.col("x") * F.col("x"))
+               - F.sum("x") * F.sum("x"))
+        ).alias("ols_slope"),
+    )
+    return ts.join(ols, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        (F.floor(100.0 * F.col("ts_slope") + 0.5) / 100.0).alias(
+            "theil_sen_cents_per_day"
+        ),
+        (F.floor(100.0 * F.col("ols_slope") + 0.5) / 100.0).alias(
+            "ols_cents_per_day"
+        ),
+    )

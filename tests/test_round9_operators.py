@@ -391,3 +391,33 @@ def test_rfm_scores_and_segments_hand_fixture(spark, tmp_path):
     hb = out["hibernating"]
     assert (hb.n_customers, hb.sum_recency_days, hb.sum_orders) == (2, 70, 3)
     assert (hb.total_monetary_cents, hb.big_spenders) == (30000, 0)
+
+
+def test_theil_sen_ignores_the_outlier_ols_chases(spark, tmp_path):
+    """One event type, 5 days, one event per day with daily cents
+    100,200,300,400 then a 10000-cent outlier day. 6 of the 10 pair
+    slopes are exactly 100 c/day, so the type-7 median is 100.00 —
+    while OLS is dragged to (5*42000 - 10*11000)/(5*30 - 100) = 2000
+    exactly. The gap is the estimator's 29% breakdown point made
+    visible."""
+    import datetime as dt
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import EVENTS
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]  # dollars -> cents x100
+    rows = [
+        (i + 1, t0 + dt.timedelta(days=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, EVENTS).write.parquet(
+        f"{d}/events.parquet"
+    )
+    r = QUERIES["theil_sen_trend"](spark, d).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.event_type, row.n_days, row.n_pairs) == ("click", 5, 10)
+    assert row.theil_sen_cents_per_day == 100.0
+    assert row.ols_cents_per_day == 2000.0
