@@ -1372,3 +1372,104 @@ def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("files_scan_y_band"),
     )
+
+
+def _hrw_assign_sql(hex2int: str, n_shards: int) -> str:
+    """Rendezvous (highest-random-weight) assignment expression over
+    shards 0..n_shards-1, generated once and rendered per engine:
+    ``hex2int`` is the engine's hex-string-to-BIGINT primitive with an
+    ``{arg}`` placeholder (Spark: conv(); DuckDB: '0x' || cast) — the
+    ONLY token that differs between the two engines, so the weight
+    arithmetic is shared by construction (the _morton_sql convention).
+
+    Each shard's weight is the top 14 hex chars (56 bits) of
+    md5(key || ':s:'); packing ``w * 16 + s`` keeps the argmax a
+    single variadic greatest() with ties IMPOSSIBLE by construction
+    (distinct s in the low bits), and % 16 unpacks the winner.
+    56 + 4 bits stays inside int64."""
+    terms = []
+    for s in range(n_shards):
+        w = hex2int.format(arg="md5(k || ':" + str(s) + ":')")
+        terms.append(f"({w} * 16 + {s})")
+    return f"(greatest({', '.join(terms)}) % 16)"
+
+
+_HEX2INT_SPARK = "CAST(conv(substring({arg}, 1, 14), 16, 10) AS BIGINT)"
+_HEX2INT_DUCK = "CAST(('0x' || substr({arg}, 1, 14)) AS BIGINT)"
+
+
+@query(
+    "rendezvous_shard_balance",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT {_hrw_assign_sql(_HEX2INT_DUCK, 8)} AS a8,
+             {_hrw_assign_sql(_HEX2INT_DUCK, 9)} AS a9
+      FROM (SELECT CAST(doc_id AS VARCHAR) AS k FROM documents)
+    ),
+    cell AS (
+      SELECT a8, a9, CAST(count(*) AS BIGINT) AS n
+      FROM assigned GROUP BY a8, a9
+    ),
+    n8 AS (SELECT a8 AS shard, SUM(n) AS n_docs_8 FROM cell GROUP BY a8),
+    n9 AS (
+      SELECT a9 AS shard, SUM(n) AS n_docs_9,
+             SUM(CASE WHEN a8 <> a9 THEN n ELSE 0 END) AS moved_in
+      FROM cell GROUP BY a9
+    )
+    SELECT CAST(n9.shard AS BIGINT) AS shard,
+           CAST(COALESCE(n8.n_docs_8, 0) AS BIGINT) AS n_docs_8,
+           CAST(n9.n_docs_9 AS BIGINT) AS n_docs_9,
+           CAST(n9.moved_in AS BIGINT) AS moved_in
+    FROM n9 LEFT JOIN n8 ON n8.shard = n9.shard
+    """,
+)
+def rendezvous_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard assignment audit (highest random weight,
+    Thaler & Ravishankar 1998) — the placement scheme a distributed
+    serving/storage tier uses so that RESIZING moves the minimum: for
+    each document, every shard gets weight md5(key||shard) and the
+    max wins. Assigning under 8 shards and 9 shards side by side, the
+    HRW contract is measurable: shards 0..7 keep their weights, so a
+    document moves ONLY if new shard 8 outbids its old winner —
+    moved_in must be 0 for shards 0..7 and E[moved] = 1/9 of the
+    corpus, vs consistent-modulo where ~8/9 of keys reshuffle. The
+    per-shard counts are the balance half of the audit (HRW load is
+    multinomial-uniform; skew here means a bad key, not a bad hash).
+
+    Scale: assignment is PURE MAP-SIDE arithmetic — a variadic
+    greatest() over 9 hash expressions per row, no explode (a
+    docs x shards explode would 9x the shuffle for nothing); the only
+    shuffle is the <=81-row (a8, a9) cell rollup, from which both
+    per-shard-count frames derive without touching the corpus again.
+    Ties are impossible by construction (w*16+s packs the shard id
+    into the low bits), so the argmax is deterministic on any engine.
+
+    Determinism: both engines evaluate the SAME generated weight
+    expression (shared loop, per-engine hex-to-int primitive only —
+    the _morton_sql convention); 56-bit weights, exact BIGINT
+    compares, no doubles anywhere."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("k")
+    )
+    assigned = docs.select(
+        F.expr(_hrw_assign_sql(_HEX2INT_SPARK, 8)).alias("a8"),
+        F.expr(_hrw_assign_sql(_HEX2INT_SPARK, 9)).alias("a9"),
+    )
+    cell = assigned.groupBy("a8", "a9").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    n8 = cell.groupBy(F.col("a8").alias("shard")).agg(
+        F.sum("n").alias("n_docs_8")
+    )
+    n9 = cell.groupBy(F.col("a9").alias("shard")).agg(
+        F.sum("n").alias("n_docs_9"),
+        F.sum(F.when(F.col("a8") != F.col("a9"), F.col("n")).otherwise(0)).alias(
+            "moved_in"
+        ),
+    )
+    return n9.join(n8, "shard", "left").select(
+        F.col("shard").cast("bigint").alias("shard"),
+        F.coalesce("n_docs_8", F.lit(0)).cast("bigint").alias("n_docs_8"),
+        F.col("n_docs_9").cast("bigint").alias("n_docs_9"),
+        F.col("moved_in").cast("bigint").alias("moved_in"),
+    )

@@ -421,3 +421,47 @@ def test_theil_sen_ignores_the_outlier_ols_chases(spark, tmp_path):
     assert (row.event_type, row.n_days, row.n_pairs) == ("click", 5, 10)
     assert row.theil_sen_cents_per_day == 100.0
     assert row.ols_cents_per_day == 2000.0
+
+
+def _hrw_py(key: str, n_shards: int) -> int:
+    """Independent Python reference for the HRW assignment: top 14
+    hex chars of md5(key||':s:') as the weight, shard id packed into
+    the low 4 bits, argmax, unpack."""
+    import hashlib
+
+    best = -1
+    for s in range(n_shards):
+        h = hashlib.md5(f"{key}:{s}:".encode()).hexdigest()
+        packed = int(h[:14], 16) * 16 + s
+        best = max(best, packed)
+    return best % 16
+
+
+def test_rendezvous_matches_python_and_moves_minimally(spark, tmp_path):
+    """20 docs: (a) per-shard counts at N=8 must equal the independent
+    hashlib reference exactly; (b) the HRW contract — shards 0..7
+    keep their weights when shard 8 joins, so moved_in is 0 for every
+    old shard and every moved doc lands on shard 8."""
+    from collections import Counter
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import DOCUMENTS
+
+    ids = list(range(1, 21))
+    rows = [(i, f"doc {i}", "en", "src", 5) for i in ids]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, DOCUMENTS).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    exp8 = Counter(_hrw_py(str(i), 8) for i in ids)
+    exp9 = Counter(_hrw_py(str(i), 9) for i in ids)
+    out = {r.shard: r for r in QUERIES["rendezvous_shard_balance"](spark, d).collect()}
+    for s, r in out.items():
+        assert r.n_docs_8 == exp8.get(s, 0), f"shard {s} n8"
+        assert r.n_docs_9 == exp9.get(s, 0), f"shard {s} n9"
+        if s < 8:
+            assert r.moved_in == 0, f"old shard {s} gained docs on resize"
+    assert sum(r.n_docs_8 for r in out.values()) == 20
+    assert sum(r.n_docs_9 for r in out.values()) == 20
+    if 8 in out:
+        assert out[8].moved_in == out[8].n_docs_9
