@@ -1974,3 +1974,123 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ols_cents_per_day"
         ),
     )
+
+
+@query(
+    "multi_touch_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, ts, user_id, event_type,
+             CAST(CAST(COALESCE(value, 0) AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents
+      FROM events
+    ),
+    conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS cts, cents
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id, ts, user_id, event_type
+      FROM ev WHERE event_type <> 'purchase'
+    ),
+    j AS (
+      SELECT c.conv_id, c.cents, t.event_type, t.ts, t.event_id
+      FROM touch t JOIN conv c
+        ON t.user_id = c.user_id
+       AND t.ts < c.cts
+       AND t.ts >= c.cts - INTERVAL 7 DAY
+    ),
+    r AS (
+      SELECT conv_id, cents, event_type,
+             row_number() OVER (
+               PARTITION BY conv_id ORDER BY ts DESC, event_id DESC
+             ) AS rnk,
+             count(*) OVER (PARTITION BY conv_id) AS k
+      FROM j
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           CAST(SUM(CASE WHEN rnk = 1 THEN cents ELSE 0 END)
+                AS BIGINT) AS last_touch_cents,
+           CAST(SUM(cents * 1000000 // k
+                    + CASE WHEN rnk = 1 THEN cents * 1000000 % k
+                           ELSE 0 END)
+                AS BIGINT) AS linear_microcents
+    FROM r GROUP BY event_type
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution — the marketing-analytics workhorse:
+    credit each purchase's value to the touch events (clicks, views,
+    signups) the same user produced in the 7 days before it, under
+    the two canonical models side by side: LAST-TOUCH (the final
+    touch takes everything) and LINEAR (equal split across the
+    window). Divergence between the columns is the report's point —
+    it shows which channels close vs assist.
+
+    Determinism: money rides as integer cents; the linear split is
+    EXACT INTEGER arithmetic — each touch gets cents*1e6 div k
+    micro-cents and the division remainder goes to the rank-1 touch,
+    so per-channel sums are order-independent bigints (a double 1/k
+    credit would make the channel totals partition-order dependent)
+    and the invariant sum(linear) = 1e6 * sum(attributed cents) holds
+    exactly. Touch order is pinned by (ts, event_id) — unique tiebreak.
+
+    Scale: one scan splits into touches and conversions; the join is
+    per-user with a 7-day range predicate — candidate pairs are
+    bounded by per-user activity x horizon, not corpus^2; heavy-user
+    skew is the known lever (join_skew_profile diagnoses it, salting
+    fixes it). Window functions partition by conversion id — millions
+    of small partitions, no global sort. Conversions with zero
+    in-window touches are unattributed and drop out (inner join), by
+    definition of the models."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        (money(F.coalesce("value", F.lit(0))) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("cts"),
+        "cents",
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    j = touch.join(
+        conv,
+        (touch.user_id == conv.c_uid)
+        & (touch.ts < conv.cts)
+        & (touch.ts >= conv.cts - F.expr("INTERVAL 7 DAY")),
+    ).select("conv_id", "cents", "event_type", "ts", "event_id")
+    wr = W.partitionBy("conv_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wk = W.partitionBy("conv_id")
+    r = j.select(
+        "conv_id",
+        "cents",
+        "event_type",
+        F.row_number().over(wr).alias("rnk"),
+        F.count("*").over(wk).alias("k"),
+    )
+    credit = F.expr(
+        "cents * 1000000 div k"
+        " + (CASE WHEN rnk = 1 THEN cents * 1000000 % k ELSE 0 END)"
+    )
+    return r.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_conversions"),
+        F.sum(F.when(F.col("rnk") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("last_touch_cents"),
+        F.sum(credit).cast("bigint").alias("linear_microcents"),
+    )

@@ -465,3 +465,58 @@ def test_rendezvous_matches_python_and_moves_minimally(spark, tmp_path):
     assert sum(r.n_docs_9 for r in out.values()) == 20
     if 8 in out:
         assert out[8].moved_in == out[8].n_docs_9
+
+
+def test_attribution_remainder_and_window_hand_fixture(spark, tmp_path):
+    """User 1: click then view, purchase 300 cents -> view is last
+    touch (300 c), linear 150e6 microcents each. User 2: three
+    touches (click, click, signup), purchase 100 cents -> each gets
+    floor(1e8/3) = 33333333 with the +1 remainder pinned to the
+    LAST touch (signup), so totals stay exact. User 3's only touch is
+    8 days before the purchase -> outside the window, conversion
+    unattributed. Invariant: sum(linear) = 1e6 * attributed cents."""
+    import datetime as dt
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import EVENTS
+
+    t0 = dt.datetime(2024, 6, 10, 12, 0)
+    h = lambda x: t0 + dt.timedelta(hours=x)  # noqa: E731
+    rows = [
+        # user 1
+        (1, h(0), 1, "click", 0.0, "{}"),
+        (2, h(1), 1, "view", 0.0, "{}"),
+        (3, h(2), 1, "purchase", 3.0, "{}"),
+        # user 2 — indivisible 100 cents across 3 touches
+        (4, h(0), 2, "click", 0.0, "{}"),
+        (5, h(1), 2, "click", 0.0, "{}"),
+        (6, h(2), 2, "signup", 0.0, "{}"),
+        (7, h(3), 2, "purchase", 1.0, "{}"),
+        # user 3 — touch 8 days before purchase: outside the window
+        (8, h(0), 3, "view", 0.0, "{}"),
+        (9, h(192), 3, "purchase", 9.0, "{}"),
+    ]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, EVENTS).write.parquet(
+        f"{d}/events.parquet"
+    )
+    out = {
+        r.event_type: r
+        for r in QUERIES["multi_touch_attribution"](spark, d).collect()
+    }
+    assert set(out) == {"click", "view", "signup"}
+    assert (out["view"].last_touch_cents, out["view"].linear_microcents) == (
+        300,
+        150_000_000,
+    )
+    assert (out["click"].n_touches, out["click"].last_touch_cents) == (3, 0)
+    assert (
+        out["click"].linear_microcents
+        == 150_000_000 + 2 * 33_333_333
+    )
+    assert (
+        out["signup"].last_touch_cents,
+        out["signup"].linear_microcents,
+    ) == (100, 33_333_334)
+    total_linear = sum(r.linear_microcents for r in out.values())
+    assert total_linear == 1_000_000 * 400  # user 3's 900 c unattributed
