@@ -2094,3 +2094,80 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last_touch_cents"),
         F.sum(credit).cast("bigint").alias("linear_microcents"),
     )
+
+
+@query(
+    "mutual_information_cells",
+    oracle="""
+    WITH joint AS (
+      SELECT event_type AS x,
+             CAST(floor(value / 100) AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS n_xy
+      FROM events GROUP BY x, y
+    ),
+    m AS (
+      SELECT x, y, n_xy,
+             CAST(SUM(n_xy) OVER (PARTITION BY x) AS BIGINT) AS n_x,
+             CAST(SUM(n_xy) OVER (PARTITION BY y) AS BIGINT) AS n_y
+      FROM joint
+    ),
+    tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM joint)
+    SELECT m.x AS event_type, m.y AS value_band,
+           m.n_xy, m.n_x, m.n_y,
+           round((CAST(m.n_xy AS DOUBLE) / t.n)
+                 * ln(CAST(m.n_xy AS DOUBLE) * t.n
+                      / (CAST(m.n_x AS DOUBLE) * m.n_y)), 6)
+             AS mi_contrib_nats
+    FROM m CROSS JOIN tot t
+    """,
+)
+def mutual_information_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and value band — the
+    feature-dependence audit run before treating two columns as
+    independent (composite stratification keys, naive-Bayes-style
+    quality models, or whether a mixture weight can be factorized):
+    per-cell contributions p(x,y) * ln(p(x,y)/(p(x)p(y))), whose sum
+    is MI(X;Y) in nats. Emitted PER CELL (the `value_drift_psi`
+    convention) rather than as one scalar: a double sum over cells
+    would be partition-order dependent, and the cell rows show WHERE
+    the dependence lives (which type/band combinations over- or
+    under-co-occur, the lift sign).
+
+    Determinism: joint and marginal counts are exact BIGINTs (the
+    marginals are window sums over the joint frame — no second scan);
+    each cell's single ln-based term is computed from identical
+    integers on both engines and rounded at 6dp (the stat_moments
+    libm-ulp rule).
+
+    Scale: ONE corpus scan -> a |types| x |bands| hash aggregate
+    (map-side combinable, the only data-sized shuffle); everything
+    after operates on the cell frame, whose size is the product of
+    two SMALL domains by construction. The totals row broadcasts."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.floor(F.col("value") / 100).cast("bigint").alias("y"),
+    ).agg(F.count("*").cast("bigint").alias("n_xy"))
+    m = joint.select(
+        "x",
+        "y",
+        "n_xy",
+        F.sum("n_xy").over(W.partitionBy("x")).cast("bigint").alias("n_x"),
+        F.sum("n_xy").over(W.partitionBy("y")).cast("bigint").alias("n_y"),
+    )
+    tot = joint.agg(F.sum("n_xy").cast("bigint").alias("n"))
+    contrib = (F.col("n_xy").cast("double") / F.col("n")) * F.log(
+        F.col("n_xy").cast("double")
+        * F.col("n")
+        / (F.col("n_x").cast("double") * F.col("n_y"))
+    )
+    return m.crossJoin(F.broadcast(tot)).select(
+        F.col("x").alias("event_type"),
+        F.col("y").alias("value_band"),
+        "n_xy",
+        "n_x",
+        "n_y",
+        F.round(contrib, 6).alias("mi_contrib_nats"),
+    )

@@ -76,6 +76,8 @@ _AUDITED = {
     ("queries/advanced.py", "return tot.crossJoin(F.broadcast(top)).select("),
     ("queries/advanced.py", "xy = li.crossJoin(F.broadcast(mx)).select("),
     ("queries/analytics.py", "adj = pu.crossJoin(F.broadcast(g)).select("),
+    # mutual_information_cells — tot is a single totals row. Audited r9.
+    ("queries/analytics.py", "return m.crossJoin(F.broadcast(tot)).select("),
     # theil_sen_trend — mn is the single global min-day row. Audited r9.
     ("queries/analytics.py", "dx = daily.crossJoin(F.broadcast(mn)).select("),
     # rfm_segmentation — asof is a single max-date row; cuts is a

@@ -520,3 +520,42 @@ def test_attribution_remainder_and_window_hand_fixture(spark, tmp_path):
     ) == (100, 33_333_334)
     total_linear = sum(r.linear_microcents for r in out.values())
     assert total_linear == 1_000_000 * 400  # user 3's 900 c unattributed
+
+
+def test_mutual_information_dependence_and_independence(spark, tmp_path):
+    """Perfectly dependent 2x2 (type a always band 0, b always band
+    1): each cell contributes 0.5*ln(2) = 0.346574 and the implied
+    MI is ln(2). Perfectly independent 2x2 (every cell count 1):
+    every contribution is exactly 0.0 (ln(1))."""
+    import datetime as dt
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import EVENTS
+
+    t0 = dt.datetime(2024, 1, 1)
+    dep = [
+        (1, t0, 1, "a", 50.0, "{}"),
+        (2, t0, 1, "a", 50.0, "{}"),
+        (3, t0, 1, "b", 150.0, "{}"),
+        (4, t0, 1, "b", 150.0, "{}"),
+    ]
+    ind = [
+        (1, t0, 1, "a", 50.0, "{}"),
+        (2, t0, 1, "a", 150.0, "{}"),
+        (3, t0, 1, "b", 50.0, "{}"),
+        (4, t0, 1, "b", 150.0, "{}"),
+    ]
+    for name, rows in [("dep", dep), ("ind", ind)]:
+        d = str(tmp_path / name)
+        spark.createDataFrame(rows, EVENTS).write.parquet(
+            f"{d}/events.parquet"
+        )
+    out = QUERIES["mutual_information_cells"](spark, str(tmp_path / "dep")).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.n_xy == 2 and r.n_x == 2 and r.n_y == 2
+        assert r.mi_contrib_nats == 0.346574  # 0.5 * ln 2, 6dp
+    out = QUERIES["mutual_information_cells"](spark, str(tmp_path / "ind")).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.mi_contrib_nats == 0.0
