@@ -1473,3 +1473,126 @@ def rendezvous_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs_9").cast("bigint").alias("n_docs_9"),
         F.col("moved_in").cast("bigint").alias("moved_in"),
     )
+
+
+@query(
+    "compaction_plan_report",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source
+    ),
+    est AS (
+      SELECT source, n_docs, total_chars,
+             CAST(total_chars + 64 * n_docs AS BIGINT) AS est_bytes
+      FROM s
+    )
+    SELECT source, n_docs, total_chars, est_bytes,
+           CAST((est_bytes + 134217727) // 134217728 AS BIGINT)
+             AS files_at_128mib,
+           CAST(est_bytes
+                // ((est_bytes + 134217727) // 134217728)
+                AS BIGINT) AS avg_file_bytes,
+           CAST(n_docs
+                // ((est_bytes + 134217727) // 134217728)
+                AS BIGINT) AS rows_per_file,
+           est_bytes < 134217728 AS single_file_source
+    FROM est
+    """,
+)
+def compaction_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction / file-sizing advisor — the ANALYZE-style report
+    behind the small-files problem, THE recurring lakehouse ops
+    issue at scale: for each source, estimate the serialized footprint
+    (text bytes + a 64 B/row metadata overhead proxy) and derive the
+    file count that hits the 128 MiB scan-efficiency target, the
+    resulting average file size and rows-per-file (the
+    maxRecordsPerFile setting a writer would use), and whether the
+    source belongs in a single file. Pairs with
+    `zorder_file_skipping` / `hilbert_layout_report` (which decide
+    HOW rows are ordered within files) by deciding HOW MANY files.
+
+    Scale: one scan, one map-side-combinable aggregate per source —
+    the report's cost is independent of how badly fragmented the
+    input currently is. All sizing arithmetic is exact integer
+    ceil-division ((b + T-1) div T), so both engines emit identical
+    plans; the 1-byte/char estimate is the documented proxy (swap in
+    an Parquet-encoded sample ratio for production use — same plan,
+    one constant)."""
+    docs = read_table(spark, sf_dir, "documents")
+    target = 134217728
+    s = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    est = s.withColumn(
+        "est_bytes",
+        (F.col("total_chars") + 64 * F.col("n_docs")).cast("bigint"),
+    )
+    files = F.expr(f"(est_bytes + {target - 1}) div {target}")
+    return est.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "est_bytes",
+        files.cast("bigint").alias("files_at_128mib"),
+        F.expr(
+            f"est_bytes div ((est_bytes + {target - 1}) div {target})"
+        ).cast("bigint").alias("avg_file_bytes"),
+        F.expr(
+            f"n_docs div ((est_bytes + {target - 1}) div {target})"
+        ).cast("bigint").alias("rows_per_file"),
+        (F.col("est_bytes") < target).alias("single_file_source"),
+    )
+
+
+@query(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path,
+             count(*) AS n
+      FROM seq WHERE t3 IS NOT NULL
+      GROUP BY path
+    )
+    SELECT path, CAST(n AS BIGINT) AS n_paths
+    FROM tri
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys — the path-mining extension of
+    `event_transition_matrix` (which sees only one step): per user,
+    every consecutive (t, t+1, t+2) event-type window, counted
+    corpus-wide. The classic funnel-discovery shape: the heavy
+    trigrams ARE the de-facto flows users actually take.
+
+    Scale: the lead() windows partition per user (millions of small
+    partitions, no global sort); trigram counting is a hash aggregate
+    over a |types|^3-bounded key space, map-side combinable; the
+    top-20 is TakeOrderedAndProject (per-partition heads, no full
+    sort). Ordering pinned by (ts, event_id) — unique tiebreak — and
+    the top-k by (count desc, path)."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    tri = seq.groupBy(
+        F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+    ).agg(F.count("*").cast("bigint").alias("n_paths"))
+    return tri.orderBy(F.col("n_paths").desc(), "path").limit(20)

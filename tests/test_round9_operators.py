@@ -559,3 +559,66 @@ def test_mutual_information_dependence_and_independence(spark, tmp_path):
     assert len(out) == 4
     for r in out:
         assert r.mi_contrib_nats == 0.0
+
+
+def test_compaction_plan_ceil_division_boundaries(spark, tmp_path):
+    """Source 'big' lands on exactly 2 x 128 MiB estimated bytes ->
+    exactly 2 files of exactly 134217728 B (the ceil-division must
+    not produce 3); 1 doc div 2 files -> 0 rows_per_file (integer
+    semantics, not a rounding). Source 'tiny' fits one file and is
+    flagged single_file_source."""
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import DOCUMENTS
+
+    rows = [
+        (1, "x", "en", "big", 2 * 134217728 - 64),
+        (2, "y", "en", "tiny", 100),
+        (3, "z", "en", "tiny", 100),
+        (4, "w", "en", "tiny", 100),
+    ]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, DOCUMENTS).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    out = {r.source: r for r in QUERIES["compaction_plan_report"](spark, d).collect()}
+    big, tiny = out["big"], out["tiny"]
+    assert big.est_bytes == 2 * 134217728
+    assert (big.files_at_128mib, big.avg_file_bytes) == (2, 134217728)
+    assert (big.rows_per_file, big.single_file_source) == (0, False)
+    assert tiny.est_bytes == 300 + 3 * 64
+    assert (tiny.files_at_128mib, tiny.rows_per_file) == (1, 3)
+    assert tiny.single_file_source is True
+
+
+def test_event_path_trigrams_respect_user_boundaries(spark, tmp_path):
+    """User 1 walks a,b,c,d (trigrams a>b>c and b>c>d); user 2 walks
+    a,b,c (a second a>b>c); user 3 emits only two events — no
+    trigram, and crucially no c,d -> x,y spill across the user
+    boundary. Top row must be a>b>c with n=2."""
+    import datetime as dt
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import EVENTS
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        (1, m(0), 1, "a", 0.0, "{}"),
+        (2, m(1), 1, "b", 0.0, "{}"),
+        (3, m(2), 1, "c", 0.0, "{}"),
+        (4, m(3), 1, "d", 0.0, "{}"),
+        (5, m(0), 2, "a", 0.0, "{}"),
+        (6, m(1), 2, "b", 0.0, "{}"),
+        (7, m(2), 2, "c", 0.0, "{}"),
+        (8, m(0), 3, "x", 0.0, "{}"),
+        (9, m(1), 3, "y", 0.0, "{}"),
+    ]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, EVENTS).write.parquet(
+        f"{d}/events.parquet"
+    )
+    out = QUERIES["event_path_trigrams"](spark, d).collect()
+    assert [(r.path, r.n_paths) for r in out] == [
+        ("a>b>c", 2),
+        ("b>c>d", 1),
+    ]
