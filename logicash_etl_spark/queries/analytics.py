@@ -2171,3 +2171,198 @@ def mutual_information_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_y",
         F.round(contrib, 6).alias("mi_contrib_nats"),
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(min(ts) AS DATE) AS d0,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    cohorts AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM first_seen GROUP BY cohort_week
+    ),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST(datediff('day', f.d0, CAST(e.ts AS DATE)) // 7
+                  AS BIGINT) AS age_week,
+             CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY f.cohort_week, age_week
+    ),
+    cum AS (
+      SELECT cohort_week, age_week, revenue_cents,
+             CAST(SUM(revenue_cents) OVER (
+               PARTITION BY cohort_week ORDER BY age_week
+             ) AS BIGINT) AS cum_revenue_cents
+      FROM rev
+    )
+    SELECT c.cohort_week, c.age_week, k.cohort_users,
+           c.revenue_cents, c.cum_revenue_cents,
+           CAST(c.cum_revenue_cents * 1000000 // k.cohort_users
+                AS BIGINT) AS ltv_microcents_per_user
+    FROM cum c JOIN cohorts k USING (cohort_week)
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue-side companion of
+    `weekly_retention_cohorts`: users are cohorted by the ISO week
+    they first appeared, purchase revenue is bucketed by the user's
+    OWN age in weeks at purchase time (per-user anchoring, the
+    standard LTV convention), and each cohort's running cumulative
+    revenue is normalized per cohort member. Reading down a column
+    compares cohort quality at equal age; reading along a row is the
+    payback curve.
+
+    Determinism: revenue is exact integer cents end-to-end; per-user
+    LTV is cum_cents * 1e6 div cohort_users — exact integer
+    micro-cents (the multi_touch_attribution rule), no double
+    division; the cumulative is an order-pinned window over age_week
+    (unique within cohort after the rollup). Both engines truncate
+    weeks to ISO Monday.
+
+    Scale: one scan for first-seen (per-user min, map-side
+    combinable), one purchase scan joined to it per user (dimension-
+    sized build side), a (cohorts x ages)-bounded rollup, and a
+    cumulative window partitioned per cohort over that CALENDAR-
+    bounded frame — no global sort, nothing driver-side. Age weeks
+    with zero purchases are absent (sparse), so the cumulative
+    carries across gaps by construction."""
+    ev = read_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+    ).select(
+        "user_id",
+        F.col("t0").cast("date").alias("d0"),
+        F.date_trunc("week", "t0").cast("date").alias("cohort_week"),
+    )
+    cohorts = first_seen.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_users")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").cast("date").alias("pd"),
+        (money("value") * 100).cast("bigint").alias("cents"),
+    )
+    rev = (
+        pur.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            F.expr("datediff(pd, d0) div 7").cast("bigint").alias("age_week"),
+            "cents",
+        )
+        .groupBy("cohort_week", "age_week")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+    )
+    from pyspark.sql import Window as W
+
+    wc = W.partitionBy("cohort_week").orderBy("age_week").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = rev.withColumn(
+        "cum_revenue_cents",
+        F.sum("revenue_cents").over(wc).cast("bigint"),
+    )
+    return cum.join(cohorts, "cohort_week").select(
+        "cohort_week",
+        "age_week",
+        "cohort_users",
+        "revenue_cents",
+        "cum_revenue_cents",
+        F.expr("cum_revenue_cents * 1000000 div cohort_users")
+        .cast("bigint")
+        .alias("ltv_microcents_per_user"),
+    )
+
+
+@query(
+    "time_to_convert_percentiles",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(epoch_us(ts)) AS first_us,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS conv_us
+      FROM events GROUP BY user_id
+    ),
+    delays AS (
+      SELECT (conv_us - first_us) // 60000000 AS delay_min
+      FROM per_user WHERE conv_us IS NOT NULL
+    )
+    SELECT CAST((SELECT count(*) FROM per_user) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_converters,
+           floor(100.0 * quantile_cont(delay_min, 0.25) + 0.5) / 100.0
+             AS p25_minutes,
+           floor(100.0 * quantile_cont(delay_min, 0.50) + 0.5) / 100.0
+             AS p50_minutes,
+           floor(100.0 * quantile_cont(delay_min, 0.75) + 0.5) / 100.0
+             AS p75_minutes,
+           floor(100.0 * quantile_cont(delay_min, 0.90) + 0.5) / 100.0
+             AS p90_minutes,
+           CAST(max(delay_min) AS BIGINT) AS max_minutes
+    FROM delays
+    """,
+)
+def time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — the latency half of
+    `conversion_funnel`: per user, minutes from FIRST appearance to
+    FIRST purchase, summarized as interpolated quartiles + p90 + max
+    over converters (non-converters counted in n_users, excluded
+    from the distribution — censoring them into the percentiles
+    would understate true latency; `km_return_time_survival` is the
+    censoring-aware treatment).
+
+    Determinism: delays are exact integer MINUTES computed from
+    integer microseconds (floor div — float division of epoch micros
+    loses precision at 1e18, the readers.py rule); percentiles are
+    type-7 over identical integers, quantized floor(100x+0.5)/100 at
+    the output edge only (exact percentile at the oracle-paired call
+    site, mergeable sketch elsewhere — dq.profile.percentiles).
+
+    Scale: ONE scan, one per-user conditional min-aggregate (map-side
+    combinable), then a single-row summary over the converter-delay
+    frame. No joins, no windows."""
+    from logicash_etl_spark.dq.profile import percentiles
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.unix_micros("ts")
+            )
+        ).alias("conv_us"),
+    )
+    n_users = per_user.agg(F.count("*").cast("bigint").alias("n_users"))
+    delays = per_user.filter(F.col("conv_us").isNotNull()).select(
+        F.expr("(conv_us - first_us) div 60000000").alias("delay_min")
+    )
+
+    def _p(frac: float):
+        return F.floor(
+            100.0 * percentiles(F.col("delay_min"), frac, exact=True) + 0.5
+        ) / 100.0
+
+    stats = delays.agg(
+        F.count("*").cast("bigint").alias("n_converters"),
+        _p(0.25).alias("p25_minutes"),
+        _p(0.50).alias("p50_minutes"),
+        _p(0.75).alias("p75_minutes"),
+        _p(0.90).alias("p90_minutes"),
+        F.max("delay_min").cast("bigint").alias("max_minutes"),
+    )
+    return n_users.crossJoin(F.broadcast(stats)).select(
+        "n_users",
+        "n_converters",
+        "p25_minutes",
+        "p50_minutes",
+        "p75_minutes",
+        "p90_minutes",
+        "max_minutes",
+    )

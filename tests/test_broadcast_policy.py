@@ -76,6 +76,9 @@ _AUDITED = {
     ("queries/advanced.py", "return tot.crossJoin(F.broadcast(top)).select("),
     ("queries/advanced.py", "xy = li.crossJoin(F.broadcast(mx)).select("),
     ("queries/analytics.py", "adj = pu.crossJoin(F.broadcast(g)).select("),
+    # time_to_convert_percentiles — stats is a single summary row.
+    # Audited r9.
+    ("queries/analytics.py", "return n_users.crossJoin(F.broadcast(stats)).select("),
     # mutual_information_cells — tot is a single totals row. Audited r9.
     ("queries/analytics.py", "return m.crossJoin(F.broadcast(tot)).select("),
     # theil_sen_trend — mn is the single global min-day row. Audited r9.

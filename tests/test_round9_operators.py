@@ -622,3 +622,62 @@ def test_event_path_trigrams_respect_user_boundaries(spark, tmp_path):
         ("a>b>c", 2),
         ("b>c>d", 1),
     ]
+
+
+def _ltv_fixture(spark, tmp_path):
+    import datetime as dt
+
+    from logicash_etl_spark.schemas import EVENTS
+
+    d = dt.datetime
+    rows = [
+        # user 1: cohort week of Mon 2024-01-01; purchases at age 0 and 1
+        (1, d(2024, 1, 1, 10), 1, "signup", 0.0, "{}"),
+        (2, d(2024, 1, 1, 11), 1, "purchase", 1.0, "{}"),
+        (3, d(2024, 1, 9, 10), 1, "purchase", 2.0, "{}"),   # day 8 -> age 1
+        # user 2: same cohort week (Tue), purchase 6 days on -> age 0
+        (4, d(2024, 1, 2, 9), 2, "view", 0.0, "{}"),
+        (5, d(2024, 1, 8, 9), 2, "purchase", 4.0, "{}"),
+        # user 3: next cohort week, never converts
+        (6, d(2024, 1, 9, 9), 3, "view", 0.0, "{}"),
+    ]
+    p = str(tmp_path / "mini")
+    spark.createDataFrame(rows, EVENTS).write.parquet(f"{p}/events.parquet")
+    return p
+
+
+def test_cohort_ltv_per_user_anchoring(spark, tmp_path):
+    """User 2's purchase is 6 days after their OWN first event, so it
+    lands in age_week 0 even though it happens in the next calendar
+    week — per-user anchoring, not calendar bucketing. Cohort
+    2024-01-01 has 2 users: age 0 revenue 500 c (cum 500, ltv
+    250e6 microcents/user), age 1 revenue 200 c (cum 700, ltv
+    350e6). The non-converting cohort emits no rows."""
+    from logicash_etl_spark.queries import QUERIES
+
+    p = _ltv_fixture(spark, tmp_path)
+    out = sorted(
+        QUERIES["cohort_ltv_curve"](spark, p).collect(),
+        key=lambda r: r.age_week,
+    )
+    assert len(out) == 2
+    a0, a1 = out
+    assert str(a0.cohort_week) == "2024-01-01" and a0.cohort_users == 2
+    assert (a0.revenue_cents, a0.cum_revenue_cents) == (500, 500)
+    assert a0.ltv_microcents_per_user == 250_000_000
+    assert (a1.age_week, a1.revenue_cents, a1.cum_revenue_cents) == (1, 200, 700)
+    assert a1.ltv_microcents_per_user == 350_000_000
+
+
+def test_time_to_convert_excludes_nonconverters(spark, tmp_path):
+    """Delays are 60 min (user 1) and 8640 min (user 2); user 3 never
+    converts — counted in n_users, excluded from the distribution.
+    Type-7 quartiles of [60, 8640]: p25 = 2205, p50 = 4350,
+    p75 = 6495, p90 = 7782."""
+    from logicash_etl_spark.queries import QUERIES
+
+    p = _ltv_fixture(spark, tmp_path)
+    r = QUERIES["time_to_convert_percentiles"](spark, p).collect()[0]
+    assert (r.n_users, r.n_converters, r.max_minutes) == (3, 2, 8640)
+    assert (r.p25_minutes, r.p50_minutes) == (2205.0, 4350.0)
+    assert (r.p75_minutes, r.p90_minutes) == (6495.0, 7782.0)
