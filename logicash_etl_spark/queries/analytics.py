@@ -2366,3 +2366,71 @@ def time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p90_minutes",
         "max_minutes",
     )
+
+
+@query(
+    "weekday_seasonality_report",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS weekday,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, weekday
+    ),
+    m AS (
+      SELECT event_type, weekday, n,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_type,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS k_days
+      FROM cells
+    )
+    SELECT event_type, weekday, n, n_type,
+           round(POWER(n - CAST(n_type AS DOUBLE) / k_days, 2)
+                 / (CAST(n_type AS DOUBLE) / k_days), 6)
+             AS chi2_contrib
+    FROM m
+    """,
+)
+def weekday_seasonality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality per event type: observed count per
+    (type, ISO weekday) against the uniform-across-observed-days
+    expectation, as per-cell chi-square contributions
+    (obs - exp)^2 / exp whose sum is the classic goodness-of-fit
+    statistic. The calendar sibling of `mutual_information_cells` —
+    per-cell emission for the same two reasons (a double sum over
+    cells is partition-order dependent; the cells show WHICH days
+    carry the pattern). Feeding `acf_daily_values` answers "is there
+    periodicity"; this answers "what weekly shape is it".
+
+    Determinism: weekday is Monday=0 on both engines (Spark
+    weekday() == DuckDB isodow()-1 — the raw dayofweek() functions
+    disagree on Sunday); counts and marginals are exact BIGINTs
+    (window sums over the cell frame); the single per-cell double
+    term rounds at 6dp.
+
+    Scale: one scan into a |types| x 7 hash aggregate (map-side
+    combinable, the only data-sized shuffle); the window marginals
+    run over the bounded cell frame."""
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.weekday("ts").cast("bigint").alias("weekday"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = W.partitionBy("event_type")
+    m = cells.select(
+        "event_type",
+        "weekday",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("n_type"),
+        F.count("*").over(w).cast("bigint").alias("k_days"),
+    )
+    exp = F.col("n_type").cast("double") / F.col("k_days")
+    return m.select(
+        "event_type",
+        "weekday",
+        "n",
+        "n_type",
+        F.round(F.pow(F.col("n") - exp, 2) / exp, 6).alias("chi2_contrib"),
+    )

@@ -1987,3 +1987,99 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("records_above_t"),
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders.o_custkey -> customer' AS fk_edge,
+             CAST(count(*) AS BIGINT) AS n_child_rows,
+             CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'lineitem.l_orderkey -> orders',
+             CAST(count(*) AS BIGINT),
+             CAST(SUM(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem l
+      LEFT JOIN orders ok ON l.l_orderkey = ok.o_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey -> part',
+             CAST(count(*) AS BIGINT),
+             CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey -> supplier',
+             CAST(count(*) AS BIGINT),
+             CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation',
+             CAST(count(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'supplier.s_nationkey -> nation',
+             CAST(count(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'nation.n_regionkey -> region',
+             CAST(count(*) AS BIGINT),
+             CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity audit — every FK edge of
+    the star schema in ONE report: child row count and orphan count
+    per edge. The schema-wide generalization of
+    `customers_without_orders` (one edge, row-level) and the check a
+    warehouse loader runs after every batch; a nonzero orphan count
+    is the first symptom of a partial load or an out-of-order
+    ingest.
+
+    Scale: each edge is a left join against its PARENT — the parent
+    key set is the dimension side and broadcast-able for nation/
+    region/supplier/customer/part at any realistic scale (AQE sizes
+    them; no forced hints), while lineitem->orders shuffles on the
+    natural join key. Orphan counting folds into the join's
+    NULL-probe aggregate — no anti-join second pass per edge; the
+    seven per-edge single-row aggregates union into a 7-row frame.
+
+    Determinism: exact counts only."""
+    edges = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    outs = []
+    for child, ck, parent, pk in edges:
+        c = read_table(spark, sf_dir, child).select(ck)
+        p = read_table(spark, sf_dir, parent).select(pk).distinct()
+        j = c.join(p, c[ck] == p[pk], "left")
+        outs.append(
+            j.agg(
+                F.lit(f"{child}.{ck} -> {parent}").alias("fk_edge"),
+                F.count("*").cast("bigint").alias("n_child_rows"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

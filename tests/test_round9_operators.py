@@ -681,3 +681,61 @@ def test_time_to_convert_excludes_nonconverters(spark, tmp_path):
     assert (r.n_users, r.n_converters, r.max_minutes) == (3, 2, 8640)
     assert (r.p25_minutes, r.p50_minutes) == (2205.0, 4350.0)
     assert (r.p75_minutes, r.p90_minutes) == (6495.0, 7782.0)
+
+
+def test_ri_audit_counts_the_planted_orphan(spark, tmp_path):
+    """Copy the sf0.001 star schema (FK-consistent by construction)
+    and plant ONE orphan order pointing at customer 999999: the
+    orders edge must report exactly 1 orphan and every other edge 0."""
+    import datetime as dt
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import ORDERS
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "mini")
+    for t in ["customer", "lineitem", "part", "supplier", "nation", "region"]:
+        spark.read.parquet(f"{src}/{t}.parquet").write.parquet(
+            f"{d}/{t}.parquet"
+        )
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    orphan = spark.createDataFrame(
+        [(10**9, 999999, "F", 1.0, dt.datetime(2024, 1, 1), "1-URGENT")],
+        ORDERS,
+    )
+    n_orders = orders.count()
+    orders.select(*ORDERS.fieldNames()).unionByName(orphan).write.parquet(
+        f"{d}/orders.parquet"
+    )
+    out = {r.fk_edge: r for r in QUERIES["referential_integrity_audit"](spark, d).collect()}
+    assert len(out) == 7
+    oc = out["orders.o_custkey -> customer"]
+    assert (oc.n_child_rows, oc.n_orphans) == (n_orders + 1, 1)
+    for edge, r in out.items():
+        if edge != "orders.o_custkey -> customer":
+            assert r.n_orphans == 0, edge
+
+
+def test_weekday_chi2_hand_fixture(spark, tmp_path):
+    """Three Monday events and one Tuesday event, one type: expected
+    count is 2 per observed day, so both cells contribute
+    (obs-2)^2/2 = 0.5 exactly, and weekday must be Monday=0 on the
+    Spark side (weekday(), not dayofweek())."""
+    import datetime as dt
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import EVENTS
+
+    mon, tue = dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 1, 2, 9)
+    rows = [
+        (1, mon, 1, "a", 0.0, "{}"),
+        (2, mon, 1, "a", 0.0, "{}"),
+        (3, mon, 2, "a", 0.0, "{}"),
+        (4, tue, 2, "a", 0.0, "{}"),
+    ]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, EVENTS).write.parquet(f"{d}/events.parquet")
+    out = {r.weekday: r for r in QUERIES["weekday_seasonality_report"](spark, d).collect()}
+    assert set(out) == {0, 1}
+    assert (out[0].n, out[0].n_type, out[0].chi2_contrib) == (3, 4, 0.5)
+    assert (out[1].n, out[1].chi2_contrib) == (1, 0.5)
