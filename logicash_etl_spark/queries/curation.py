@@ -1024,3 +1024,98 @@ def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.round(F.sum(nll) / F.count("*"), 6).alias("mean_nll"),
     )
+
+
+@query(
+    "flesch_readability_by_source",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                  AS BIGINT) AS words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS syllables
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, words, sentences, syllables,
+             CAST(floor(100.0 * (206.835
+                                 - 1.015 * (CAST(words AS DOUBLE)
+                                            / sentences)
+                                 - 84.6 * (CAST(syllables AS DOUBLE)
+                                           / words)) + 0.5)
+                  AS BIGINT) AS f100
+      FROM per_doc WHERE words >= 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS sum_words,
+           CAST(SUM(sentences) AS BIGINT) AS sum_sentences,
+           CAST(SUM(syllables) AS BIGINT) AS sum_syllables,
+           CAST(SUM(f100) AS BIGINT) AS sum_flesch_x100,
+           round(SUM(f100) * 1.0 / (100.0 * count(*)), 6)
+             AS mean_flesch,
+           CAST(SUM(CASE WHEN f100 >= 6000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS easy_docs
+    FROM scored GROUP BY source
+    """,
+)
+def flesch_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source (Flesch 1948) — the classic
+    readability score 206.835 - 1.015*(words/sentence) -
+    84.6*(syllables/word), the complexity axis the Gopher-style
+    suite (`gopher_quality_suite`) doesn't measure: repetition and
+    stop-word ratios catch BOILERPLATE, Flesch catches prose that is
+    too dense or too telegraphic for the target register. Syllables
+    use the standard cheap heuristic (maximal [aeiouy]+ runs —
+    vowel-less tokens score 0); sentences are [.!?]+ runs floored at
+    1 so headline-only docs don't divide by zero.
+
+    Determinism: all three counts are exact integers from the SAME
+    regex on both engines (probed: Java and RE2 agree on these
+    single-class patterns); the per-doc score is ONE double
+    expression over exact ints, quantized to an integer x100
+    immediately — so the per-source SUM is an exact BIGINT
+    (a raw double sum would be partition-order dependent) and the
+    mean is a single double division at the edge.
+
+    Scale: pure map-side scoring (three regex counts per doc, no
+    tokenize-explode), one |sources|-group aggregate. The regexes are
+    the cost — linear in corpus bytes, embarrassingly parallel."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.expr("CAST(regexp_count(lower(text), '[a-z]+') AS BIGINT)")
+    sentences = F.expr(
+        "CAST(greatest(1, regexp_count(text, '[.!?]+')) AS BIGINT)"
+    )
+    syllables = F.expr(
+        "CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)"
+    )
+    per_doc = docs.select(
+        "source",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    ).filter(F.col("words") >= 1)
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("words").cast("double") / F.col("sentences"))
+        - 84.6 * (F.col("syllables").cast("double") / F.col("words"))
+    )
+    scored = per_doc.withColumn(
+        "f100", F.floor(100.0 * flesch + 0.5).cast("bigint")
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("sum_words"),
+        F.sum("sentences").cast("bigint").alias("sum_sentences"),
+        F.sum("syllables").cast("bigint").alias("sum_syllables"),
+        F.sum("f100").cast("bigint").alias("sum_flesch_x100"),
+        F.round(
+            F.sum("f100") * 1.0 / (100.0 * F.count("*")), 6
+        ).alias("mean_flesch"),
+        F.sum((F.col("f100") >= 6000).cast("int"))
+        .cast("bigint")
+        .alias("easy_docs"),
+    )

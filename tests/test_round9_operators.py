@@ -739,3 +739,40 @@ def test_weekday_chi2_hand_fixture(spark, tmp_path):
     assert set(out) == {0, 1}
     assert (out[0].n, out[0].n_type, out[0].chi2_contrib) == (3, 4, 0.5)
     assert (out[1].n, out[1].chi2_contrib) == (1, 0.5)
+
+
+def test_flesch_hand_counts_and_negative_floor(spark, tmp_path):
+    """Three single-doc sources: 'The cat sat. The dog ran.' counts
+    6 words / 2 sentences / 6 syllable groups -> 119.19; a lone
+    unpunctuated word exercises the sentences>=1 floor; a dense
+    3-word latinate doc goes NEGATIVE, exercising half-up
+    quantization below zero (expected value recomputed with the
+    same IEEE expression in Python)."""
+    import math
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import DOCUMENTS
+
+    rows = [
+        (1, "The cat sat. The dog ran.", "en", "A", 26),
+        (2, "strength", "en", "B", 8),
+        (3, "extraordinary bureaucratic organization", "en", "C", 40),
+    ]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, DOCUMENTS).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    out = {r.source: r for r in QUERIES["flesch_readability_by_source"](spark, d).collect()}
+    a = out["A"]
+    assert (a.sum_words, a.sum_sentences, a.sum_syllables) == (6, 2, 6)
+    assert a.sum_flesch_x100 == 11919 and a.easy_docs == 1
+    b = out["B"]
+    assert (b.sum_words, b.sum_sentences, b.sum_syllables) == (1, 1, 1)
+    assert b.sum_flesch_x100 == 12122
+    c = out["C"]
+    assert (c.sum_words, c.sum_sentences, c.sum_syllables) == (3, 1, 14)
+    exp_c = math.floor(
+        100.0 * (206.835 - 1.015 * (3.0 / 1) - 84.6 * (14.0 / 3)) + 0.5
+    )
+    assert c.sum_flesch_x100 == exp_c and exp_c < 0
+    assert c.easy_docs == 0
