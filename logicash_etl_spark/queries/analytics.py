@@ -2434,3 +2434,100 @@ def weekday_seasonality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_type",
         F.round(F.pow(F.col("n") - exp, 2) / exp, 6).alias("chi2_contrib"),
     )
+
+
+@query(
+    "abc_inventory_classes",
+    oracle="""
+    WITH part_rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM part_rev),
+    cum AS (
+      SELECT l_partkey, cents,
+             CAST(COALESCE(SUM(cents) OVER (
+               ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS excl
+      FROM part_rev
+    ),
+    labeled AS (
+      SELECT c.cents,
+             CASE WHEN c.excl * 100 < 80 * t.t THEN 'A'
+                  WHEN c.excl * 100 < 95 * t.t THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             t.t
+      FROM cum c CROSS JOIN tot t
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST((20000 * SUM(cents) + any_value(t))
+                // (2 * any_value(t)) AS BIGINT) AS revenue_share_bp
+    FROM labeled GROUP BY abc_class
+    """,
+)
+def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification — the operations classic
+    behind "20% of SKUs drive 80% of revenue": parts sorted by
+    revenue descending, class A while the EXCLUSIVE cumulative share
+    is under 80%, B under 95%, C beyond (exclusive-prefix rule, so a
+    whale part that alone crosses 80% still classifies A). The
+    actionable sibling of `revenue_concentration_gini` (which scores
+    the inequality; this names the SKUs... or here, the class sizes).
+
+    Scale: the descending cumulative is NOT a global ORDER BY window
+    — it is grouped_prefix_sum range-bucketed on -cents (the gini/
+    token-budget scan): one shuffle into 32 deterministic revenue
+    ranges, parallel within-bucket windows, an O(buckets) totals
+    chain. Classification is then integer compares against the
+    broadcast single-row total.
+
+    Determinism: revenue in exact integer cents; the total order is
+    (cents DESC, partkey) — unique tiebreak; class thresholds and
+    basis-point shares are pure BIGINT arithmetic (excl*100 < 80*t;
+    half-up share via (20000*s + t) div (2t)) — no doubles anywhere.
+    At corpus sizes where 100*total nears 2^63, coarsen the currency
+    unit (the gini rule) or lift the two products to DECIMAL(38,0)."""
+    from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum((money("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = part_rev.agg(F.sum("cents").cast("bigint").alias("t"))
+    pr = part_rev.select(
+        F.lit("all").alias("__g"),
+        "l_partkey",
+        "cents",
+        (-F.col("cents")).alias("__neg"),
+    )
+    cum = grouped_prefix_sum(
+        pr,
+        group_col="__g",
+        bucket_key="__neg",
+        order_cols=[F.col("cents").desc(), F.col("l_partkey").asc()],
+        value_col="cents",
+        out_col="excl",
+        inclusive=False,
+    )
+    labeled = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "t",
+        F.when(F.col("excl") * 100 < 80 * F.col("t"), "A")
+        .when(F.col("excl") * 100 < 95 * F.col("t"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return labeled.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        F.expr("(20000 * sum(cents) + any_value(t)) div (2 * any_value(t))")
+        .cast("bigint")
+        .alias("revenue_share_bp"),
+    )

@@ -776,3 +776,33 @@ def test_flesch_hand_counts_and_negative_floor(spark, tmp_path):
     )
     assert c.sum_flesch_x100 == exp_c and exp_c < 0
     assert c.easy_docs == 0
+
+
+def test_abc_whale_and_exact_boundary(spark, tmp_path):
+    """Part revenues 850/100/30/20 cents (total 1000): the whale
+    crosses 80% alone but classifies A (exclusive-prefix rule,
+    excl=0); the 100-cent part has excl 85% -> B; the 30-cent part
+    sits EXACTLY at 95% exclusive -> C (strict <); shares are
+    half-up basis points (A = 8500 from 8500.5 down... floor-div of
+    (20000*850+1000)/2000)."""
+    import datetime as dt
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import LINEITEM
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, 1, 1, 1.0, 8.50, 0.0, 0.0, "N", "O", t),
+        (2, 2, 1, 1, 1.0, 1.00, 0.0, 0.0, "N", "O", t),
+        (3, 3, 1, 1, 1.0, 0.30, 0.0, 0.0, "N", "O", t),
+        (4, 4, 1, 1, 1.0, 0.20, 0.0, 0.0, "N", "O", t),
+    ]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, LINEITEM).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    out = {r.abc_class: r for r in QUERIES["abc_inventory_classes"](spark, d).collect()}
+    assert set(out) == {"A", "B", "C"}
+    assert (out["A"].n_parts, out["A"].revenue_cents, out["A"].revenue_share_bp) == (1, 850, 8500)
+    assert (out["B"].n_parts, out["B"].revenue_cents, out["B"].revenue_share_bp) == (1, 100, 1000)
+    assert (out["C"].n_parts, out["C"].revenue_cents, out["C"].revenue_share_bp) == (2, 50, 500)
