@@ -2531,3 +2531,143 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_share_bp"),
     )
+
+
+@query(
+    "order_backlog_aging",
+    oracle="""
+    WITH anchor AS (SELECT CAST(max(o_orderdate) AS DATE) AS a FROM orders),
+    aged AS (
+      SELECT o.o_orderstatus AS status,
+             CASE
+               WHEN datediff('day', CAST(o.o_orderdate AS DATE), t.a)
+                    <= 30 THEN '0-30d'
+               WHEN datediff('day', CAST(o.o_orderdate AS DATE), t.a)
+                    <= 90 THEN '31-90d'
+               WHEN datediff('day', CAST(o.o_orderdate AS DATE), t.a)
+                    <= 365 THEN '91-365d'
+               ELSE '366d+' END AS age_bucket,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents
+      FROM orders o CROSS JOIN anchor t
+    )
+    SELECT status, age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS value_cents
+    FROM aged GROUP BY status, age_bucket
+    """,
+)
+def order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order backlog aging — the fulfillment-ops staple: orders
+    bucketed by status and age (days from order date to the
+    newest order date, the fixture's "now"), with count and money at
+    stake per cell. An 'O' (open) order aging past 90 days is the
+    row an operations dashboard pages on; `waiting_suppliers` is the
+    supplier-side view of the same pathology.
+
+    Scale: map-side age arithmetic against one broadcast asof row,
+    then a |status| x 4 hash aggregate — one scan, one bounded
+    shuffle. Determinism: integer day diffs, closed bucket bounds
+    (<=30/<=90/<=365), exact cents."""
+    o = read_table(spark, sf_dir, "orders")
+    asof = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("a"))
+    age = F.datediff("a", F.col("o_orderdate").cast("date"))
+    aged = o.crossJoin(F.broadcast(asof)).select(
+        F.col("o_orderstatus").alias("status"),
+        F.when(age <= 30, "0-30d")
+        .when(age <= 90, "31-90d")
+        .when(age <= 365, "91-365d")
+        .otherwise("366d+")
+        .alias("age_bucket"),
+        (money("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return aged.groupBy("status", "age_bucket").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("value_cents"),
+    )
+
+
+@query(
+    "srm_check",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT 'parity' AS assignment,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM users
+      UNION ALL
+      SELECT 'md5',
+             CAST(SUM(CASE WHEN
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM users
+    )
+    SELECT assignment, n_a, n_b,
+           CAST((2000000 * (n_a - n_b) * (n_a - n_b) + (n_a + n_b))
+                // (2 * (n_a + n_b)) AS BIGINT) AS chi2_ppm,
+           (2000000 * (n_a - n_b) * (n_a - n_b) + (n_a + n_b))
+             // (2 * (n_a + n_b)) > 3841459 AS srm_detected
+    FROM arms
+    """,
+)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (Fabijan et al. KDD 2019 — the
+    most common invalidator of online experiments): chi-square test
+    that a 50/50 assignment actually split 50/50, run for BOTH
+    assignment hashes used by the experiment suite (`ab_test_report`
+    / `cuped_adjusted_ab` use user-id parity; `sequential_ab_msprt`-
+    style md5 bucketing is the production-realistic one). For two
+    arms at equal expected share the statistic reduces to
+    (n_a - n_b)^2 / N, compared against the chi2(1) 5% critical
+    value 3.841459. An SRM flag means the experiment's readouts are
+    invalid regardless of their p-values — this is the gate that
+    runs FIRST.
+
+    Determinism: arm counts are exact; the statistic is quantized to
+    integer ppm via pure BIGINT arithmetic ((2e6*d^2 + N) div 2N —
+    half-up, no doubles) BEFORE the threshold compare, so both
+    engines flag identically even at the knife's edge.
+
+    Scale: one distinct-users shuffle feeds both assignments
+    (map-side CASE sums, single-row each), unioned to a 2-row report."""
+    ev = read_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    md5_arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    outs = []
+    for name, arm in [("parity", F.col("user_id") % 2), ("md5", md5_arm)]:
+        outs.append(
+            users.agg(
+                F.lit(name).alias("assignment"),
+                F.sum(F.when(arm == 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_a"),
+                F.sum(F.when(arm == 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_b"),
+            )
+        )
+    arms = outs[0].unionByName(outs[1])
+    chi2_ppm = F.expr(
+        "(2000000 * (n_a - n_b) * (n_a - n_b) + (n_a + n_b))"
+        " div (2 * (n_a + n_b))"
+    ).cast("bigint")
+    return arms.select(
+        "assignment",
+        "n_a",
+        "n_b",
+        chi2_ppm.alias("chi2_ppm"),
+        (chi2_ppm > 3841459).alias("srm_detected"),
+    )

@@ -2083,3 +2083,112 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@query(
+    "key_uniqueness_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'region.r_regionkey' AS table_key,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT r_regionkey) AS BIGINT) AS n_distinct,
+             CAST(count(*) - count(DISTINCT r_regionkey) AS BIGINT)
+               AS n_excess_rows,
+             count(*) = count(DISTINCT r_regionkey) AS is_unique
+      FROM region
+      UNION ALL
+      SELECT 'nation.n_nationkey', count(*),
+             count(DISTINCT n_nationkey),
+             count(*) - count(DISTINCT n_nationkey),
+             count(*) = count(DISTINCT n_nationkey) FROM nation
+      UNION ALL
+      SELECT 'customer.c_custkey', count(*),
+             count(DISTINCT c_custkey),
+             count(*) - count(DISTINCT c_custkey),
+             count(*) = count(DISTINCT c_custkey) FROM customer
+      UNION ALL
+      SELECT 'supplier.s_suppkey', count(*),
+             count(DISTINCT s_suppkey),
+             count(*) - count(DISTINCT s_suppkey),
+             count(*) = count(DISTINCT s_suppkey) FROM supplier
+      UNION ALL
+      SELECT 'part.p_partkey', count(*),
+             count(DISTINCT p_partkey),
+             count(*) - count(DISTINCT p_partkey),
+             count(*) = count(DISTINCT p_partkey) FROM part
+      UNION ALL
+      SELECT 'orders.o_orderkey', count(*),
+             count(DISTINCT o_orderkey),
+             count(*) - count(DISTINCT o_orderkey),
+             count(*) = count(DISTINCT o_orderkey) FROM orders
+      UNION ALL
+      SELECT 'lineitem.(l_orderkey,l_linenumber)', count(*),
+             count(DISTINCT CAST(l_orderkey AS VARCHAR) || ':'
+                            || CAST(l_linenumber AS VARCHAR)),
+             count(*) - count(DISTINCT CAST(l_orderkey AS VARCHAR)
+                              || ':' || CAST(l_linenumber AS VARCHAR)),
+             count(*) = count(DISTINCT CAST(l_orderkey AS VARCHAR)
+                              || ':' || CAST(l_linenumber AS VARCHAR))
+      FROM lineitem
+      UNION ALL
+      SELECT 'events.event_id', count(*),
+             count(DISTINCT event_id),
+             count(*) - count(DISTINCT event_id),
+             count(*) = count(DISTINCT event_id) FROM events
+      UNION ALL
+      SELECT 'documents.doc_id', count(*),
+             count(DISTINCT doc_id),
+             count(*) - count(DISTINCT doc_id),
+             count(*) = count(DISTINCT doc_id) FROM documents
+    )
+    """,
+)
+def key_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness audit across the whole schema — the
+    loader's other half next to `referential_integrity_audit`
+    (parents exist <- THIS -> keys are keys): per declared primary
+    key (including lineitem's composite), row count vs distinct key
+    count and the excess-row mass a MERGE/upsert would collapse. A
+    nonzero excess on a "primary" key is the first symptom of a
+    double-applied batch — the violation `event_delivery_dedup` and
+    the idempotent-sink contract exist to prevent.
+
+    Scale: one COUNT(DISTINCT key) aggregate per table — Spark plans
+    these as two-stage partial aggregates (expand + merge), map-side
+    combinable, no joins; nine single-row aggregates union into the
+    report. For corpus-scale tables where exact distinct is the
+    bottleneck, `approx_sketches` is the HLL-based screening pass —
+    this audit is the exact confirmation.
+
+    Determinism: exact counts only."""
+    keys = [
+        ("region", "r_regionkey", None),
+        ("nation", "n_nationkey", None),
+        ("customer", "c_custkey", None),
+        ("supplier", "s_suppkey", None),
+        ("part", "p_partkey", None),
+        ("orders", "o_orderkey", None),
+        ("lineitem", "(l_orderkey,l_linenumber)",
+         F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))),
+        ("events", "event_id", None),
+        ("documents", "doc_id", None),
+    ]
+    outs = []
+    for table, label, expr in keys:
+        t = read_table(spark, sf_dir, table)
+        k = expr if expr is not None else F.col(label)
+        outs.append(
+            t.agg(
+                F.lit(f"{table}.{label}").alias("table_key"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.countDistinct(k).cast("bigint").alias("n_distinct"),
+                (F.count("*") - F.countDistinct(k))
+                .cast("bigint")
+                .alias("n_excess_rows"),
+                (F.count("*") == F.countDistinct(k)).alias("is_unique"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

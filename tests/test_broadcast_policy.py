@@ -76,6 +76,8 @@ _AUDITED = {
     ("queries/advanced.py", "return tot.crossJoin(F.broadcast(top)).select("),
     ("queries/advanced.py", "xy = li.crossJoin(F.broadcast(mx)).select("),
     ("queries/analytics.py", "adj = pu.crossJoin(F.broadcast(g)).select("),
+    # order_backlog_aging — asof is a single max-date row. Audited r9.
+    ("queries/analytics.py", "aged = o.crossJoin(F.broadcast(asof)).select("),
     # abc_inventory_classes — tot is a single totals row. Audited r9.
     ("queries/analytics.py", "labeled = cum.crossJoin(F.broadcast(tot)).select("),
     # time_to_convert_percentiles — stats is a single summary row.

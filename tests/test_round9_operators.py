@@ -806,3 +806,86 @@ def test_abc_whale_and_exact_boundary(spark, tmp_path):
     assert (out["A"].n_parts, out["A"].revenue_cents, out["A"].revenue_share_bp) == (1, 850, 8500)
     assert (out["B"].n_parts, out["B"].revenue_cents, out["B"].revenue_share_bp) == (1, 100, 1000)
     assert (out["C"].n_parts, out["C"].revenue_cents, out["C"].revenue_share_bp) == (2, 50, 500)
+
+
+def test_key_uniqueness_flags_planted_duplicate(spark, tmp_path):
+    """Copy the sf0.001 schema and append an exact duplicate of one
+    event row: events.event_id must report n_excess_rows=1 /
+    is_unique=False. The audit also (correctly) reports that the
+    SYNTHETIC generator does not enforce lineitem's composite key —
+    a real data finding, asserted as such; every other key is
+    unique."""
+    from logicash_etl_spark.queries import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "mini")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents"]:
+        spark.read.parquet(f"{src}/{t}.parquet").write.parquet(
+            f"{d}/{t}.parquet"
+        )
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    ev.unionByName(ev.limit(1)).write.parquet(f"{d}/events.parquet")
+    out = {r.table_key: r for r in QUERIES["key_uniqueness_audit"](spark, d).collect()}
+    assert len(out) == 9
+    e = out["events.event_id"]
+    assert e.n_excess_rows == 1 and e.is_unique is False
+    assert e.n_rows == e.n_distinct + 1
+    li = out["lineitem.(l_orderkey,l_linenumber)"]
+    assert li.is_unique is False and li.n_excess_rows > 0
+    for k, r in out.items():
+        if k not in ("events.event_id", "lineitem.(l_orderkey,l_linenumber)"):
+            assert r.is_unique is True and r.n_excess_rows == 0, k
+
+
+def test_backlog_aging_closed_bucket_bounds(spark, tmp_path):
+    """Orders at exactly 0/30/31/365/366 days before the newest
+    order: the closed bounds put day 30 in '0-30d', day 31 in
+    '31-90d', day 365 in '91-365d', day 366 in '366d+'."""
+    import datetime as dt
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import ORDERS
+
+    a = dt.datetime(2024, 12, 31)
+    mk = lambda k, days, st: (k, k, st, 1.0, a - dt.timedelta(days=days), "1")  # noqa: E731
+    rows = [
+        mk(1, 0, "O"), mk(2, 30, "O"), mk(3, 31, "O"),
+        mk(4, 365, "F"), mk(5, 366, "F"),
+    ]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, ORDERS).write.parquet(f"{d}/orders.parquet")
+    out = {(r.status, r.age_bucket): r.n_orders
+           for r in QUERIES["order_backlog_aging"](spark, d).collect()}
+    assert out == {
+        ("O", "0-30d"): 2,
+        ("O", "31-90d"): 1,
+        ("F", "91-365d"): 1,
+        ("F", "366d+"): 1,
+    }
+
+
+def test_srm_detects_the_all_even_split(spark, tmp_path):
+    """Users 2,4,6,8 land 4-0 under parity: chi2 = 16/4 = 4.0 >
+    3.841459 -> SRM detected at exactly-integer ppm (4000000). The
+    md5 row must match an independent hashlib reference."""
+    import datetime as dt
+    import hashlib
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import EVENTS
+
+    t0 = dt.datetime(2024, 1, 1)
+    ids = [2, 4, 6, 8]
+    rows = [(i, t0, u, "view", 0.0, "{}") for i, u in enumerate(ids, 1)]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, EVENTS).write.parquet(f"{d}/events.parquet")
+    out = {r.assignment: r for r in QUERIES["srm_check"](spark, d).collect()}
+    p = out["parity"]
+    assert (p.n_a, p.n_b, p.chi2_ppm, p.srm_detected) == (4, 0, 4000000, True)
+    m = out["md5"]
+    exp_a = sum(
+        1 for u in ids
+        if int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2 == 0
+    )
+    assert (m.n_a, m.n_b) == (exp_a, 4 - exp_a)
