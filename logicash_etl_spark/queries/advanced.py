@@ -1455,8 +1455,14 @@ def rendezvous_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_hrw_assign_sql(_HEX2INT_SPARK, 8)).alias("a8"),
         F.expr(_hrw_assign_sql(_HEX2INT_SPARK, 9)).alias("a9"),
     )
-    cell = assigned.groupBy("a8", "a9").agg(
-        F.count("*").cast("bigint").alias("n")
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # cell (<=81 rows) feeds TWO rollups; persist so the documents
+    # fact is hashed and scanned ONCE, not re-derived per branch.
+    cell = scoped_persist(
+        assigned.groupBy("a8", "a9").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
     )
     n8 = cell.groupBy(F.col("a8").alias("shard")).agg(
         F.sum("n").alias("n_docs_8")

@@ -1794,7 +1794,14 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m100"),
     )
-    asof = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("asof"))
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # per feeds the asof extremum, the scoring select and the
+    # cutpoint aggregate — persist the per-customer rollup
+    # (dimension-sized) so orders is scanned exactly once; the global
+    # max order date IS the max of the per-customer maxes.
+    per = scoped_persist(per)
+    asof = per.agg(F.max("last_dt").alias("asof"))
     per = per.crossJoin(F.broadcast(asof)).select(
         F.datediff("asof", "last_dt").cast("bigint").alias("rec_days"),
         "freq",
@@ -1929,6 +1936,12 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("event_type", "day").agg(
         F.sum("cents").cast("bigint").alias("y")
     )
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # the calendar-bounded daily frame feeds mn, the pair self-join
+    # (both sides) and the OLS moments — persist it so the events
+    # fact is scanned ONCE, not once per consumer.
+    daily = scoped_persist(daily)
     mn = daily.agg(F.min("day").alias("d0"))
     dx = daily.crossJoin(F.broadcast(mn)).select(
         "event_type",
@@ -2150,6 +2163,11 @@ def mutual_information_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("x"),
         F.floor(F.col("value") / 100).cast("bigint").alias("y"),
     ).agg(F.count("*").cast("bigint").alias("n_xy"))
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # the cell frame feeds the marginal windows AND the totals row —
+    # persist so events is scanned once.
+    joint = scoped_persist(joint)
     m = joint.select(
         "x",
         "y",
@@ -2242,6 +2260,12 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t0").cast("date").alias("d0"),
         F.date_trunc("week", "t0").cast("date").alias("cohort_week"),
     )
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # the per-user frame feeds the cohort rollup AND the purchase
+    # join — persist it (dimension-sized) so events is scanned once
+    # for first-seen and once for purchases, never re-derived.
+    first_seen = scoped_persist(first_seen)
     cohorts = first_seen.groupBy("cohort_week").agg(
         F.count("*").cast("bigint").alias("cohort_users")
     )
@@ -2339,6 +2363,11 @@ def time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("conv_us"),
     )
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # per_user feeds the population count AND the converter-delay
+    # summary — persist (dimension-sized) for a single events scan.
+    per_user = scoped_persist(per_user)
     n_users = per_user.agg(F.count("*").cast("bigint").alias("n_users"))
     delays = per_user.filter(F.col("conv_us").isNotNull()).select(
         F.expr("(conv_us - first_us) div 60000000").alias("delay_min")
@@ -2418,6 +2447,10 @@ def weekday_seasonality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.weekday("ts").cast("bigint").alias("weekday"),
     ).agg(F.count("*").cast("bigint").alias("n"))
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # cells feed both window marginals; persist for one events scan.
+    cells = scoped_persist(cells)
     w = W.partitionBy("event_type")
     m = cells.select(
         "event_type",
@@ -2500,6 +2533,12 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # part_rev feeds the total AND the prefix-sum scan (which itself
+    # consumes its input more than once) — persist the per-part
+    # rollup so lineitem is scanned exactly once.
+    part_rev = scoped_persist(part_rev)
     tot = part_rev.agg(F.sum("cents").cast("bigint").alias("t"))
     pr = part_rev.select(
         F.lit("all").alias("__g"),
@@ -2634,8 +2673,9 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-up, no doubles) BEFORE the threshold compare, so both
     engines flag identically even at the knife's edge.
 
-    Scale: one distinct-users shuffle feeds both assignments
-    (map-side CASE sums, single-row each), unioned to a 2-row report."""
+    Scale: one distinct-users shuffle; both assignments counted in
+    ONE single-row aggregate and exploded map-side to the 2-row
+    report (a per-assignment loop would re-shuffle the distinct)."""
     ev = read_table(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
     md5_arm = (
@@ -2646,20 +2686,35 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % 2
     )
-    outs = []
-    for name, arm in [("parity", F.col("user_id") % 2), ("md5", md5_arm)]:
-        outs.append(
-            users.agg(
-                F.lit(name).alias("assignment"),
-                F.sum(F.when(arm == 0, 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_a"),
-                F.sum(F.when(arm == 1, 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_b"),
+    parity_arm = F.col("user_id") % 2
+    # BOTH assignments counted in ONE aggregate over ONE distinct
+    # pass (a per-assignment loop would re-shuffle the distinct per
+    # arm), exploded map-side into the two report rows.
+    one = users.agg(
+        *[
+            F.sum(F.when(arm == v, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{n}_{v}")
+            for n, arm in [("p", parity_arm), ("m", md5_arm)]
+            for v in (0, 1)
+        ]
+    )
+    arms = one.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("parity").alias("assignment"),
+                    F.col("p_0").alias("n_a"),
+                    F.col("p_1").alias("n_b"),
+                ),
+                F.struct(
+                    F.lit("md5").alias("assignment"),
+                    F.col("m_0").alias("n_a"),
+                    F.col("m_1").alias("n_b"),
+                ),
             )
-        )
-    arms = outs[0].unionByName(outs[1])
+        ).alias("t")
+    ).select("t.assignment", "t.n_a", "t.n_b")
     chi2_ppm = F.expr(
         "(2000000 * (n_a - n_b) * (n_a - n_b) + (n_a + n_b))"
         " div (2 * (n_a + n_b))"

@@ -1905,8 +1905,9 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     last band's cumulative difference is 0 by construction, so
     summing all m terms equals the canonical m-1 sum.
 
-    Scale: one customer scan feeds three map-side-combinable
-    aggregates (global bands, class sizes, class x band counts); the
+    Scale: ONE customer scan into the class x band cell aggregate
+    (map-side combinable) — the global band distribution and the
+    class sizes are ROLLUPS of that cell frame, not second scans; the
     dense class x band grid is |classes| x |bands| — both AGGREGATE
     outputs bounded by the generalized-QI and band domains, never by
     row count (that boundedness is the point of generalization) — so
@@ -1921,7 +1922,20 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qi_key"),
         F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
     )
-    gb = cust.groupBy("band").agg(F.count("*").alias("gcnt"))
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # ONE corpus scan: the class x band cell frame is the finest
+    # granularity — the global band distribution and the class sizes
+    # are both rollups of it (tiny frames), not second/third scans.
+    # Persisted because it feeds THREE consumers (grid, gb, cls);
+    # without the persist Catalyst re-derives the lineage per branch
+    # and the customer fact gets scanned four times.
+    cb = scoped_persist(
+        cust.groupBy("qi_key", "band").agg(
+            F.count("*").cast("bigint").alias("ccnt")
+        )
+    )
+    gb = cb.groupBy("band").agg(F.sum("ccnt").alias("gcnt"))
     wg = W.orderBy("band").rowsBetween(W.unboundedPreceding, 0)
     gcum = gb.select(
         "band", F.sum("gcnt").over(wg).cast("bigint").alias("cum_g")
@@ -1930,11 +1944,8 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cum_g").cast("bigint").alias("n_rec"),
         F.count("*").cast("bigint").alias("m"),
     )
-    cls = cust.groupBy("qi_key").agg(
-        F.count("*").cast("bigint").alias("n_c")
-    )
-    cb = cust.groupBy("qi_key", "band").agg(
-        F.count("*").cast("bigint").alias("ccnt")
+    cls = cb.groupBy("qi_key").agg(
+        F.sum("ccnt").cast("bigint").alias("n_c")
     )
     grid = (
         cls.crossJoin(F.broadcast(gcum))

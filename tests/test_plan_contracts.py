@@ -823,3 +823,90 @@ def test_bootstrap_replicates_stay_map_side(spark, sf_dir):
     ps = plan_string(df)
     assert "SortMergeJoin" not in ps and "SortExec" not in ps
     assert count_exchanges(df) <= 4
+
+
+def test_t_closeness_single_customer_scan(spark, sf_dir):
+    """The EMD audit reads customer ONCE (the class x band cell
+    aggregate); the global band distribution and class sizes must be
+    rollups of the cell frame, not second/third corpus scans."""
+    df = QUERIES["t_closeness_report"](spark, sf_dir)
+    s = [sc for sc in scans(df) if "customer" in sc["location"]]
+    assert len(s) == 1, f"expected 1 customer scan, got {len(s)}"
+    assert set(s[0]["schema_cols"]) <= {
+        "c_nationkey", "c_mktsegment", "c_acctbal",
+    }
+    assert "CartesianProduct" not in plan_string(df, "simple")
+
+
+def test_rendezvous_is_map_side_no_explode(spark, sf_dir):
+    """HRW assignment must be a variadic greatest() per row: one
+    documents scan pruned to doc_id, NO generator (a docs x shards
+    explode would 9x the shuffle), no sort-merge join, and only the
+    tiny cell/per-shard rollup exchanges."""
+    df = QUERIES["rendezvous_shard_balance"](spark, sf_dir)
+    s = scans(df)
+    assert len(s) == 1, f"expected 1 scan, got {len(s)}"
+    assert set(s[0]["schema_cols"]) == {"doc_id"}
+    ps = plan_string(df, "simple")
+    assert "Generate" not in ps          # no explode
+    assert "SortMergeJoin" not in ps and "CartesianProduct" not in ps
+    # cell rollup + two per-shard rollups + the final tiny join
+    assert count_exchanges(df) <= 4
+
+
+def test_rfm_has_no_window_and_no_sort(spark, sf_dir):
+    """RFM scoring must be broadcast-cutpoint CASE arithmetic — the
+    plan may not contain a Window (a global NTILE would be a
+    single-partition sort of the customer dimension) nor any sort."""
+    df = QUERIES["rfm_segmentation"](spark, sf_dir)
+    ps = plan_string(df, "simple")
+    assert "Window" not in ps, "global NTILE leaked into the RFM plan"
+    assert "SortExec" not in ps and "SortMergeJoin" not in ps
+    for sc in scans(df):
+        assert set(sc["schema_cols"]) <= {
+            "o_custkey", "o_orderdate", "o_totalprice",
+        }
+
+
+def test_flesch_single_scan_one_shuffle(spark, sf_dir):
+    """Readability is pure map-side regex counting: one documents
+    scan pruned to (source, text), one rollup shuffle, no joins."""
+    df = QUERIES["flesch_readability_by_source"](spark, sf_dir)
+    s = scans(df)
+    assert len(s) == 1, f"expected 1 scan, got {len(s)}"
+    assert set(s[0]["schema_cols"]) == {"source", "text"}
+    assert count_exchanges(df) <= 1
+    assert "Join" not in plan_string(df, "simple")
+
+
+def test_attribution_prunes_and_avoids_cartesian(spark, sf_dir):
+    """The touch->conversion range join must stay an equi-join on
+    user_id with the time bounds as post-filters (bounded per-user
+    candidates), never a cartesian; scans prune to the five used
+    event columns."""
+    df = QUERIES["multi_touch_attribution"](spark, sf_dir)
+    ps = plan_string(df, "simple")
+    assert "CartesianProduct" not in ps
+    for sc in scans(df):
+        assert set(sc["schema_cols"]) <= {
+            "event_id", "ts", "user_id", "event_type", "value",
+        }
+
+
+def test_abc_single_lineitem_scan(spark, sf_dir):
+    """ABC classes read lineitem once, pruned to (l_partkey,
+    l_extendedprice); the descending cumulative must ride the
+    range-bucketed prefix-sum scan (windows partitioned by bucket),
+    never a cartesian. (grouped_prefix_sum's internal bucket-offset
+    join may plan as a static SortMergeJoin on the O(buckets) totals
+    frame — AQE broadcasts it at runtime — so SMJ on __gps_b is
+    allowed; an SMJ on a DATA key is not.)"""
+    df = QUERIES["abc_inventory_classes"](spark, sf_dir)
+    s = [sc for sc in scans(df) if "lineitem" in sc["location"]]
+    assert len(s) == 1, f"expected 1 lineitem scan, got {len(s)}"
+    assert set(s[0]["schema_cols"]) == {"l_partkey", "l_extendedprice"}
+    ps = plan_string(df, "simple")
+    assert "CartesianProduct" not in ps
+    import re as _re
+    smj_keys = _re.findall(r"SortMergeJoin \[(\w+)", ps)
+    assert all(k.startswith("__gps_b") for k in smj_keys), smj_keys
