@@ -63,6 +63,12 @@ _CHANGED_R9 = [
     # (exact=True at the call site, sketch as the operator default)
     "histogram_selectivity_report", "value_percentiles",
     "value_outlier_mad", "approx_sketches",
+    # single-scan persist sweep (scan-count audit found 8-12 executed
+    # fact scans each from multi-consumer lineage re-derivation;
+    # results identical, plan shape changed -> re-confirm)
+    "kmv_set_overlap", "vocab_drift_psi", "value_drift_psi",
+    "session_peak_concurrency", "token_budget_sample_bpe",
+    "mixture_build_plan",
 ]
 
 

@@ -425,7 +425,13 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("bin"),
     )
     bins = spark.range(0, 10).select(F.col("id").cast("bigint").alias("bin"))
-    counts = (
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # the 10-row counts frame feeds the totals agg AND the final
+    # select; unpersisted, each consumer re-derived the whole binning
+    # lineage (8 executed events scans — audited r9). Persisting the
+    # tiny frame collapses that to 3 (midpoint, range, bin pass).
+    counts = scoped_persist(
         bins.join(binned, on="bin", how="left")
         .groupBy("bin")
         .agg(

@@ -255,8 +255,16 @@ def token_budget_sample_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_merges_report) + the same join and window, end to end."""
     from logicash_etl_spark.operators.text import bpe_encode, bpe_train
 
+    from logicash_etl_spark.operators.caching import scoped_persist
+
     docs = read_table(spark, sf_dir, "documents")
-    wc = (
+    # wc is vocabulary-bounded and feeds BOTH the iterative BPE
+    # trainer and the per-word encode; toks feeds the prefix-sum
+    # scan's several internal consumers. Unpersisted, the corpus
+    # explode re-ran per consumer (8 executed documents scans —
+    # audited r9); persisted, documents is read twice (vocab pass +
+    # per-doc pass), the minimum for this shape.
+    wc = scoped_persist(
         docs.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
@@ -266,8 +274,10 @@ def token_budget_sample_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         F.size(bpe_encode(F.col("word"), merges)).cast("bigint").alias("__n_sym"),
     )
-    toks = (
-        docs.select("doc_id", "source", F.explode_outer(tokens("text")).alias("word"))
+    toks = scoped_persist(
+        docs.select(
+            "doc_id", "source", F.explode_outer(tokens("text")).alias("word")
+        )
         .join(wlen, "word", "left")
         .groupBy("doc_id", "source")
         .agg(
@@ -496,8 +506,20 @@ def mixture_build_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     window: at 100 TB the dominant source (web crawl is always the
     head domain) would otherwise sort most of the corpus on one task.
     Plan-pinned in tests/test_plan_contracts.py."""
-    toks = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # toks feeds the stats rollup AND the admission prefix-sum scan
+    # (several internal consumers); budgets feeds admission and the
+    # final join. Unpersisted, the corpus was re-tokenized per
+    # consumer (8 executed documents scans — audited r9); persisting
+    # the per-doc count frame (3 narrow columns, no text) and the
+    # |sources|-row budget frame makes it ONE corpus scan.
+    toks = scoped_persist(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        )
     )
     stats = toks.groupBy("source").agg(
         F.count("*").alias("n_docs_total"),
@@ -507,7 +529,7 @@ def mixture_build_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s_dec"),
     )
     tot = stats.agg(F.sum("s_dec").alias("s_all"))
-    budgets = stats.crossJoin(F.broadcast(tot)).select(
+    budgets = scoped_persist(stats.crossJoin(F.broadcast(tot))).select(
         "source",
         "n_docs_total",
         "n_tokens_total",

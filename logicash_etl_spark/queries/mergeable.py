@@ -410,20 +410,28 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort), and the sketches are kilobytes forever after —
     set-overlap questions (contamination, audience overlap, join
     cardinality forecasts) answer from sketch storage alone."""
+    from logicash_etl_spark.operators.caching import scoped_persist
+
     li = read_table(spark, sf_dir, "lineitem")
     K = 256
-    a = (
+    # a/b each feed three consumers (sketch build, exact count, exact
+    # intersection) and the k-row sketches feed three more — without
+    # persists the lineitem fact was scanned TWELVE times (audited
+    # r9, executed plan, zero runtime reuse). Persist the two distinct
+    # key sets (one scan + one distinct each) and the two 256-row
+    # sketches; lineitem is now read exactly twice (once per filter).
+    a = scoped_persist(
         li.filter(F.col("l_returnflag") == "R")
         .select(F.col("l_orderkey").alias("v"))
         .distinct()
     )
-    b = (
+    b = scoped_persist(
         li.filter(F.col("l_quantity") >= 40)
         .select(F.col("l_orderkey").alias("v"))
         .distinct()
     )
-    ka = kmv_sketch(a, "v", K)
-    kb = kmv_sketch(b, "v", K)
+    ka = scoped_persist(kmv_sketch(a, "v", K))
+    kb = scoped_persist(kmv_sketch(b, "v", K))
     ku = ka.unionByName(kb).distinct().orderBy("u").limit(K)
     sa = ka.agg(F.count("*").alias("na"), F.max("u").alias("ma"))
     sb = kb.agg(F.count("*").alias("nb"), F.max("u").alias("mb"))

@@ -1570,7 +1570,16 @@ def vocab_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") * 2 <= F.col("m"), 0).otherwise(1).alias("half"),
         F.explode(tokens(F.lower(F.col("text")))).alias("word"),
     )
-    ref_top = (
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # ref_top (50 rows) and counts (51 rows) each feed two consumers;
+    # unpersisted, Catalyst re-derived the WHOLE tokenize lineage per
+    # consumer — 12 executed documents scans (audited r9, zero
+    # runtime reuse). Persisting the two tiny frames collapses that
+    # to 3 scans / 2 tokenize passes WITHOUT materializing the
+    # corpus-sized token stream (persisting tok itself would cost
+    # corpus-scale memory to save one scan — the wrong trade).
+    ref_top = scoped_persist(
         tok.filter(F.col("half") == 0)
         .groupBy("word")
         .agg(F.count("*").alias("n"))
@@ -1601,10 +1610,12 @@ def vocab_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
         .cast("bigint").alias("__c"),
     )
-    counts = terms.join(agg, on="term", how="left").select(
-        "term",
-        F.coalesce("__r", F.lit(0)).cast("bigint").alias("n_ref"),
-        F.coalesce("__c", F.lit(0)).cast("bigint").alias("n_cur"),
+    counts = scoped_persist(
+        terms.join(agg, on="term", how="left").select(
+            "term",
+            F.coalesce("__r", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("__c", F.lit(0)).cast("bigint").alias("n_cur"),
+        )
     )
     tot = counts.agg(
         F.sum("n_ref").cast("bigint").alias("tr"),

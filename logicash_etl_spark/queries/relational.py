@@ -572,8 +572,17 @@ def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
     s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
-    iv = s.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("s"), F.max("ts").alias("e")
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # iv feeds both boundary branches (cs and ce) — unpersisted, the
+    # whole sessionize pipeline re-evaluated per branch and per
+    # grouped_prefix_sum consumer: 8 executed events scans (audited
+    # r9). Persist the per-session frame (one row per session, far
+    # smaller than the event stream) and the boundary rollup below.
+    iv = scoped_persist(
+        s.groupBy("user_id", "session_id").agg(
+            F.min("ts").alias("s"), F.max("ts").alias("e")
+        )
     )
     days = iv.select(
         "s",
@@ -591,7 +600,11 @@ def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = clip.select(
         "day", F.col("cs").alias("ts"), F.lit(1).alias("d")
     ).unionByName(clip.select("day", F.col("ce").alias("ts"), F.lit(-1).alias("d")))
-    net = bounds.groupBy("day", "ts").agg(F.sum("d").cast("bigint").alias("net"))
+    net = scoped_persist(
+        bounds.groupBy("day", "ts").agg(
+            F.sum("d").cast("bigint").alias("net")
+        )
+    )
     # microsecond epoch order key: unique per (day, ts) after the
     # rollup, non-null — the grouped scan's determinism contract
     keyed = net.withColumn("__ord", F.unix_micros("ts"))
