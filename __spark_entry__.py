@@ -68,7 +68,8 @@ _CHANGED_R9 = [
     # results identical, plan shape changed -> re-confirm)
     "kmv_set_overlap", "vocab_drift_psi", "value_drift_psi",
     "session_peak_concurrency", "token_budget_sample_bpe",
-    "mixture_build_plan",
+    "mixture_build_plan", "join_skew_profile", "robust_value_stats",
+    "temperature_resample_counts",
 ]
 
 

@@ -164,7 +164,13 @@ def value_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds (sketches merge; two passes stay two passes)."""
     from logicash_etl_spark.dq.profile import percentiles
 
-    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # ev feeds the median build, the MAD build and the final flag
+    # pass — persist the 2-column projection for one events scan.
+    ev = scoped_persist(
+        read_table(spark, sf_dir, "events").select("event_type", "value")
+    )
     med = ev.groupBy("event_type").agg(
         F.round(percentiles("value", 0.5, exact=True), 6).alias("med")
     )
@@ -737,9 +743,17 @@ def robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup for n, the bucketed rank scan, one 5-row report."""
     from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
 
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_type", "event_id",
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # ev feeds the rank scan's several internal consumers plus the
+    # per-type count — 5 executed events scans unpersisted (audited
+    # r9). The persisted frame is the 3-narrow-column projection, not
+    # the raw events table.
+    ev = scoped_persist(
+        read_table(spark, sf_dir, "events").select(
+            "event_type", "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
     )
     ranked = grouped_prefix_sum(
         ev.withColumn("__one", F.lit(1)),

@@ -411,10 +411,17 @@ def temperature_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_total"))
         .withColumn("s_dec", F.round(F.sqrt("n_total"), 9).cast("decimal(18,9)"))
     )
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # stats and p are |langs|-row frames feeding two consumers each;
+    # unpersisted, the corpus rollup re-ran per consumer (5 executed
+    # documents scans — audited r9). Persisted: two scans (rollup +
+    # admission pass), the minimum for this shape.
+    stats = scoped_persist(stats)
     tot = stats.agg(
         F.sum("n_total").alias("n_all"), F.sum("s_dec").alias("s_all")
     )
-    p = stats.crossJoin(F.broadcast(tot)).select(
+    p = scoped_persist(stats.crossJoin(F.broadcast(tot))).select(
         "lang",
         "n_total",
         F.least(

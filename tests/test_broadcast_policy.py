@@ -111,7 +111,7 @@ _AUDITED = {
     ("queries/curation_ext.py", "budgets = scoped_persist(stats.crossJoin(F.broadcast(tot))).select("),
     ("queries/curation_ext.py", 'cum.join(F.broadcast(budgets.select("source", "budget_tokens")), "source")'),
     ("queries/curation_ext.py", 'docs.join(F.broadcast(p), on="lang")'),
-    ("queries/curation_ext.py", "p = stats.crossJoin(F.broadcast(tot)).select("),
+    ("queries/curation_ext.py", "p = scoped_persist(stats.crossJoin(F.broadcast(tot))).select("),
     ("queries/dedup.py", ".crossJoin(F.broadcast(multi))"),
     ("queries/dedup.py", "pair_stats.crossJoin(F.broadcast(doc_stats))"),
     ("queries/mergeable.py", '.crossJoin(F.broadcast(b.agg(F.count("*").alias("exact_b"))))'),
