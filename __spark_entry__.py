@@ -69,7 +69,9 @@ _CHANGED_R9 = [
     "kmv_set_overlap", "vocab_drift_psi", "value_drift_psi",
     "session_peak_concurrency", "token_budget_sample_bpe",
     "mixture_build_plan", "join_skew_profile", "robust_value_stats",
-    "temperature_resample_counts",
+    "temperature_resample_counts", "cuped_adjusted_ab",
+    "conversion_funnel", "embedding_centroid_drift",
+    "copurchase_lift_top20", "collocation_lift_top20",
 ]
 
 

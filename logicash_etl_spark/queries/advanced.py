@@ -827,7 +827,13 @@ def copurchase_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     often already bucketed by) and the item-frequency count; the
     token-domain sibling is collocation_lift_top20. Top-20 by lift
     via TakeOrderedAndProject with a full deterministic tiebreak."""
-    items = (
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # items feeds BOTH sides of the basket self-join, the frequency
+    # count and the basket total; unpersisted, lineitem re-scanned
+    # (and re-distincted) per consumer — 5 executed scans (audited
+    # r9). The persisted frame is the 2-column distinct projection.
+    items = scoped_persist(
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()

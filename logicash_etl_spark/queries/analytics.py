@@ -66,8 +66,14 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).filter(F.col("ts") > F.col("__prev"))
         return e.groupBy("user_id").agg(F.min("ts").alias("t"))
 
-    v = stage("view", None)
-    c = stage("click", v)
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # each stage frame feeds the NEXT stage and its own count;
+    # unpersisted, the chained lineage re-scanned events per consumer
+    # (6 executed scans — audited r9). The persisted frames are one
+    # (user, ts) row per user per stage.
+    v = scoped_persist(stage("view", None))
+    c = scoped_persist(stage("click", v))
     p = stage("purchase", c)
     counts = [
         df.agg(F.count("*").alias(name))
@@ -893,6 +899,13 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("post_s").cast("double") / F.col("post_n")).alias("post_m"),
         )
     )
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # pu feeds the theta/covariance aggregate AND the adjusted-arm
+    # pass; unpersisted, the event fact re-scanned per consumer (8
+    # executed scans — audited r9). The persisted frame is the
+    # per-user (grp, pre_m, post_m) triple.
+    pu = scoped_persist(pu)
     g = pu.agg(
         (F.covar_samp("pre_m", "post_m") / F.var_samp("pre_m")).alias("theta"),
         F.avg("pre_m").alias("mu_pre"),

@@ -950,7 +950,15 @@ def collocation_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.struct(a.alias("l"), b.alias("r")),
         ),
     ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-    bi_all = (
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # uni and bi_all are |vocab|-sized count frames feeding multiple
+    # consumers each (totals + both join sides / the min-count cut);
+    # unpersisted, the corpus re-tokenized per consumer (5 executed
+    # documents scans — audited r9). Persisting the two count frames
+    # (2-3 narrow columns, NOT the token stream) makes it two scans.
+    uni = scoped_persist(uni)
+    bi_all = scoped_persist(
         toks.select(F.explode(bigram).alias("b"))
         .groupBy(F.col("b.l").alias("w1"), F.col("b.r").alias("w2"))
         .agg(F.count("*").alias("c_ab"))

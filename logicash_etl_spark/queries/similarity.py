@@ -593,7 +593,12 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("vec_id") * 2 <= F.col("m"), 0).otherwise(1).alias("half"),
         "embedding",
     )
-    comp = (
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # comp (2 x dim rows) feeds both half-filters; unpersisted, the
+    # embedding explode re-ran per consumer (6 executed scans —
+    # audited r9).
+    comp = scoped_persist(
         t.select("half", F.posexplode("embedding").alias("pos", "e"))
         .groupBy("half", "pos")
         .agg(F.sum(F.col("e").cast("double")).alias("s"))
