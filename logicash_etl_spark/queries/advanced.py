@@ -1422,11 +1422,11 @@ _HEX2INT_DUCK = "CAST(('0x' || substr({arg}, 1, 14)) AS BIGINT)"
              SUM(CASE WHEN a8 <> a9 THEN n ELSE 0 END) AS moved_in
       FROM cell GROUP BY a9
     )
-    SELECT CAST(n9.shard AS BIGINT) AS shard,
+    SELECT CAST(COALESCE(n9.shard, n8.shard) AS BIGINT) AS shard,
            CAST(COALESCE(n8.n_docs_8, 0) AS BIGINT) AS n_docs_8,
-           CAST(n9.n_docs_9 AS BIGINT) AS n_docs_9,
-           CAST(n9.moved_in AS BIGINT) AS moved_in
-    FROM n9 LEFT JOIN n8 ON n8.shard = n9.shard
+           CAST(COALESCE(n9.n_docs_9, 0) AS BIGINT) AS n_docs_9,
+           CAST(COALESCE(n9.moved_in, 0) AS BIGINT) AS moved_in
+    FROM n9 FULL OUTER JOIN n8 ON n8.shard = n9.shard
     """,
 )
 def rendezvous_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1479,11 +1479,15 @@ def rendezvous_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "moved_in"
         ),
     )
-    return n9.join(n8, "shard", "left").select(
+    # FULL OUTER, not left: a small shard can be left EMPTY by the
+    # resize (its only docs outbid by shard 8) — keyed on post-resize
+    # shards alone its n_docs_8 mass would silently vanish (caught by
+    # the conservation property test).
+    return n9.join(n8, "shard", "full").select(
         F.col("shard").cast("bigint").alias("shard"),
         F.coalesce("n_docs_8", F.lit(0)).cast("bigint").alias("n_docs_8"),
-        F.col("n_docs_9").cast("bigint").alias("n_docs_9"),
-        F.col("moved_in").cast("bigint").alias("moved_in"),
+        F.coalesce("n_docs_9", F.lit(0)).cast("bigint").alias("n_docs_9"),
+        F.coalesce("moved_in", F.lit(0)).cast("bigint").alias("moved_in"),
     )
 
 
