@@ -166,3 +166,161 @@ def test_abc_classes_partition_parts_and_revenue(spark, tmp_path_factory, parts)
     assert sum(r.revenue_cents for r in out) == sum(c for _, c in parts)
     assert any(r.abc_class == "A" for r in out)
     assert abs(sum(r.revenue_share_bp for r in out) - 10000) <= 2
+
+
+@_SET
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),       # cust
+            st.integers(min_value=0, max_value=400),     # days before asof
+            st.integers(min_value=1, max_value=10**6),   # cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_rfm_partitions_customers_and_conserves_money(
+    spark, tmp_path_factory, orders
+):
+    """Every customer lands in exactly one segment; segment customer
+    counts, order counts and monetary cents sum to the population
+    totals for any order history."""
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import ORDERS
+
+    a = dt.datetime(2024, 12, 31)
+    rows = [
+        (i + 1, cu, "F", c / 100.0, a - dt.timedelta(days=days), "1")
+        for i, (cu, days, c) in enumerate(orders)
+    ]
+    d = str(tmp_path_factory.mktemp("rfm"))
+    spark.createDataFrame(rows, ORDERS).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    out = QUERIES["rfm_segmentation"](spark, d).collect()
+    assert sum(r.n_customers for r in out) == len({cu for cu, _, _ in orders})
+    assert sum(r.sum_orders for r in out) == len(orders)
+    assert sum(r.total_monetary_cents for r in out) == sum(
+        c for _, _, c in orders
+    )
+
+
+@_SET
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),       # user
+            st.integers(min_value=0, max_value=40),      # days offset
+            st.sampled_from(["view", "purchase"]),
+            st.integers(min_value=0, max_value=10**5),   # cents
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_ltv_attributes_every_purchase_cent(spark, tmp_path_factory, events):
+    """Every purchase cent lands in exactly one (cohort, age) cell —
+    a purchaser always has a first-seen row (their own purchase at
+    the latest), so nothing can drop; cumulatives are monotone
+    within each cohort."""
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import EVENTS
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i + 1, t0 + dt.timedelta(days=dd), u, typ, c / 100.0, "{}")
+        for i, (u, dd, typ, c) in enumerate(events)
+    ]
+    d = str(tmp_path_factory.mktemp("ltv"))
+    spark.createDataFrame(rows, EVENTS).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    out = QUERIES["cohort_ltv_curve"](spark, d).collect()
+    total_purchase_cents = sum(
+        c for _, _, typ, c in events if typ == "purchase"
+    )
+    assert sum(r.revenue_cents for r in out) == total_purchase_cents
+    by_cohort: dict = {}
+    for r in sorted(out, key=lambda r: (str(r.cohort_week), r.age_week)):
+        prev = by_cohort.get(r.cohort_week, 0)
+        assert r.cum_revenue_cents == prev + r.revenue_cents
+        by_cohort[r.cohort_week] = r.cum_revenue_cents
+
+
+@_SET
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),       # user
+            st.integers(min_value=0, max_value=10**4),   # minutes offset
+            st.sampled_from(["view", "purchase"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_time_to_convert_percentiles_are_ordered(
+    spark, tmp_path_factory, events
+):
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import EVENTS
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i + 1, t0 + dt.timedelta(minutes=m), u, typ, 0.0, "{}")
+        for i, (u, m, typ) in enumerate(events)
+    ]
+    d = str(tmp_path_factory.mktemp("ttc"))
+    spark.createDataFrame(rows, EVENTS).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    r = QUERIES["time_to_convert_percentiles"](spark, d).collect()[0]
+    n_conv = len({u for u, _, typ in events if typ == "purchase"})
+    assert r.n_users == len({u for u, _, _ in events})
+    assert r.n_converters == n_conv
+    if n_conv:
+        assert (
+            0
+            <= r.p25_minutes
+            <= r.p50_minutes
+            <= r.p75_minutes
+            <= r.p90_minutes
+            <= r.max_minutes
+        )
+
+
+@_SET
+@given(
+    slope=st.integers(min_value=-500, max_value=500),    # cents/day
+    intercept=st.integers(min_value=1000, max_value=10**6),
+    n_days=st.integers(min_value=3, max_value=15),
+)
+def test_theil_sen_and_ols_recover_exact_linear_trend(
+    spark, tmp_path_factory, slope, intercept, n_days
+):
+    """On EXACTLY linear daily data both estimators must recover the
+    true slope to the cent — every pairwise slope equals it and the
+    OLS normal equations are exact in integers."""
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import EVENTS
+
+    t0 = dt.datetime(2024, 3, 1, 12)
+    rows = [
+        (
+            i + 1,
+            t0 + dt.timedelta(days=i),
+            1,
+            "click",
+            (intercept + slope * i) / 100.0,
+            "{}",
+        )
+        for i in range(n_days)
+    ]
+    d = str(tmp_path_factory.mktemp("ts"))
+    spark.createDataFrame(rows, EVENTS).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    r = QUERIES["theil_sen_trend"](spark, d).collect()[0]
+    assert r.theil_sen_cents_per_day == float(slope)
+    assert r.ols_cents_per_day == float(slope)
