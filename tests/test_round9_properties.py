@@ -324,3 +324,140 @@ def test_theil_sen_and_ols_recover_exact_linear_trend(
     r = QUERIES["theil_sen_trend"](spark, d).collect()[0]
     assert r.theil_sen_cents_per_day == float(slope)
     assert r.ols_cents_per_day == float(slope)
+
+
+@_SET
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-5000, max_value=45000),  # cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_mi_cells_marginals_are_consistent(spark, tmp_path_factory, events):
+    """For any population: per-cell marginals must equal the sums of
+    the joint over the matching axis, and the total implied by any
+    row's marginals is the population size."""
+    from collections import defaultdict
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import EVENTS
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i + 1, t0, 1, typ, c / 100.0, "{}")
+        for i, (typ, c) in enumerate(events)
+    ]
+    d = str(tmp_path_factory.mktemp("mi"))
+    spark.createDataFrame(rows, EVENTS).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    out = QUERIES["mutual_information_cells"](spark, d).collect()
+    assert sum(r.n_xy for r in out) == len(events)
+    by_x, by_y = defaultdict(int), defaultdict(int)
+    for r in out:
+        by_x[r.event_type] += r.n_xy
+        by_y[r.value_band] += r.n_xy
+    for r in out:
+        assert r.n_x == by_x[r.event_type]
+        assert r.n_y == by_y[r.value_band]
+
+
+@_SET
+@given(
+    users=st.lists(
+        st.integers(min_value=0, max_value=10**9),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_srm_arms_conserve_users(spark, tmp_path_factory, users):
+    """Both assignment rows must account for every distinct user, and
+    the flag must agree with the chi-square threshold recomputed in
+    exact integers."""
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import EVENTS
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i + 1, t0, u, "view", 0.0, "{}") for i, u in enumerate(users)]
+    d = str(tmp_path_factory.mktemp("srm"))
+    spark.createDataFrame(rows, EVENTS).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    out = QUERIES["srm_check"](spark, d).collect()
+    assert {r.assignment for r in out} == {"parity", "md5"}
+    for r in out:
+        assert r.n_a + r.n_b == len(users)
+        n, diff = r.n_a + r.n_b, r.n_a - r.n_b
+        exp_ppm = (2_000_000 * diff * diff + n) // (2 * n)
+        assert r.chi2_ppm == exp_ppm
+        assert r.srm_detected == (exp_ppm > 3841459)
+
+
+@_SET
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.integers(min_value=0, max_value=3 * 134217728),  # n_chars
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_compaction_ceil_division_invariants(spark, tmp_path_factory, docs):
+    """For any source: files = ceil(est/target) exactly, so
+    (files-1)*target < est <= files*target; avg_file_bytes = est div
+    files; single_file_source iff est < target."""
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import DOCUMENTS
+
+    rows = [(i + 1, "x", "en", src, n) for i, (src, n) in enumerate(docs)]
+    d = str(tmp_path_factory.mktemp("cp"))
+    spark.createDataFrame(rows, DOCUMENTS).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    T = 134217728
+    out = QUERIES["compaction_plan_report"](spark, d).collect()
+    for r in out:
+        assert r.files_at_128mib == -(-r.est_bytes // T)  # ceil
+        assert (r.files_at_128mib - 1) * T < max(r.est_bytes, 1)
+        assert r.est_bytes <= r.files_at_128mib * T
+        assert r.avg_file_bytes == r.est_bytes // r.files_at_128mib
+        assert r.single_file_source == (r.est_bytes < T)
+
+
+@_SET
+@given(
+    walk=st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=3, max_size=15
+    )
+)
+def test_trigrams_match_python_reference(spark, tmp_path_factory, walk):
+    """A single user's walk must yield exactly the sliding-window
+    trigram multiset (counted in Python)."""
+    from collections import Counter
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import EVENTS
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i + 1, t0 + dt.timedelta(minutes=i), 1, typ, 0.0, "{}")
+        for i, typ in enumerate(walk)
+    ]
+    d = str(tmp_path_factory.mktemp("tri"))
+    spark.createDataFrame(rows, EVENTS).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    exp = Counter(
+        ">".join(walk[i : i + 3]) for i in range(len(walk) - 2)
+    )
+    out = QUERIES["event_path_trigrams"](spark, d).collect()
+    got = {r.path: r.n_paths for r in out}
+    # query reports top-20; a <=15-step walk has <=13 trigrams, all kept
+    assert got == dict(exp)
