@@ -461,3 +461,90 @@ def test_trigrams_match_python_reference(spark, tmp_path_factory, walk):
     got = {r.path: r.n_paths for r in out}
     # query reports top-20; a <=15-step walk has <=13 trigrams, all kept
     assert got == dict(exp)
+
+
+@_SET
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.text(
+                alphabet="abcdefg .!?XYZ",
+                min_size=0,
+                max_size=60,
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_flesch_counts_match_python_regex(spark, tmp_path_factory, docs):
+    """Per-source word/sentence/syllable sums must equal a Python re
+    reference for arbitrary text (including empty and unpunctuated
+    docs, which the words>=1 filter and the sentences floor handle)."""
+    import re
+    from collections import defaultdict
+
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import DOCUMENTS
+
+    rows = [
+        (i + 1, txt, "en", src, len(txt)) for i, (src, txt) in enumerate(docs)
+    ]
+    d = str(tmp_path_factory.mktemp("fl"))
+    spark.createDataFrame(rows, DOCUMENTS).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    exp = defaultdict(lambda: [0, 0, 0, 0])  # docs, words, sents, syll
+    for src, txt in docs:
+        w = len(re.findall(r"[a-z]+", txt.lower()))
+        if w < 1:
+            continue
+        e = exp[src]
+        e[0] += 1
+        e[1] += w
+        e[2] += max(1, len(re.findall(r"[.!?]+", txt)))
+        e[3] += len(re.findall(r"[aeiouy]+", txt.lower()))
+    out = {r.source: r for r in QUERIES["flesch_readability_by_source"](spark, d).collect()}
+    assert set(out) == set(exp)
+    for src, (nd, w, s, y) in exp.items():
+        r = out[src]
+        assert (r.n_docs, r.sum_words, r.sum_sentences, r.sum_syllables) == (
+            nd, w, s, y,
+        )
+        assert 0 <= r.easy_docs <= r.n_docs
+
+
+@_SET
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.sampled_from(["O", "F", "P"]),
+            st.integers(min_value=0, max_value=800),     # age days
+            st.integers(min_value=1, max_value=10**6),   # cents
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_backlog_aging_conserves_orders_and_money(
+    spark, tmp_path_factory, orders
+):
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import ORDERS
+
+    a = dt.datetime(2024, 12, 31)
+    rows = [
+        (i + 1, 1, stt, c / 100.0, a - dt.timedelta(days=days), "1")
+        for i, (stt, days, c) in enumerate(orders)
+    ]
+    d = str(tmp_path_factory.mktemp("bl"))
+    spark.createDataFrame(rows, ORDERS).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    out = QUERIES["order_backlog_aging"](spark, d).collect()
+    assert sum(r.n_orders for r in out) == len(orders)
+    assert sum(r.value_cents for r in out) == sum(c for _, _, c in orders)
+    assert all(
+        r.age_bucket in {"0-30d", "31-90d", "91-365d", "366d+"} for r in out
+    )
