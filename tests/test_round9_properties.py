@@ -548,3 +548,84 @@ def test_backlog_aging_conserves_orders_and_money(
     assert all(
         r.age_bucket in {"0-30d", "31-90d", "91-365d", "366d+"} for r in out
     )
+
+
+@_SET
+@given(
+    gaps=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),        # user
+            st.integers(min_value=0, max_value=60 * 47),  # minutes offset
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_km_survival_is_monotone_in_unit_interval(
+    spark, tmp_path_factory, gaps
+):
+    """Kaplan-Meier survival must be non-increasing over duration and
+    stay inside [0, 1]; at-risk counts must be non-increasing too."""
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import EVENTS
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i + 1, t0 + dt.timedelta(minutes=m), u, "a", 1.0, "{}")
+        for i, (u, m) in enumerate(gaps)
+    ]
+    d = str(tmp_path_factory.mktemp("km"))
+    spark.createDataFrame(rows, EVENTS).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    out = sorted(
+        QUERIES["km_return_time_survival"](spark, d).collect(),
+        key=lambda r: r.dur_h,
+    )
+    prev_s, prev_risk = 1.0 + 1e-9, None
+    for r in out:
+        assert 0.0 <= r.km_survival <= 1.0
+        assert r.km_survival <= prev_s + 1e-9
+        prev_s = r.km_survival
+        if prev_risk is not None:
+            assert r.at_risk <= prev_risk
+        prev_risk = r.at_risk
+
+
+@_SET
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.sampled_from(["AUTO", "BUILDING"]),
+            st.integers(min_value=-9999, max_value=99999),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_privacy_audits_conserve_population(spark, tmp_path_factory, custs):
+    """k-anonymity must account for every record at BOTH QI levels;
+    l-diversity's achieved_l is at least 1 and its exposed masses
+    never exceed the population."""
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.schemas import CUSTOMER
+
+    rows = [
+        (i + 1, f"c{i}", n, b / 100.0, seg)
+        for i, (n, seg, b) in enumerate(custs)
+    ]
+    d = str(tmp_path_factory.mktemp("ka"))
+    spark.createDataFrame(rows, CUSTOMER).write.mode("overwrite").parquet(
+        f"{d}/customer.parquet"
+    )
+    ka = {r.qi_level: r for r in QUERIES["k_anonymity_report"](spark, d).collect()}
+    assert set(ka) == {"coarse", "fine"}
+    for r in ka.values():
+        assert r.n_records == len(rows)
+        assert 1 <= r.achieved_k <= len(rows)
+        assert 0 <= r.records_at_risk_lt5 <= len(rows)
+    ld = QUERIES["l_diversity_report"](spark, d).collect()[0]
+    assert ld.n_records == len(rows)
+    assert ld.achieved_l >= 1
+    assert 0 <= ld.records_l_lt3 <= len(rows)
