@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Snapshot-head rotation (round 8+): the driver snapshots the FIRST
 # 50 entries of queries(), so ordering decides which queries get a
 # fresh driver-confirmed CORRECTNESS row this round. Priority:
-#   1. _CHANGED_R8 — queries whose implementation or plan shape
+#   1. _CHANGED_R{N} — queries whose implementation or plan shape
 #      changed this round (must be re-confirmed);
 #   2. queries with NO green row in any CORRECTNESS_r*.json (none as
 #      of r7 — the ledger is 205/205 — but future additions land
@@ -50,29 +50,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # to this file — the rotation is self-maintaining: each new driver
 # round re-ages the catalog with no hand-edited green list.
 
-# Changed in round 9 (schema-pinned streaming sink readbacks,
-# exact-Fraction overflow guard on the prefix bound, percentile
-# exact/sketch switch with the sketch as the operator default):
-_CHANGED_R9 = [
-    # sink readback now schema-pinned (no footer inference)
-    "streaming_stateful_counts", "stream_static_enrich",
-    "streaming_upsert_scd1", "streaming_incremental_dedup",
-    # Fraction denominator overflow guard (2/3-style thresholds)
-    "prefix_jaccard_dups",
-    # refactored onto dq.profile.selectivity_report / percentiles
-    # (exact=True at the call site, sketch as the operator default)
-    "histogram_selectivity_report", "value_percentiles",
-    "value_outlier_mad", "approx_sketches",
-    # single-scan persist sweep (scan-count audit found 8-12 executed
-    # fact scans each from multi-consumer lineage re-derivation;
-    # results identical, plan shape changed -> re-confirm)
-    "kmv_set_overlap", "vocab_drift_psi", "value_drift_psi",
-    "session_peak_concurrency", "token_budget_sample_bpe",
-    "mixture_build_plan", "join_skew_profile", "robust_value_stats",
-    "temperature_resample_counts", "cuped_adjusted_ab",
-    "conversion_funnel", "embedding_centroid_drift",
-    "copurchase_lift_top20", "collocation_lift_top20",
+# Changed in round 10 — the CONSOLIDATION round: the r9 verdict's one
+# open item is the 48-query stale-green cohort (r3/r4 vintage), and
+# with a 50-slot head every changed entry displaces a stale refresh.
+# The list is therefore capped at exactly the three queries whose
+# comparison semantics changed (advisor findings), one of which
+# (hll_partial_merge_counts) is itself r4-stale, so the head carries
+# 3 changed + 47 aged greens = all 48 stale rows drain this round:
+_CHANGED_R10 = [
+    # oracle now joins SELECT DISTINCT parent keys, mirroring the
+    # Spark .distinct() no-fanout contract on duplicated parent PKs
+    "referential_integrity_audit",
+    # GREATEST(cents, 0) clamp in both engines: Spark `div` truncates
+    # while DuckDB `//` floors, so refunds now attribute zero credit
+    # by contract instead of engine-dependent microcents
+    "multi_touch_attribution",
+    # scan-audit fix: (source, fingerprint) frame + per-source sketch
+    # partials persisted -> 1 executed fact scan instead of 3
+    "hll_partial_merge_counts",
 ]
+
+# Round-agnostic alias: tests and tooling reference this name so the
+# per-round list can be renamed without touching them.
+_CHANGED_THIS_ROUND = _CHANGED_R10
 
 
 def _green_rounds() -> dict[str, int]:
@@ -125,7 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered changed-first, then never-driver-checked, then greens by
     ascending last-confirmation round (oldest refresh first)."""
     green = _green_rounds()
-    ordered = [n for n in _CHANGED_R9 if n in QUERIES]
+    ordered = [n for n in _CHANGED_THIS_ROUND if n in QUERIES]
     head = set(ordered)
     ordered += sorted(n for n in QUERIES if n not in green and n not in head)
     rest = [n for n in QUERIES if n in green and n not in head]

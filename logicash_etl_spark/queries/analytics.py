@@ -2032,7 +2032,8 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     conv AS (
-      SELECT event_id AS conv_id, user_id, ts AS cts, cents
+      SELECT event_id AS conv_id, user_id, ts AS cts,
+             GREATEST(cents, 0) AS cents
       FROM ev WHERE event_type = 'purchase'
     ),
     touch AS (
@@ -2082,6 +2083,11 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     credit would make the channel totals partition-order dependent)
     and the invariant sum(linear) = 1e6 * sum(attributed cents) holds
     exactly. Touch order is pinned by (ts, event_id) — unique tiebreak.
+    Conversion value is clamped to GREATEST(cents, 0) in BOTH engines
+    before the split: the integer div/% pair agrees across Spark
+    (truncating `div`) and DuckDB (flooring `//`) only for
+    non-negative numerators, so refunds (negative value) attribute
+    zero credit by contract rather than engine-dependent microcents.
 
     Scale: one scan splits into touches and conversions; the join is
     per-user with a 7-day range predicate — candidate pairs are
@@ -2106,7 +2112,7 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("conv_id"),
         F.col("user_id").alias("c_uid"),
         F.col("ts").alias("cts"),
-        "cents",
+        F.greatest(F.col("cents"), F.lit(0).cast("bigint")).alias("cents"),
     )
     touch = ev.filter(F.col("event_type") != "purchase").select(
         "event_id", "ts", "user_id", "event_type"

@@ -2021,44 +2021,57 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n_child_rows,
              CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_orphans
-      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      FROM orders o
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
       UNION ALL
       SELECT 'lineitem.l_orderkey -> orders',
              CAST(count(*) AS BIGINT),
              CAST(SUM(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT)
       FROM lineitem l
-      LEFT JOIN orders ok ON l.l_orderkey = ok.o_orderkey
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+        ON l.l_orderkey = ok.o_orderkey
       UNION ALL
       SELECT 'lineitem.l_partkey -> part',
              CAST(count(*) AS BIGINT),
              CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT)
-      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        ON l.l_partkey = p.p_partkey
       UNION ALL
       SELECT 'lineitem.l_suppkey -> supplier',
              CAST(count(*) AS BIGINT),
              CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT)
-      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+        ON l.l_suppkey = s.s_suppkey
       UNION ALL
       SELECT 'customer.c_nationkey -> nation',
              CAST(count(*) AS BIGINT),
              CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT)
-      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+        ON c.c_nationkey = n.n_nationkey
       UNION ALL
       SELECT 'supplier.s_nationkey -> nation',
              CAST(count(*) AS BIGINT),
              CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT)
-      FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      FROM supplier s
+      LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+        ON s.s_nationkey = n.n_nationkey
       UNION ALL
       SELECT 'nation.n_regionkey -> region',
              CAST(count(*) AS BIGINT),
              CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT)
-      FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      FROM nation n
+      LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+        ON n.n_regionkey = r.r_regionkey
     )
     """,
 )
@@ -2078,6 +2091,12 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural join key. Orphan counting folds into the join's
     NULL-probe aggregate — no anti-join second pass per edge; the
     seven per-edge single-row aggregates union into a 7-row frame.
+
+    Contract: the parent side is DEDUPED before the join (Spark
+    `.distinct()`, oracle `SELECT DISTINCT pk`) so a duplicated
+    parent PK — the pathology `key_uniqueness_audit` exists to
+    detect — can never inflate `n_child_rows` via join fanout; this
+    audit reports child-row existence, not parent multiplicity.
 
     Determinism: exact counts only."""
     edges = [

@@ -26,9 +26,10 @@ the audit is a prompt for judgment, not a lint error.
 from __future__ import annotations
 
 import collections
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 1)[0])
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 FACTS = ("lineitem", "orders", "events", "documents", "embeddings")
 

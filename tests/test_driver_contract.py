@@ -33,8 +33,8 @@ def test_every_query_has_an_oracle():
 
 def test_changed_list_is_registered_names():
     qs = entry.queries()
-    missing = [n for n in entry._CHANGED_R9 if n not in qs]
-    assert not missing, f"_CHANGED_R9 names not in catalog: {missing}"
+    missing = [n for n in entry._CHANGED_THIS_ROUND if n not in qs]
+    assert not missing, f"changed-list names not in catalog: {missing}"
 
 
 def test_green_ledger_parses_and_covers_catalog():
@@ -63,7 +63,7 @@ def test_snapshot_head_covers_changed_and_unchecked():
     old greens, never changed work)."""
     names = list(entry.queries())
     head = set(names[:SNAPSHOT_ROWS])
-    changed = [n for n in entry._CHANGED_R9 if n in set(names)]
+    changed = [n for n in entry._CHANGED_THIS_ROUND if n in set(names)]
     assert len(changed) <= SNAPSHOT_ROWS, "changed list exceeds snapshot"
     assert names[: len(changed)] == changed
     green = entry._green_rounds()
@@ -79,7 +79,7 @@ def test_head_fills_with_oldest_greens():
     driver rows refresh on a rolling cadence instead of going stale."""
     green = entry._green_rounds()
     names = list(entry.queries())
-    changed = [n for n in entry._CHANGED_R9 if n in set(names)]
+    changed = [n for n in entry._CHANGED_THIS_ROUND if n in set(names)]
     k = len(changed) + len([n for n in names if n not in green])
     expected_tail = sorted(
         (n for n in names[k:]), key=lambda n: (green[n], n)

@@ -9,6 +9,17 @@ from logicash_etl_spark.queries import ORACLES, QUERIES
 from tests.oracle_utils import compare
 
 
+@pytest.fixture(autouse=True)
+def _clear_spark_cache(spark):
+    """Query functions persist() small internal frames and document a
+    caller-owns-cleanup contract (queries package docstring); bench.py
+    and scan_audit.py clearCache between queries — this harness must
+    too, or 240 parametrized runs accumulate hundreds of cached frames
+    for the session lifetime (LRU pressure, not wrong results)."""
+    yield
+    spark.catalog.clearCache()
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
