@@ -74,6 +74,11 @@ def main() -> int:
                 f"{i + 1:3d}/{len(names)} FAIL {name}: {str(exc)[:300]}",
                 flush=True,
             )
+        finally:
+            # caller-owns-cleanup (queries package contract): at sf1
+            # the persisted intermediates are 10x bigger, so a long
+            # sweep would otherwise pile them up for the session
+            spark.catalog.clearCache()
     print(f"sf1 parity: {len(names) - len(fails)}/{len(names)} hash-exact")
     if fails:
         print("FAILS:", fails)

@@ -60,16 +60,18 @@ def test_hrw_matches_reference_and_conserves(spark, tmp_path_factory, ids):
             st.integers(min_value=1, max_value=3),          # user
             st.integers(min_value=0, max_value=20 * 24),     # hours offset
             st.sampled_from(["view", "click", "purchase"]),
-            st.integers(min_value=0, max_value=10**4),       # cents
+            st.integers(min_value=-(10**4), max_value=10**4),  # cents
         ),
         min_size=1,
         max_size=25,
     )
 )
 def test_attribution_conserves_money_exactly(spark, tmp_path_factory, data):
-    """sum(linear_microcents) == 1e6 * cents of ATTRIBUTED conversions
-    and sum(last_touch_cents) == those same cents — for any event
-    soup, computed against an independent Python reference."""
+    """sum(linear_microcents) == 1e6 * CLAMPED cents of ATTRIBUTED
+    conversions and sum(last_touch_cents) == those same cents — for
+    any event soup INCLUDING refunds (negative value, r10 contract:
+    GREATEST(cents, 0) before the split, so refunds attribute zero),
+    computed against an independent Python reference."""
     from logicash_etl_spark.queries import QUERIES
     from logicash_etl_spark.schemas import EVENTS
 
@@ -93,7 +95,7 @@ def test_attribution_conserves_money_exactly(spark, tmp_path_factory, data):
             t2 < ts and t2 >= lo and u2 == u and ty2 != "purchase"
             for _, t2, u2, ty2, _, _ in rows
         ):
-            attributed += round(v * 100)
+            attributed += max(round(v * 100), 0)
     out = QUERIES["multi_touch_attribution"](spark, d).collect()
     assert sum(r.linear_microcents for r in out) == 1_000_000 * attributed
     assert sum(r.last_touch_cents for r in out) == attributed
