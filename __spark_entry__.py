@@ -136,3 +136,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each SQL-expressible query."""
     return dict(ORACLES)
+
+
+def _debt_report() -> str:
+    """Ledger-derived rotation accounting (the r9 verdict's rule:
+    derive these numbers from _green_rounds(), never prose). Prints
+    greens per last-confirmed round, the aging cohorts, and how much
+    of the 50-row head the current ordering spends on each."""
+    from collections import Counter
+
+    green = _green_rounds()
+    names = list(queries())
+    head = names[:50]
+    latest = max(green.values(), default=0)
+    by_round = Counter(green.values())
+    head_by = Counter(green.get(n, 0) for n in head)  # 0 = never-green
+    lines = [
+        f"catalog={len(names)} green={len(green)} latest_round=r{latest}",
+        "greens by last-confirmed round: "
+        + ", ".join(f"r{r}:{n}" for r, n in sorted(by_round.items())),
+        "head (50) by last-confirmed round: "
+        + ", ".join(
+            ("never" if r == 0 else f"r{r}") + f":{n}"
+            for r, n in sorted(head_by.items())
+        ),
+        f"changed list this round: {len(_CHANGED_THIS_ROUND)} "
+        f"{_CHANGED_THIS_ROUND}",
+    ]
+    stale = sorted(
+        (n for n, r in green.items() if latest - r >= 5),
+        key=lambda n: (green[n], n),
+    )
+    covered = sum(1 for n in stale if n in set(head))
+    lines.append(
+        f"stale (>=5 rounds old): {len(stale)}; in head: {covered}"
+    )
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "debt":
+        print(_debt_report())
