@@ -84,8 +84,8 @@ def test_referential_integrity_no_fanout_on_dup_parent(spark, dup_parent_dir):
 @pytest.fixture(scope="module")
 def refund_dir(tmp_path_factory):
     """A corpus with refunds: every 7th purchase event's value is
-    negated — the numerator sign that splits Spark truncating `div`
-    from DuckDB flooring `//`."""
+    negated — exercises the GREATEST(cents, 0) refund contract on
+    conversions with negative value."""
     d = str(tmp_path_factory.mktemp("dirty_refunds"))
     _copy_tables(
         d,
@@ -101,11 +101,14 @@ def refund_dir(tmp_path_factory):
 
 
 def test_multi_touch_attribution_refund_corpus(spark, refund_dir):
-    """r9 ADVICE #3: on a corpus with negative conversion values the
-    unclamped integer split diverged between engines (floor vs
-    truncate). With GREATEST(cents, 0) in both, the comparator must
-    pass on the refund corpus — and refunds contribute zero credit,
-    so every linear_microcents stays non-negative."""
+    """r9 ADVICE #3 follow-through: the round-10 primitive audit
+    showed Spark `div` and DuckDB `//` actually AGREE on negative
+    BIGINTs (see test_integer_div_mod_primitives_match_duckdb), so
+    the advisor's divergence premise was false — but the clamp stands
+    as the better CONTRACT: refunds attribute zero credit instead of
+    negative microcent splits, applied identically in both engines.
+    The comparator must pass on the refund corpus and every
+    linear_microcents stays non-negative."""
     name = "multi_touch_attribution"
     df = QUERIES[name](spark, refund_dir)
     compare(df, ORACLES[name], refund_dir)
@@ -136,3 +139,37 @@ def test_scan_audit_sys_path_is_dirname():
     ).read()
     assert "os.path.dirname(os.path.abspath(__file__))" in src
     assert not re.search(r"__file__\.rsplit", src)
+
+
+def test_integer_div_mod_primitives_match_duckdb(spark):
+    """r10 negative-money audit conclusion, pinned at the PRIMITIVE
+    level: Spark `div`/`%` and DuckDB `//`/`%` agree on BIGINT for
+    ALL signs (both truncate toward zero; remainder takes the
+    dividend's sign). The r9 advisor premise — that they diverge on
+    negatives — is FALSE for integer operands in this pair. CAVEAT
+    that keeps this test load-bearing: DuckDB 1.0.0 `//` on DOUBLE
+    is NOT integer division at all (-7.0 // 2 = -3.5), so oracle
+    `//` must only ever ride on integer operands — which every
+    oracle does via explicit BIGINT cents/counts. Grid: signed
+    dividends x signed divisors, plus int64-scale magnitudes."""
+    import duckdb
+
+    pairs = [
+        (a, b)
+        for a in [-9, -7, -4, -1, 0, 1, 4, 7, 9, 10**17, -(10**17)]
+        for b in [-9, -3, -2, -1, 1, 2, 3, 9, 10**9]
+    ]
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT), "
+            f"CAST({a} AS BIGINT) % CAST({b} AS BIGINT)"
+        ).fetchone()
+        for a, b in pairs
+    ]
+    con.close()
+    rows = spark.createDataFrame(pairs, "a long, b long").selectExpr(
+        "a div b AS d", "a % b AS m"
+    ).collect()
+    got = [(r.d, r.m) for r in rows]
+    assert got == [tuple(x) for x in duck]
