@@ -785,7 +785,7 @@ def mmr_select(
             pool = base.filter(
                 ~F.col(id_col).isin([sid for sid, _ in selected])
             )
-        top = (
+        picked = (
             pool.select(
                 F.col(id_col),
                 "__v",
@@ -793,8 +793,15 @@ def mmr_select(
             )
             .orderBy(F.desc("__score"), F.asc(id_col))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not picked:
+            # pool exhausted (k > candidates, or empty corpus): stop
+            # with the exemplars found — the contract every greedy
+            # selector follows — instead of an IndexError (found by
+            # the r10 empty-corpus sweep)
+            break
+        top = picked[0]
         selected.append((top[id_col], list(top["__v"])))
         out.append((step, top[id_col], float(top["__score"])))
     return spark.createDataFrame(

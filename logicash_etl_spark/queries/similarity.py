@@ -1003,11 +1003,16 @@ def mmr_diverse_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logicash_etl_spark.operators.similarity import mmr_select
 
     emb = read_table(spark, sf_dir, "embeddings")
-    qv = (
+    qrows = (
         emb.filter(F.col("vec_id") == 0)
         .select(F.transform("embedding", lambda x: x.cast("double")))
-        .collect()[0][0]
+        .collect()
     )
+    if not qrows:
+        raise ValueError(
+            "mmr_diverse_exemplars: query vector vec_id=0 not found "
+            "(empty or filtered embeddings table)"
+        )
     return mmr_select(
-        emb.filter(F.col("vec_id") > 0), qv, k=5, lam=0.7
+        emb.filter(F.col("vec_id") > 0), qrows[0][0], k=5, lam=0.7
     )
