@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Dirty-corpus robustness sweeps: every catalog query + oracle on a
+pathological variant of the fixture tables, through the driver-
+identical comparator.
+
+Modes (each builds its corpus from sf0.001 via DuckDB COPY so both
+engines read the same files):
+
+- ``empty``: ZERO-ROW tables, schemas preserved — the quiet-hour /
+  fresh-onboarding path no row-count fixture exercises.
+- ``nulls``: NULL injected where the schema allows and production
+  data plausibly delivers — documents.text (1/13), events.value
+  (1/11), events.props (1/17).
+
+Each mode carries a committed KNOWN manifest — the adjudicated
+failure set. The sweep exits 0 iff failures EQUAL the manifest: a new
+crash/divergence fails the check, and a fixed query must be removed
+(stale entries fail too, so the list only shrinks deliberately).
+
+Usage:
+    python corpus_robustness_check.py empty
+    python corpus_robustness_check.py nulls
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+SF = "/root/testdata/sf0.001"
+
+# --- empty-corpus manifest: two deliberate classes -------------------
+# trainer/required-input contracts: iterative quantizers and the MMR
+# query REFUSE degenerate input with a clean ValueError (loud-failure
+# contract). empty-aggregate semantics: Spark cube()/rollup()/grouping
+# -sets emit ZERO rows on empty input where the SQL standard (and
+# DuckDB) emits the grand-total row; COUNT-vs-SUM(CASE) NULL-vs-0 on
+# the same boundary. Documented rather than papered over: a COALESCE
+# veneer would misstate Spark's actual semantics to users.
+KNOWN_EMPTY: dict[str, str] = {
+    "ams_f2_estimate": "empty-aggregate: oracle emits grand-total row",
+    "cube_order_stats": "Spark cube() emits 0 rows on empty; SQL emits all-NULLs grand total",
+    "grouping_sets_report": "Spark grouping-sets emit 0 rows on empty; SQL emits grand total",
+    "rollup_returns": "Spark rollup() emits 0 rows on empty; SQL emits grand total",
+    "dq_violation_report": "COUNT(*)=0 vs SUM(CASE)=NULL on the empty boundary",
+    "embedding_centroid_drift": "empty-aggregate NULL-vs-0 defaults",
+    "map_function_surface": "map over empty: '' vs NULL serialization",
+    "ivf_ann_topk": "trainer-contract: kmeans refuses 0 training vectors (clean ValueError)",
+    "mmr_diverse_exemplars": "required-input contract: query vector absent -> clean ValueError (was raw IndexError before r10)",
+    "pq_ann_topk": "trainer-contract: pq codebooks refuse 0-row sample (clean ValueError)",
+    "semantic_dedup_stats": "trainer-contract: kmeans refuses 0 training vectors (clean ValueError)",
+}
+
+# --- nulls-corpus manifest: adjudications + the r11 fix queue --------
+# Classes: [contract] = documented loud non-null input contracts
+# (grouped/global_prefix_sum raise with remediation text); [queued-*]
+# = real divergences/crashes found by this probe, queued for the r11+
+# changed head (each fix alters comparison semantics or UDF behavior,
+# so it must ride a driver re-confirmation slot — see COVERAGE.md
+# round-10 "NULL-injection" section for the per-query fix plan).
+KNOWN_NULLS: dict[str, str] = {
+    "mixture_build_plan": "[contract] grouped_prefix_sum non-null bucket-key contract (NULL text -> NULL token count)",
+    "token_budget_sample": "[contract] grouped_prefix_sum non-null bucket-key contract",
+    "robust_value_stats": "[contract] grouped_prefix_sum non-null bucket-key contract (NULL value cents)",
+    "padding_waste_report": "[contract] global_prefix_sum non-null order-key contract",
+    "streaming_quota_enforcement": "[queued-P1] NaN leaks into int64 state under NULL value — state-corruption bug, top of r11 queue",
+    "media_decode_meta": "[queued-P1] pandas UDF lacks NULL-binary guard (worker exception)",
+    "media_phash_dups": "[queued-P1] pandas UDF lacks NULL-binary guard (worker exception)",
+    "ewma_event_value": "[queued-P1] DIVIDE_BY_ZERO when a (type, day) group is all-NULL values",
+    "asof_last_purchase": "[queued-P2] NULL ordering: Spark NULLS FIRST vs DuckDB NULLS LAST in the asof window",
+    "bloom_history_dedup": "[queued-P2] md5(NULL text) -> NULL fp drops rows asymmetrically",
+    "frame_sample_inventory": "[queued-P2] size(tokens(NULL)) = -1 in Spark vs NULL in SQL",
+    "lang_id_confusion": "[queued-P2] NULL text rows classified vs dropped",
+    "per_group_trend_forecast": "[queued-P2] NULL value in regression sums -> NULL slope vs computed slope",
+    "sequence_packing_stats": "[queued-P2] size(tokens(NULL)) = -1 vs NULL token count",
+    "streaming_incremental_dedup": "[queued-P2] NULL-fp probe rows statused differently across engines",
+}
+
+
+def build_empty() -> str:
+    import duckdb
+
+    from oracle_utils import TABLES
+
+    d = tempfile.mkdtemp(prefix="lq_empty_")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF}/{t}.parquet') "
+            f"LIMIT 0) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return d
+
+
+def build_nulls() -> str:
+    import duckdb
+
+    from oracle_utils import TABLES
+
+    d = tempfile.mkdtemp(prefix="lq_nulls_")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW t_{t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+        if t == "documents":
+            cols = [r[0] for r in con.execute("DESCRIBE t_documents").fetchall()]
+            sel = "SELECT " + ", ".join(
+                "CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text"
+                if c == "text" else c
+                for c in cols
+            ) + " FROM t_documents"
+        elif t == "events":
+            sel = (
+                "SELECT event_id, ts, user_id, event_type, "
+                "CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value, "
+                "CASE WHEN event_id % 17 = 0 THEN NULL ELSE props END AS props "
+                "FROM t_events"
+            )
+        else:
+            sel = f"SELECT * FROM t_{t}"
+        con.execute(f"COPY ({sel}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return d
+
+
+MODES = {
+    "empty": (build_empty, KNOWN_EMPTY),
+    "nulls": (build_nulls, KNOWN_NULLS),
+}
+
+
+def main() -> int:
+    if len(sys.argv) != 2 or sys.argv[1] not in MODES:
+        print(__doc__, file=sys.stderr)
+        return 2
+    build, known = MODES[sys.argv[1]]
+
+    from oracle_utils import compare
+
+    from logicash_etl_spark import get_spark
+    from logicash_etl_spark.queries import ORACLES, QUERIES
+
+    d = build()
+    spark = get_spark(app_name=f"robustness-{sys.argv[1]}")
+    failed: dict[str, str] = {}
+    names = sorted(QUERIES)
+    for i, name in enumerate(names, 1):
+        try:
+            if name in ORACLES:
+                compare(QUERIES[name](spark, d), ORACLES[name], d)
+            else:
+                QUERIES[name](spark, d).count()
+        except Exception as exc:  # noqa: BLE001 — classified below
+            failed[name] = f"{type(exc).__name__}: {str(exc)[:120]}"
+            tag = "KNOWN" if name in known else "NEW !"
+            print(f"  {i}/{len(names)} {tag} {name}: {failed[name]}",
+                  flush=True)
+        finally:
+            spark.catalog.clearCache()
+    spark.stop()
+
+    new = sorted(set(failed) - set(known))
+    fixed = sorted(set(known) - set(failed))
+    print(
+        f"{sys.argv[1]} corpus: {len(names) - len(failed)}/{len(names)} "
+        f"clean; {len(failed)} failures ({len(failed) - len(new)} known)"
+    )
+    if new:
+        print(f"NEW failures (fix or adjudicate): {new}")
+    if fixed:
+        print(f"stale KNOWN entries (remove from manifest): {fixed}")
+    return 1 if (new or fixed) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
