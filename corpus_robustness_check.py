@@ -14,6 +14,9 @@ engines read the same files):
 - ``unicode``: pathological text appended to 1/7 documents — emoji,
   CJK, RTL Arabic, combining accents, ZWJ sequences — the byte!=char
   and regex-engine territory an ASCII fixture never enters.
+- ``timewarp``: 1/9 events shifted to 1955 (negative epoch), 1/13 to
+  the 2170s, 1/11 order dates to the 1910s — epoch arithmetic, date
+  functions, and watermark behavior under extreme event-time skew.
 
 Each mode carries a committed KNOWN manifest — the adjudicated
 failure set. The sweep exits 0 iff failures EQUAL the manifest: a new
@@ -24,6 +27,7 @@ Usage:
     python corpus_robustness_check.py empty
     python corpus_robustness_check.py nulls
     python corpus_robustness_check.py unicode
+    python corpus_robustness_check.py timewarp
 """
 
 from __future__ import annotations
@@ -98,6 +102,62 @@ KNOWN_UNICODE: dict[str, str] = {
     "media_decode_meta": "[oracle-shim] DuckDB STRING->BLOB cast refuses non-ASCII; use encode()",
     "media_inventory": "[oracle-shim] DuckDB STRING->BLOB cast refuses non-ASCII; use encode()",
 }
+
+# --- timewarp-corpus manifest ----------------------------------------
+# The six streaming rows are Spark's watermark DOING ITS JOB: rows
+# arriving decades outside the watermark horizon are dropped by the
+# streaming engine (the documented late-data contract) while the
+# batch SQL oracle has no watermark concept and counts everything —
+# on the driver fixtures (bounded skew) the two agree, which is what
+# the oracle pins. value_trend_stats is an ORACLE precision bound:
+# DuckDB DECIMAL(18) overflows LOUDLY on epoch-scale x*x regression
+# sums at +/-80-year horizons (the query documents its calendar-
+# bounded input domain); queued low-priority to widen the oracle to
+# DECIMAL(38).
+KNOWN_TIMEWARP: dict[str, str] = {
+    "streaming_dedup_counts": "[watermark] late rows beyond horizon dropped by streaming, counted by batch oracle",
+    "streaming_jittered_dedup": "[watermark] same late-data contract",
+    "streaming_late_data_audit": "[watermark] rows beyond the audit's own watermark horizon are dropped, not audited",
+    "streaming_outer_interval_join": "[watermark] interval-join state eviction under extreme skew",
+    "streaming_session_windows": "[watermark] sessions beyond horizon dropped",
+    "streaming_tumbling_counts": "[watermark] tumbling windows beyond horizon dropped",
+    "value_trend_stats": "[oracle-precision] DuckDB DECIMAL(18) x*x overflow at epoch-scale horizons (loud); widen to DECIMAL(38) when slotted",
+}
+
+
+def build_timewarp() -> str:
+    import duckdb
+
+    from oracle_utils import TABLES
+
+    d = tempfile.mkdtemp(prefix="lq_timewarp_")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW t_{t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+        if t == "events":
+            sel = (
+                "SELECT event_id, "
+                "CASE WHEN event_id % 9 = 0 THEN ts - INTERVAL 70 YEAR "
+                "WHEN event_id % 13 = 0 THEN ts + INTERVAL 150 YEAR "
+                "ELSE ts END AS ts, "
+                "user_id, event_type, value, props FROM t_events"
+            )
+        elif t == "orders":
+            sel = (
+                "SELECT o_orderkey, o_custkey, o_orderstatus, "
+                "o_totalprice, CASE WHEN o_orderkey % 11 = 0 THEN "
+                "o_orderdate - INTERVAL 80 YEAR ELSE o_orderdate END "
+                "AS o_orderdate, o_orderpriority FROM t_orders"
+            )
+        else:
+            sel = f"SELECT * FROM t_{t}"
+        con.execute(f"COPY ({sel}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return d
+
 
 # emoji, CJK, RTL arabic, combining accent, ZWJ family emoji
 _PATHOLOGICAL = (
@@ -189,6 +249,7 @@ MODES = {
     "empty": (build_empty, KNOWN_EMPTY),
     "nulls": (build_nulls, KNOWN_NULLS),
     "unicode": (build_unicode, KNOWN_UNICODE),
+    "timewarp": (build_timewarp, KNOWN_TIMEWARP),
 }
 
 

@@ -17,6 +17,9 @@ frame in the plan (see COVERAGE.md "Engine-wide scan-count audit");
 re-run this after adding queries:
 
     python scan_audit.py [min_scans]      # default 3
+    python scan_audit.py --check          # gate against MANIFEST:
+                                          # exit 1 on regressions or
+                                          # stale entries
 
 Queries whose repeats are BY DESIGN (different filters over the same
 fact, per-edge audits, ANN re-score passes) are expected output —
@@ -33,16 +36,60 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 FACTS = ("lineitem", "orders", "events", "documents", "embeddings")
 
+# --check manifest: the measured-and-adjudicated state at threshold 3
+# (round 10; see COVERAGE.md "Scan-audit deferred list" for per-query
+# verdicts and the r11/r12 fix queue). The check fails on any query
+# exceeding its manifest count (a scan-count REGRESSION) and on any
+# manifest entry that no longer flags (a fix landed -> shrink the
+# manifest deliberately). Keys: query -> {fact: max allowed scans}.
+MANIFEST: dict[str, dict[str, int]] = {
+    "ann_lsh_topk": {"embeddings": 4},
+    "benchmark_contamination": {"documents": 3},
+    "bigram_surprisal_score": {"documents": 4},
+    "bloom_history_dedup": {"documents": 3},
+    "bloom_join_prune_stats": {"lineitem": 3},
+    "bloom_pruned_revenue": {"lineitem": 3},
+    "bpe_fertility_by_lang": {"documents": 3},
+    "calendar_gap_fill": {"orders": 3},
+    "conversion_funnel": {"events": 3},
+    "embedding_centroid_drift": {"embeddings": 4},
+    "exact_substring_cut_stats": {"documents": 3},
+    "exact_substring_dedup_apply": {"documents": 4},
+    "hard_negative_mining": {"embeddings": 4},
+    "incremental_agg_maintenance": {"orders": 3},
+    "incremental_join_maintenance": {"orders": 4, "lineitem": 4},
+    "incremental_minhash_dedup": {"documents": 3},
+    "ivf_ann_topk": {"embeddings": 6},
+    "kmv_partial_merge": {"orders": 4},
+    "knn_label_vote": {"embeddings": 3},
+    "leakage_safe_split_report": {"documents": 4},
+    "pq_ann_topk": {"embeddings": 10},
+    "referential_integrity_audit": {"lineitem": 3},
+    # (dim-table scan counts — e.g. gini's and erasure's customer 4 —
+    # are not tracked here: FACTS only; see COVERAGE for those)
+    "revenue_concentration_gini": {"orders": 4},
+    "right_to_erasure_audit": {"orders": 3},
+    "semantic_dedup_stats": {"embeddings": 3},
+    "sequence_packing_stats": {"documents": 4},
+    "tfidf_top_terms": {"documents": 3},
+    "token_budget_sample": {"documents": 4},
+    "unigram_surprisal_score": {"documents": 3},
+    "value_drift_psi": {"events": 4},
+    "vocab_drift_psi": {"documents": 4},
+}
+
 
 def main() -> None:
-    threshold = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    check = "--check" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a != "--check"]
+    threshold = int(args[0]) if args else 3
     from logicash_etl_spark import get_spark
     from logicash_etl_spark.plans.inspect import scans
     from logicash_etl_spark.queries import QUERIES
 
     spark = get_spark(app_name="scan-audit")
     sf = "/root/testdata/sf0.01"
-    flagged = 0
+    flagged: dict[str, dict[str, int]] = {}
     skipped = 0
     for name, fn in sorted(QUERIES.items()):
         try:
@@ -54,14 +101,30 @@ def main() -> None:
                         cnt[f] += 1
             over = {f: c for f, c in cnt.items() if c >= threshold}
             if over:
-                flagged += 1
+                flagged[name] = over
                 print(f"{name}: {over}", flush=True)
         except Exception as exc:  # noqa: BLE001 — side-effectful queries
             skipped += 1
             print(f"# skipped {name}: {type(exc).__name__}", file=sys.stderr)
         spark.catalog.clearCache()
-    print(f"# flagged {flagged} / {len(QUERIES)} queries at >={threshold} "
-          f"scans of one fact ({skipped} skipped)")
+    print(f"# flagged {len(flagged)} / {len(QUERIES)} queries at "
+          f">={threshold} scans of one fact ({skipped} skipped)")
+    if not check:
+        return
+    if threshold != 3:
+        print("# --check manifest is calibrated at threshold 3",
+              file=sys.stderr)
+        raise SystemExit(2)
+    regressions = {
+        n: over for n, over in flagged.items()
+        if any(c > MANIFEST.get(n, {}).get(f, 0) for f, c in over.items())
+    }
+    stale = sorted(set(MANIFEST) - set(flagged))
+    if regressions:
+        print(f"# SCAN REGRESSIONS vs manifest: {regressions}")
+    if stale:
+        print(f"# stale manifest entries (fix landed — remove): {stale}")
+    raise SystemExit(1 if (regressions or stale) else 0)
 
 
 if __name__ == "__main__":
