@@ -34,7 +34,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-FACTS = ("lineitem", "orders", "events", "documents", "embeddings")
+# facts AND the scale-proportional dims: at TPC-H-like 100 TB,
+# customer/part/supplier are fact-sized tables, so re-scanning them
+# counts the same as re-scanning lineitem (nation/region stay out:
+# catalog-bounded 25/5 rows at every SF).
+FACTS = (
+    "lineitem", "orders", "events", "documents", "embeddings",
+    "customer", "part", "supplier",
+)
 
 # --check manifest: the measured-and-adjudicated state at threshold 3
 # (round 10; see COVERAGE.md "Scan-audit deferred list" for per-query
@@ -45,6 +52,13 @@ FACTS = ("lineitem", "orders", "events", "documents", "embeddings")
 MANIFEST: dict[str, dict[str, int]] = {
     "ann_lsh_topk": {"embeddings": 4},
     "benchmark_contamination": {"documents": 3},
+    # dim-rescan rows (r10 extension of the audit to fact-sized dims;
+    # self-join/SCD shapes — candidates for the r12 persist sweep)
+    "brand_set_ops": {"part": 4},
+    "fuzzy_name_match": {"part": 8},
+    "part_name_edit_pairs": {"part": 6},
+    "pit_event_enrichment": {"customer": 6},
+    "scd2_dimension_report": {"customer": 6},
     "bigram_surprisal_score": {"documents": 4},
     "bloom_history_dedup": {"documents": 3},
     "bloom_join_prune_stats": {"lineitem": 3},
@@ -65,10 +79,8 @@ MANIFEST: dict[str, dict[str, int]] = {
     "leakage_safe_split_report": {"documents": 4},
     "pq_ann_topk": {"embeddings": 10},
     "referential_integrity_audit": {"lineitem": 3},
-    # (dim-table scan counts — e.g. gini's and erasure's customer 4 —
-    # are not tracked here: FACTS only; see COVERAGE for those)
-    "revenue_concentration_gini": {"orders": 4},
-    "right_to_erasure_audit": {"orders": 3},
+    "revenue_concentration_gini": {"orders": 4, "customer": 4},
+    "right_to_erasure_audit": {"orders": 3, "customer": 4},
     "semantic_dedup_stats": {"embeddings": 3},
     "sequence_packing_stats": {"documents": 4},
     "tfidf_top_terms": {"documents": 3},
