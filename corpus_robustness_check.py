@@ -17,6 +17,9 @@ engines read the same files):
 - ``timewarp``: 1/9 events shifted to 1955 (negative epoch), 1/13 to
   the 2170s, 1/11 order dates to the 1910s — epoch arithmetic, date
   functions, and watermark behavior under extreme event-time skew.
+- ``duppk``: 1/6 of documents/events/orders rows duplicated EXACTLY
+  (same ids) — the primary-key-violation corpus the schema contract
+  forbids and a partial-load retry produces anyway.
 
 Each mode carries a committed KNOWN manifest — the adjudicated
 failure set. The sweep exits 0 iff failures EQUAL the manifest: a new
@@ -28,6 +31,7 @@ Usage:
     python corpus_robustness_check.py nulls
     python corpus_robustness_check.py unicode
     python corpus_robustness_check.py timewarp
+    python corpus_robustness_check.py duppk
 """
 
 from __future__ import annotations
@@ -114,6 +118,60 @@ KNOWN_UNICODE: dict[str, str] = {
 # sums at +/-80-year horizons (the query documents its calendar-
 # bounded input domain); queued low-priority to widen the oracle to
 # DECIMAL(38).
+# --- duppk-corpus manifest -------------------------------------------
+# Every row below is an operator whose SEMANTICS presuppose unique
+# row identity — dedup pair generation (id_a < id_b collapses for
+# id-identical twins), per-doc token joins (fan-out vs collapse),
+# ranked top-k over now-ambiguous tie-break keys, streaming
+# id-keyed dedup. On a PK-violating corpus these are UNDEFINED, and
+# the two engines resolve the ambiguity differently — which is why
+# the engine ships the GATES a pipeline must run first:
+# key_uniqueness_audit (all 9 declared keys) and
+# referential_integrity_audit both stay green on this corpus and
+# REPORT the violation. Contract: audit, then operate.
+KNOWN_DUPPK: dict[str, str] = {
+    "audio_chunk_inventory": "[requires-pk] per-doc join fan-out vs collapse",
+    "big_ticket_orders": "[requires-pk] ranked selection over duplicated tie-break keys",
+    "bpe_token_counts": "[requires-pk] per-doc token join fan-out",
+    "dedup_clusters": "[requires-pk] id-identical twins collapse pair generation",
+    "dedup_clusters_exact": "[requires-pk] same",
+    "frame_sample_inventory": "[requires-pk] per-doc frame sampling keyed on doc_id",
+    "incremental_minhash_dedup": "[requires-pk] history/incoming split assumes unique doc_id",
+    "leakage_safe_split_report": "[requires-pk] cluster labels keyed on doc_id",
+    "media_phash_dups": "[requires-pk] id-identical twins in pair generation",
+    "minhash_lsh_dups": "[requires-pk] id_a < id_b excludes id-identical twins",
+    "prefix_jaccard_dups": "[requires-pk] same prefix-pair id ambiguity",
+    "repeated_passage_report": "[requires-pk] passage ownership keyed on doc_id",
+    "streaming_dedup_counts": "[requires-pk] id-keyed streaming dedup",
+    "streaming_jittered_dedup": "[requires-pk] id-keyed streaming dedup",
+    "token_budget_sample_bpe": "[requires-pk] per-doc BPE counts join fan-out",
+}
+
+
+def build_duppk() -> str:
+    import duckdb
+
+    from oracle_utils import TABLES
+
+    d = tempfile.mkdtemp(prefix="lq_duppk_")
+    keys = {"documents": "doc_id", "events": "event_id",
+            "orders": "o_orderkey"}
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW t_{t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+        if t in keys:
+            sel = (f"SELECT * FROM t_{t} UNION ALL SELECT * FROM t_{t} "
+                   f"WHERE {keys[t]} % 6 = 0")
+        else:
+            sel = f"SELECT * FROM t_{t}"
+        con.execute(f"COPY ({sel}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return d
+
+
 KNOWN_TIMEWARP: dict[str, str] = {
     "streaming_dedup_counts": "[watermark] late rows beyond horizon dropped by streaming, counted by batch oracle",
     "streaming_jittered_dedup": "[watermark] same late-data contract",
@@ -250,6 +308,7 @@ MODES = {
     "nulls": (build_nulls, KNOWN_NULLS),
     "unicode": (build_unicode, KNOWN_UNICODE),
     "timewarp": (build_timewarp, KNOWN_TIMEWARP),
+    "duppk": (build_duppk, KNOWN_DUPPK),
 }
 
 
