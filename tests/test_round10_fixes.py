@@ -173,3 +173,30 @@ def test_integer_div_mod_primitives_match_duckdb(spark):
     ).collect()
     got = [(r.d, r.m) for r in rows]
     assert got == [tuple(x) for x in duck]
+
+
+def test_key_uniqueness_audit_reports_dup_parent(spark, dup_parent_dir):
+    """The audit-then-operate contract's other half: on the same
+    duplicated-parent corpus, key_uniqueness_audit must stay
+    oracle-green AND report customer.c_custkey as non-unique with
+    exactly one excess row — the gate that tells a pipeline the
+    [requires-pk] operators (see corpus_robustness_check KNOWN_DUPPK)
+    are not safe to run yet."""
+    name = "key_uniqueness_audit"
+    df = QUERIES[name](spark, dup_parent_dir)
+    compare(df, ORACLES[name], dup_parent_dir)
+    rows = {r.table_key: r for r in df.collect()}
+    cust = rows["customer.c_custkey"]
+    assert not cust.is_unique
+    assert cust.n_excess_rows == 1
+    # lineitem's composite key is non-unique ON THE FIXTURE ITSELF —
+    # a real generator property the audit surfaced in round 9 (1,401
+    # excess rows at sf0.001, pinned in its unit test) — so it is
+    # excluded here alongside the key this test deliberately broke
+    assert all(
+        r.is_unique
+        for k, r in rows.items()
+        if k not in ("customer.c_custkey",
+                     "lineitem.(l_orderkey,l_linenumber)")
+    )
+    spark.catalog.clearCache()
