@@ -50,29 +50,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # to this file — the rotation is self-maintaining: each new driver
 # round re-ages the catalog with no hand-edited green list.
 
-# Changed in round 10 — the CONSOLIDATION round: the r9 verdict's one
-# open item is the 48-query stale-green cohort (r3/r4 vintage), and
-# with a 50-slot head every changed entry displaces a stale refresh.
-# The list is therefore capped at exactly the three queries whose
-# comparison semantics changed (advisor findings), one of which
-# (hll_partial_merge_counts) is itself r4-stale, so the head carries
-# 3 changed + 47 aged greens = all 48 stale rows drain this round:
-_CHANGED_R10 = [
-    # oracle now joins SELECT DISTINCT parent keys, mirroring the
-    # Spark .distinct() no-fanout contract on duplicated parent PKs
-    "referential_integrity_audit",
-    # GREATEST(cents, 0) clamp in both engines: Spark `div` truncates
-    # while DuckDB `//` floors, so refunds now attribute zero credit
-    # by contract instead of engine-dependent microcents
-    "multi_touch_attribution",
-    # scan-audit fix: (source, fingerprint) frame + per-source sketch
-    # partials persisted -> 1 executed fact scan instead of 3
-    "hll_partial_merge_counts",
+# Changed in round 11 — the r10 probes' fix round. The head budget is
+# 37 r5-cohort aging rows (the SURVEY-2 core parity set, owed first)
+# + exactly these 13 changed slots, per the slot plan in COVERAGE.md:
+# 4 P1 null bugs, 7 P2 cross-engine NULL-semantics contracts, 2
+# queued scan fixes (three of the 13 carry a scan fix riding along).
+_CHANGED_R11 = [
+    # P1: NULL value leaked NaN into the int64 quota state
+    # (floor(NaN).astype(int64) garbage); now masked at ingestion —
+    # NULL-value events consume quota, contribute 0 cents (SQL SUM)
+    "streaming_quota_enforcement",
+    # P1: mapInPandas decode kernel now null-guards NULL binary
+    # (emits a null-metadata row instead of killing the worker);
+    # oracle mirrors the NULL format group + encode() unicode shim
+    "media_decode_meta",
+    # P1: phash kernel null-guards NULL binary -> NULL phash, which
+    # pairs with nothing (oracle's a.text = b.text already agrees)
+    "media_phash_dups",
+    # P1: den = 0 (all-NULL 10-lag window) -> NULL ewma by contract
+    # in BOTH engines (was ANSI DIVIDE_BY_ZERO vs IEEE NaN)
+    "ewma_event_value",
+    # P2: asof_join now carries the right row as ONE struct through
+    # last(ignorenulls) — a NULL field in the matched row stays NULL
+    # instead of leaking a stale older row's value
+    "asof_last_purchase",
+    # P2: NULL text fingerprints as empty text in BOTH engines +
+    # oracle LEFT-join posture; scan fix rides along (fp frame
+    # persisted: 3 documents scans -> 1)
+    "bloom_history_dedup",
+    # P2: only decodable (non-NULL) media are inventoried — oracle
+    # mirrors Spark's explode-drop; encode() unicode shim
+    "frame_sample_inventory",
+    # P2: NULL text -> 'und' in both engines (oracle's CASE fell
+    # through NULL comparisons to 'zh')
+    "lang_id_confusion",
+    # P2: regr_* NULL-pair semantics in the pandas fit (NaN poisoned
+    # the whole group's slope)
+    "per_group_trend_forecast",
+    # P2: NULL text packs as 0 tokens in both engines (Spark
+    # size(NULL) = -1 walked offsets backwards); per-doc count frame
+    # persisted (scan fix: documents 4 -> 1)
+    "sequence_packing_stats",
+    # P2: oracle now mirrors the Spark side's md5(COALESCE(text,''))
+    # fingerprint (docstring claimed it already did; it did not)
+    "streaming_incremental_dedup",
+    # scan fix: cluster-label frame persisted (4 consumers -> one
+    # clustering execution; documents 4 -> ~2)
+    "leakage_safe_split_report",
+    # scan fix: per-customer rollup persisted (orders/customer 4 ->
+    # 1); NULL-cents posture decided: unknown revenue is EXCLUDED
+    # from the Gini population, mirrored in the oracle
+    "revenue_concentration_gini",
 ]
 
 # Round-agnostic alias: tests and tooling reference this name so the
 # per-round list can be renamed without touching them.
-_CHANGED_THIS_ROUND = _CHANGED_R10
+_CHANGED_THIS_ROUND = _CHANGED_R11
 
 
 def _green_rounds() -> dict[str, int]:

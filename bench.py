@@ -136,13 +136,67 @@ def main() -> None:
             "spread_pct": spread_pct,
         }
         spreads.append(spread_pct)
-    spreads.sort()
+    # CONTAMINATION GATE (round-11, after two rounds of noisy-neighbor
+    # asterisks): the r9 uncontended reference band was max spread
+    # 31.5%; a run whose max spread exceeds 3x that is either a
+    # transient collision or a contaminated host. Make the verdict
+    # machine-decidable: re-run each out-of-band query up to twice
+    # more and re-score its spread over the best two warm samples
+    # (a transient collision disappears; sustained contention
+    # doesn't). If any query stays out of band, the artifact labels
+    # ITSELF contaminated=true so cross-round comparison never again
+    # needs prose adjudication.
+    REFERENCE_MAX_SPREAD_PCT = 31.5
+    BAND_MULTIPLIER = 3.0
+    threshold_pct = round(REFERENCE_MAX_SPREAD_PCT * BAND_MULTIPLIER, 1)
+    out_of_band = sorted(
+        n for n, v in var_per_query.items() if v["spread_pct"] > threshold_pct
+    )
+    for name in out_of_band:
+        samples = list(var_per_query[name]["warm_samples"])
+        for _ in range(2):
+            extra = run_one(name)
+            if extra >= 0:
+                samples.append(extra)
+            best = sorted(s for s in samples if s >= 0)[:2]
+            if len(best) == 2 and best[0] > 0:
+                spread = round(100 * (best[1] - best[0]) / best[0], 2)
+                if spread <= threshold_pct:
+                    break
+        best = sorted(s for s in samples if s >= 0)[:2]
+        spread = (
+            round(100 * (best[1] - best[0]) / best[0], 2)
+            if len(best) == 2 and best[0] > 0
+            else var_per_query[name]["spread_pct"]
+        )
+        var_per_query[name] = {
+            "warm_samples": samples,
+            "spread_pct": spread,
+            "rerun": True,
+        }
+    # rebuild the aggregate spread list from the (possibly re-scored)
+    # per-query table
+    spreads = sorted(v["spread_pct"] for v in var_per_query.values())
+    still_out = sorted(
+        n for n, v in var_per_query.items() if v["spread_pct"] > threshold_pct
+    )
+    gate = {
+        "reference_max_spread_pct": REFERENCE_MAX_SPREAD_PCT,
+        "band_multiplier": BAND_MULTIPLIER,
+        "threshold_pct": threshold_pct,
+        "out_of_band_initial": out_of_band,
+        "out_of_band_after_rerun": still_out,
+        "contaminated": bool(still_out),
+        "verdict": "contaminated" if still_out else "in-band",
+    }
     variance = {
         "n_queries_sampled": len(spreads),
         "basis": "two warm passes (2 and 3) per query; pass 1 excluded"
-        " (one-time cold costs by design)",
+        " (one-time cold costs by design); out-of-band queries re-run"
+        " and re-scored over their best two warm samples",
         "median_spread_pct": spreads[len(spreads) // 2] if spreads else None,
         "max_spread_pct": spreads[-1] if spreads else None,
+        "contamination_gate": gate,
         "per_query": var_per_query,
     }
     # `value` stays min(pass1, pass2) for every query — including the
@@ -226,6 +280,7 @@ def main() -> None:
                 "raw_wall_clock": raw_wall,
                 "variance_median_spread_pct": variance["median_spread_pct"],
                 "variance_max_spread_pct": variance["max_spread_pct"],
+                "contaminated": gate["contaminated"],
                 "queries": kept,
                 "n_queries": len(timings),
                 "omitted_fast": len(timings) - len(kept),
@@ -246,6 +301,7 @@ def main() -> None:
         "raw_wall_clock": raw_wall,
         "variance_median_spread_pct": variance["median_spread_pct"],
         "variance_max_spread_pct": variance["max_spread_pct"],
+        "contaminated": gate["contaminated"],
         "queries": kept,
         "n_queries": len(timings),
         "omitted_fast": len(timings) - len(kept),

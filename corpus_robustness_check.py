@@ -68,42 +68,32 @@ KNOWN_EMPTY: dict[str, str] = {
     "semantic_dedup_stats": "trainer-contract: kmeans refuses 0 training vectors (clean ValueError)",
 }
 
-# --- nulls-corpus manifest: adjudications + the r11 fix queue --------
-# Classes: [contract] = documented loud non-null input contracts
-# (grouped/global_prefix_sum raise with remediation text); [queued-*]
-# = real divergences/crashes found by this probe, queued for the r11+
-# changed head (each fix alters comparison semantics or UDF behavior,
-# so it must ride a driver re-confirmation slot — see COVERAGE.md
-# round-10 "NULL-injection" section for the per-query fix plan).
+# --- nulls-corpus manifest: the 4 remaining [contract] rows ----------
+# The r10 probe's 4 P1 bugs and 7 P2 divergences were all FIXED in
+# r11 (engine + oracle mirrored, each riding a changed driver slot —
+# see _CHANGED_R11 in __spark_entry__.py). What remains: documented
+# loud non-null input contracts (grouped/global_prefix_sum raise with
+# remediation text). The query-level NULL posture for these four
+# ("counts 0" vs "excluded") rides their queued r12 scan-fix slots
+# (three of the four are in the scan queue; the decision lands with
+# the persist).
 KNOWN_NULLS: dict[str, str] = {
     "mixture_build_plan": "[contract] grouped_prefix_sum non-null bucket-key contract (NULL text -> NULL token count)",
     "token_budget_sample": "[contract] grouped_prefix_sum non-null bucket-key contract",
     "robust_value_stats": "[contract] grouped_prefix_sum non-null bucket-key contract (NULL value cents)",
     "padding_waste_report": "[contract] global_prefix_sum non-null order-key contract",
-    "streaming_quota_enforcement": "[queued-P1] NaN leaks into int64 state under NULL value — state-corruption bug, top of r11 queue",
-    "media_decode_meta": "[queued-P1] pandas UDF lacks NULL-binary guard (worker exception)",
-    "media_phash_dups": "[queued-P1] pandas UDF lacks NULL-binary guard (worker exception)",
-    "ewma_event_value": "[queued-P1] DIVIDE_BY_ZERO when a (type, day) group is all-NULL values",
-    "asof_last_purchase": "[queued-P2] NULL ordering: Spark NULLS FIRST vs DuckDB NULLS LAST in the asof window",
-    "bloom_history_dedup": "[queued-P2] md5(NULL text) -> NULL fp drops rows asymmetrically",
-    "frame_sample_inventory": "[queued-P2] size(tokens(NULL)) = -1 in Spark vs NULL in SQL",
-    "lang_id_confusion": "[queued-P2] NULL text rows classified vs dropped",
-    "per_group_trend_forecast": "[queued-P2] NULL value in regression sums -> NULL slope vs computed slope",
-    "sequence_packing_stats": "[queued-P2] size(tokens(NULL)) = -1 vs NULL token count",
-    "streaming_incremental_dedup": "[queued-P2] NULL-fp probe rows statused differently across engines",
 }
 
 
 # --- unicode-corpus manifest -----------------------------------------
-# All four are ORACLE-expressibility limits, not engine divergences:
-# the synthetic media shims derive their fake BLOB column from text,
-# and DuckDB refuses non-ASCII STRING -> BLOB casts outright (the
-# Spark sides run fine). Queued low-priority: rewrite those oracle
-# shims via encode() when the media queries next ride a changed slot.
+# Both are ORACLE-expressibility limits, not engine divergences: the
+# synthetic media shims derive their fake BLOB column from text, and
+# DuckDB refuses non-ASCII STRING -> BLOB casts outright (the Spark
+# sides run fine). media_decode_meta and frame_sample_inventory were
+# rewritten via encode() in r11 (they rode changed slots for their
+# NULL fixes); these two ride their own r12 slots.
 KNOWN_UNICODE: dict[str, str] = {
     "audio_chunk_inventory": "[oracle-shim] DuckDB STRING->BLOB cast refuses non-ASCII; use encode()",
-    "frame_sample_inventory": "[oracle-shim] DuckDB STRING->BLOB cast refuses non-ASCII; use encode()",
-    "media_decode_meta": "[oracle-shim] DuckDB STRING->BLOB cast refuses non-ASCII; use encode()",
     "media_inventory": "[oracle-shim] DuckDB STRING->BLOB cast refuses non-ASCII; use encode()",
 }
 

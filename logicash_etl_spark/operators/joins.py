@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 
@@ -124,9 +125,13 @@ def asof_join(
 
     Strategy (pure DataFrame, no Python boundary): union the two
     sides tagged by origin, sort within key by time, and carry the
-    most recent right-side values forward with ``last(ignorenulls)``
-    over an unbounded-preceding window — one shuffle on the key,
-    no per-group pandas. This is the classic streaming-merge
+    most recent right ROW forward as a single struct with
+    ``last(ignorenulls)`` over an unbounded-preceding window — one
+    shuffle on the key, no per-group pandas. The struct wrapper is
+    load-bearing: it is non-null for every right row even when its
+    fields are null, so a NULL field in the latest right row is
+    matched AS NULL (SQL ASOF semantics) instead of skipped in favor
+    of a stale older row's value. This is the classic streaming-merge
     re-expressed as a window; it scales as long as a single key's
     rows fit a partition (same constraint as any windowed op), and
     skewed keys split via AQE.
@@ -135,19 +140,33 @@ def asof_join(
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
     rcols = [c for c in right.columns if c not in keys and c != right_ts]
 
+    # right-side payload rides as ONE struct: the struct is non-null
+    # for every right row even when its FIELDS are null, so
+    # last(ignorenulls) lands on the latest right ROW — a per-column
+    # last(ignorenulls) would skip a legitimately-NULL field and leak
+    # a STALE older row's value into the match (SQL ASOF semantics
+    # take the whole row, nulls included)
+    r_payload = F.struct(
+        *[F.col(c).alias(c) for c in rcols],
+        F.col(right_ts).alias("__rt"),
+    )
+    r_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in rcols]
+        + [T.StructField("__rt", right.schema[right_ts].dataType)]
+    )
     l_tag = left.select(
         *keys,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in rcols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tag = right.select(
         *keys,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+        r_payload.alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag)
 
@@ -172,18 +191,17 @@ def asof_join(
         "__t",
         "__is_left",
         *[F.col(c) for c in lcols],
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in rcols
-        ],
-        F.last(F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True)
-        .over(w)
-        .alias(f"{right_ts}{suffix}"),
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r"),
     )
     return (
         filled.filter(F.col("__is_left") == 1)
-        .drop("__is_left")
-        .withColumnRenamed("__t", left_ts)
+        .select(
+            *keys,
+            F.col("__t").alias(left_ts),
+            *[F.col(c) for c in lcols],
+            *[F.col(f"__r.{c}").alias(f"{c}{suffix}") for c in rcols],
+            F.col("__r.__rt").alias(f"{right_ts}{suffix}"),
+        )
     )
 
 

@@ -114,13 +114,29 @@ def decode_image_meta(
         for pdf in it:
             out = {"id": [], "width": [], "height": [], "format": [], "media_bytes": []}
             for i, data in zip(pdf["id"], pdf["data"]):
-                w, h, fmt = kernel(bytes(data))
+                # NULL media: emit the row with null metadata — the
+                # "nulls preserved" contract; calling the kernel on
+                # None would kill the whole Python worker for one
+                # bad row
+                if data is None:
+                    w, h, fmt, nb = None, None, None, None
+                else:
+                    w, h, fmt = kernel(bytes(data))
+                    nb = len(data)
                 out["id"].append(i)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["format"].append(fmt)
-                out["media_bytes"].append(len(data))
-            yield pd.DataFrame(out)
+                out["media_bytes"].append(nb)
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(out["id"], dtype="Int64"),
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "format": out["format"],
+                    "media_bytes": pd.array(out["media_bytes"], dtype="Int64"),
+                }
+            )
 
     return cols.mapInPandas(batches, schema=IMAGE_META_SCHEMA)
 
@@ -202,8 +218,20 @@ def phash_image(
             ids, hashes = [], []
             for i, data in zip(pdf["id"], pdf["data"]):
                 ids.append(i)
-                hashes.append(_dhash64(pixel_kernel(bytes(data))))
-            yield pd.DataFrame({"id": ids, "phash": hashes})
+                # NULL media has no perceptual content: null phash
+                # (downstream banding joins never match NULL keys, so
+                # such rows pair with nothing — mirrored by the SQL
+                # oracle's NULL-never-equals join semantics)
+                hashes.append(
+                    None if data is None
+                    else _dhash64(pixel_kernel(bytes(data)))
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="Int64"),
+                    "phash": pd.array(hashes, dtype="Int64"),
+                }
+            )
 
     return cols.mapInPandas(batches, schema="id long, phash long")
 

@@ -483,15 +483,31 @@ def per_group_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         # datetime64[ns] regardless of Arrow's wire unit, then seconds
         x = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
-        y = pdf["value"].to_numpy()
-        if len(pdf) < 2 or np.ptp(x) == 0.0:
-            # degenerate group: no trend is fittable (polyfit SVD fails)
+        y = pdf["value"].to_numpy(dtype="float64")
+        # SQL regr_* semantics: a pair with a NULL member is excluded
+        # from the fit (a NaN would otherwise poison the whole
+        # group's slope); n stays count(*) and the forecast horizon
+        # stays the group's last NON-NULL event time — exactly what
+        # the oracle's count(*) / max(epoch(ts)) compute (NaT casts
+        # to int64 garbage, so the mask comes from pandas isna)
+        m = (~pdf["ts"].isna() & ~pdf["value"].isna()).to_numpy()
+        ts_ok = ~pdf["ts"].isna().to_numpy()
+        xv, yv = x[m], y[m]
+        if len(xv) < 2 or np.ptp(xv) == 0.0:
+            # degenerate group: no trend is fittable (polyfit SVD
+            # fails; regr_slope is NULL on <2 pairs / zero variance)
             slope, forecast = None, None
         else:
-            x0 = x - x.min()
-            slope_f, intercept = np.polyfit(x0, y, 1)
+            x0 = xv - xv.min()
+            slope_f, intercept = np.polyfit(x0, yv, 1)
             slope = round(float(slope_f) * 86_400.0, 6)
-            forecast = round(float(intercept + slope_f * (x0.max() + 86_400.0)), 4)
+            forecast = round(
+                float(
+                    intercept
+                    + slope_f * (x[ts_ok].max() - xv.min() + 86_400.0)
+                ),
+                4,
+            )
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],

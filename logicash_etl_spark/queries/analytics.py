@@ -266,12 +266,16 @@ def order_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "revenue_concentration_gini",
     oracle="""
-    WITH cr AS (
+    WITH cr0 AS (
       SELECT c_mktsegment, c_custkey,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
                AS cents
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1, 2
+    ), cr AS (
+      -- all-NULL-revenue customers are excluded from the Gini
+      -- population by contract (unknown revenue has no rank)
+      SELECT * FROM cr0 WHERE cents IS NOT NULL
     ), rk AS (
       SELECT c_mktsegment, cents,
              CAST(row_number() OVER (PARTITION BY c_mktsegment
@@ -317,18 +321,31 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-row aggregate. At corpus sizes where n*Σx nears 2^63, coarsen
     the currency unit (Gini is scale-invariant; the floor-div
     quantization is the only change) or lift to DECIMAL(38,0)."""
+    from logicash_etl_spark.operators.caching import scoped_persist
     from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
 
     o = read_table(spark, sf_dir, "orders").select(
         "o_custkey", money("o_totalprice").alias("__p")
     )
+    # NULL-cents posture (decided r11): a customer whose every order
+    # has NULL o_totalprice has UNKNOWN revenue — excluded from the
+    # Gini population rather than ranked at an arbitrary NULL sort
+    # position (grouped_prefix_sum would refuse the NULL bucket key
+    # loudly anyway); mirrored by the oracle's IS NOT NULL. The
+    # per-customer rollup (4 narrow cols) persists: the bucket-stat
+    # and rank passes inside grouped_prefix_sum re-read it instead
+    # of re-running the orders scan + join per pass.
     cust_rev = o.groupBy("o_custkey").agg(
         (F.sum("__p") * 100).cast("bigint").alias("cents")
     )
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    cr = cust_rev.join(
-        broadcast_bounded(c, bounded=False), cust_rev.o_custkey == c.c_custkey
-    ).select("c_mktsegment", "c_custkey", "cents", F.lit(1).alias("__one"))
+    cr = scoped_persist(
+        cust_rev.join(
+            broadcast_bounded(c, bounded=False), cust_rev.o_custkey == c.c_custkey
+        )
+        .filter(F.col("cents").isNotNull())
+        .select("c_mktsegment", "c_custkey", "cents", F.lit(1).alias("__one"))
+    )
     ranked = grouped_prefix_sum(
         cr,
         group_col="c_mktsegment",
@@ -575,7 +592,9 @@ def user_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT event_id, user_id, value,
-           round(CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 100.0), 6) AS ewma
+           CASE WHEN den = 0 THEN NULL
+                ELSE round(CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 100.0), 6)
+           END AS ewma
     FROM t
     """,
 )
@@ -604,11 +623,18 @@ def ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     num = F.coalesce(F.lag('cents', 0).over(w) * F.lit(512), F.lit(0)) + F.coalesce(F.lag('cents', 1).over(w) * F.lit(256), F.lit(0)) + F.coalesce(F.lag('cents', 2).over(w) * F.lit(128), F.lit(0)) + F.coalesce(F.lag('cents', 3).over(w) * F.lit(64), F.lit(0)) + F.coalesce(F.lag('cents', 4).over(w) * F.lit(32), F.lit(0)) + F.coalesce(F.lag('cents', 5).over(w) * F.lit(16), F.lit(0)) + F.coalesce(F.lag('cents', 6).over(w) * F.lit(8), F.lit(0)) + F.coalesce(F.lag('cents', 7).over(w) * F.lit(4), F.lit(0)) + F.coalesce(F.lag('cents', 8).over(w) * F.lit(2), F.lit(0)) + F.coalesce(F.lag('cents', 9).over(w) * F.lit(1), F.lit(0))
     den = F.when(F.lag('cents', 0).over(w).isNotNull(), F.lit(512)).otherwise(F.lit(0)) + F.when(F.lag('cents', 1).over(w).isNotNull(), F.lit(256)).otherwise(F.lit(0)) + F.when(F.lag('cents', 2).over(w).isNotNull(), F.lit(128)).otherwise(F.lit(0)) + F.when(F.lag('cents', 3).over(w).isNotNull(), F.lit(64)).otherwise(F.lit(0)) + F.when(F.lag('cents', 4).over(w).isNotNull(), F.lit(32)).otherwise(F.lit(0)) + F.when(F.lag('cents', 5).over(w).isNotNull(), F.lit(16)).otherwise(F.lit(0)) + F.when(F.lag('cents', 6).over(w).isNotNull(), F.lit(8)).otherwise(F.lit(0)) + F.when(F.lag('cents', 7).over(w).isNotNull(), F.lit(4)).otherwise(F.lit(0)) + F.when(F.lag('cents', 8).over(w).isNotNull(), F.lit(2)).otherwise(F.lit(0)) + F.when(F.lag('cents', 9).over(w).isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    # den = 0 (every value in the 10-lag window NULL) has no EWMA:
+    # NULL by contract in BOTH engines — ANSI Spark would otherwise
+    # raise DIVIDE_BY_ZERO, IEEE DuckDB would emit NaN
     return ev.select(
         "event_id", "user_id", "value",
-        F.round(
-            num.cast("double") / (den.cast("double") * F.lit(100.0)), 6
-        ).alias("ewma"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                num.cast("double") / (den.cast("double") * F.lit(100.0)), 6
+            )
+        )
+        .alias("ewma"),
     )
 
 

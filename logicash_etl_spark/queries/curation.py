@@ -175,8 +175,11 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence_packing_stats",
     oracle=r"""
     WITH t AS (
+      -- COALESCE: a NULL-text doc occupies 0 tokens in the packing
+      -- stream but keeps its slot in the doc order (mirrored Spark-
+      -- side; Spark's size(NULL) = -1 would corrupt the offsets)
       SELECT doc_id, source,
-             len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+             len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'), x -> x <> ''))
                AS n_tokens
       FROM documents
     ), packed AS (
@@ -202,10 +205,22 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     each source) — packing stays parallel even when one source holds
     most of the corpus, where a plain per-source window would
     serialize it through one task at 100 TB."""
+    from logicash_etl_spark.operators.caching import scoped_persist
     from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
 
     docs = scale_out(read_table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
-    t = docs.select("doc_id", "source", F.size(tokens("text")).alias("n_tokens"))
+    # NULL text packs as 0 tokens (coalesce BEFORE tokenize — Spark's
+    # size(NULL) is -1, which would walk the running offsets
+    # backwards); the per-doc count frame (3 narrow cols) persists so
+    # grouped_prefix_sum's bucket-stat and rank passes re-read it
+    # instead of re-tokenizing the corpus per pass
+    t = scoped_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("n_tokens"),
+        )
+    )
     packed = grouped_prefix_sum(
         t,
         group_col="source",
@@ -376,10 +391,11 @@ def sentence_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT sha256(text) AS hx,
-             octet_length(CAST(text AS BLOB)) AS nb
+             octet_length(encode(text)) AS nb
       FROM documents
     ), meta AS (
-      SELECT CASE WHEN CAST(('0x' || substr(hx, 5, 2)) AS INT) % 2 = 1
+      SELECT CASE WHEN hx IS NULL THEN NULL
+                  WHEN CAST(('0x' || substr(hx, 5, 2)) AS INT) % 2 = 1
                   THEN 'png' ELSE 'jpeg' END AS format,
              16 + CAST(('0x' || substr(hx, 1, 2)) AS INT) % 64 AS width,
              16 + CAST(('0x' || substr(hx, 3, 2)) AS INT) % 64 AS height,
@@ -457,8 +473,12 @@ def variant_json_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frame_sample_inventory",
     oracle="""
     WITH media AS (
-      SELECT doc_id, source, octet_length(CAST(text AS BLOB)) AS nb
+      -- NULL media cannot be frame-sampled: only decodable rows are
+      -- inventoried (mirrors Spark's explode over a NULL sequence
+      -- emitting zero rows)
+      SELECT doc_id, source, octet_length(encode(text)) AS nb
       FROM documents
+      WHERE text IS NOT NULL
     ), frames AS (
       SELECT source, len(generate_series(0, CAST(floor(nb / 100.0) AS INT), 10))
                AS n_sampled

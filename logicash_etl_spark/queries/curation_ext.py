@@ -633,10 +633,17 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bloom_history_dedup",
     oracle=r"""
     WITH fps AS (
+      -- NULL text fingerprints as empty text (md5('')) — the dedup
+      -- family contract (cf. streaming_incremental_dedup): every doc
+      -- gets a non-null fp, so no row ever silently drops out of the
+      -- ingest decision report
+      -- outer COALESCE: DuckDB array_to_string([]) is NULL where
+      -- Spark array_join([]) is '' — the empty-lead fingerprint must
+      -- be md5('') on both engines
       SELECT doc_id, source,
-             md5(array_to_string(
-               (list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                            x -> x <> ''))[1:8], ' ')) AS fp
+             md5(COALESCE(array_to_string(
+               (list_filter(string_split_regex(trim(lower(COALESCE(text, ''))), '\s+'),
+                            x -> x <> ''))[1:8], ' '), '')) AS fp
       FROM documents
     ), hist AS (
       SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8
@@ -712,21 +719,32 @@ def bloom_history_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from logicash_etl_spark.operators.text import tokens
 
+    from logicash_etl_spark.operators.caching import scoped_persist
+
     m_bits, k = 4096, 3
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.md5(
-            F.array_join(
-                F.slice(tokens(F.lower(F.col("text"))), 1, 8), " "
-            )
-        ).alias("fp"),
+    # NULL text fingerprints as empty text: COALESCE before tokenize,
+    # mirroring the oracle — md5 of a NULL lead would make the row
+    # vanish from the verdict join on one engine and fast-path on the
+    # other. The per-doc fingerprint frame (3 narrow cols) is
+    # persisted: history build, the literal probe's bitmap collect,
+    # and the survivor store join all derive from it, so the text
+    # scan executes once instead of three times
+    docs = scoped_persist(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                        1,
+                        8,
+                    ),
+                    " ",
+                )
+            ).alias("fp"),
+        )
     )
-    # the store pipeline is read twice (the literal probe's bitmap
-    # collect — one bounded job at plan-build — and the survivor
-    # join); recomputing beats persisting at fixture scale, and at
-    # 100 TB the store is a materialized parquet table anyway, so
-    # both reads are plain scans of it
     hist = docs.filter(F.col("doc_id") % 10 < 8).select("fp").distinct()
     incoming = docs.filter(F.col("doc_id") % 10 >= 8)
     bloom = bloom_filter_build(hist, "fp", m_bits=m_bits, k_hashes=k)

@@ -576,12 +576,18 @@ def leakage_safe_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components operator (same posture as dedup_clusters);
     the audit itself is two broadcast-sized joins of the pair list
     against the label frame and a single-row rollup."""
+    from logicash_etl_spark.operators.caching import scoped_persist
     from logicash_etl_spark.operators.graph import dedup_clusters
 
     docs = read_table(spark, sf_dir, "documents")
     pairs = _exact_pairs(spark, sf_dir).select("id_a", "id_b")
-    lab = dedup_clusters(pairs, docs, "doc_id", num_partitions=8).select(
-        "doc_id", "cluster_id"
+    # the label frame (2 ints per doc) feeds FOUR consumers (both pv
+    # join sides, doc_stats, multi) — persisted, the clustering and
+    # its documents scan execute once instead of per consumer
+    lab = scoped_persist(
+        dedup_clusters(pairs, docs, "doc_id", num_partitions=8).select(
+            "doc_id", "cluster_id"
+        )
     )
     pv = (
         pairs.join(

@@ -661,9 +661,13 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_incremental_dedup",
     oracle="""
     WITH hist AS (
-      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 < 8
+      -- COALESCE mirrors the Spark-side NULL-safe fingerprint: a
+      -- NULL-text doc fingerprints as the empty document, it never
+      -- silently drops out of the dedup verdicts
+      SELECT DISTINCT md5(COALESCE(text, '')) AS fp
+      FROM documents WHERE doc_id % 10 < 8
     ), s AS (
-      SELECT doc_id, source, md5(text) AS fp,
+      SELECT doc_id, source, md5(COALESCE(text, '')) AS fp,
              CASE WHEN doc_id % 10 = 8 THEN 1 ELSE 2 END AS lot
       FROM documents WHERE doc_id % 10 >= 8
     ), ranked AS (
@@ -1200,10 +1204,14 @@ def streaming_quota_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
         accepted = batch.head(take)
         used += len(accepted)
         rejected += len(batch) - len(accepted)
+        # NULL-value events consume quota (admission is about event
+        # COUNT) but contribute 0 cents — mirroring SQL SUM's
+        # NULL-skipping. Without the mask, a NULL arrives as NaN and
+        # floor(NaN).astype(int64) CORRUPTS the int64 running state.
+        vals = accepted["value"].to_numpy(dtype="float64")
+        vals = vals[~np.isnan(vals)]
         acc_cents += int(
-            np.floor(accepted["value"].to_numpy() * 100 + 0.5)
-            .astype("int64")
-            .sum()
+            np.floor(vals * 100 + 0.5).astype("int64").sum()
         )
         state.update((used, acc_cents, rejected))
         yield pd.DataFrame(

@@ -67,12 +67,17 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_id_confusion",
     oracle=r"""
     WITH scored AS (
+      -- COALESCE: NULL text scores 0 on every marker -> 'und', the
+      -- same no-evidence verdict Spark's predict_lang reaches (its
+      -- NULL-score WHEN branches all fail through to the default);
+      -- without it the CASE below would fall through NULL
+      -- comparisons to the LAST language branch
       SELECT lang,
-        len(regexp_extract_all(lower(text), '(\b(the|and|of|is|to)\b)')) AS s_en,
-        len(regexp_extract_all(lower(text), '(\b(el|la|de|que|los)\b)')) AS s_es,
-        len(regexp_extract_all(lower(text), '(\b(der|die|und|das|ist)\b)')) AS s_de,
-        len(regexp_extract_all(lower(text), '(\b(le|la|les|et|est)\b)')) AS s_fr,
-        len(regexp_extract_all(lower(text), '(的|是|了|在|我)')) AS s_zh
+        len(regexp_extract_all(lower(COALESCE(text, '')), '(\b(the|and|of|is|to)\b)')) AS s_en,
+        len(regexp_extract_all(lower(COALESCE(text, '')), '(\b(el|la|de|que|los)\b)')) AS s_es,
+        len(regexp_extract_all(lower(COALESCE(text, '')), '(\b(der|die|und|das|ist)\b)')) AS s_de,
+        len(regexp_extract_all(lower(COALESCE(text, '')), '(\b(le|la|les|et|est)\b)')) AS s_fr,
+        len(regexp_extract_all(lower(COALESCE(text, '')), '(的|是|了|在|我)')) AS s_zh
       FROM documents
     ), pred AS (
       SELECT lang,

@@ -60,7 +60,7 @@ MANIFEST: dict[str, dict[str, int]] = {
     "pit_event_enrichment": {"customer": 6},
     "scd2_dimension_report": {"customer": 6},
     "bigram_surprisal_score": {"documents": 4},
-    "bloom_history_dedup": {"documents": 3},
+    # bloom_history_dedup: FIXED r11 (fp frame persisted, 3 -> 1)
     "bloom_join_prune_stats": {"lineitem": 3},
     "bloom_pruned_revenue": {"lineitem": 3},
     "bpe_fertility_by_lang": {"documents": 3},
@@ -76,13 +76,13 @@ MANIFEST: dict[str, dict[str, int]] = {
     "ivf_ann_topk": {"embeddings": 6},
     "kmv_partial_merge": {"orders": 4},
     "knn_label_vote": {"embeddings": 3},
-    "leakage_safe_split_report": {"documents": 4},
+    # leakage_safe_split_report: FIXED r11 (lab frame persisted)
     "pq_ann_topk": {"embeddings": 10},
     "referential_integrity_audit": {"lineitem": 3},
-    "revenue_concentration_gini": {"orders": 4, "customer": 4},
+    # revenue_concentration_gini: FIXED r11 (cr frame persisted)
     "right_to_erasure_audit": {"orders": 3, "customer": 4},
     "semantic_dedup_stats": {"embeddings": 3},
-    "sequence_packing_stats": {"documents": 4},
+    # sequence_packing_stats: FIXED r11 (per-doc count frame persisted)
     "tfidf_top_terms": {"documents": 3},
     "token_budget_sample": {"documents": 4},
     "unigram_surprisal_score": {"documents": 3},
@@ -102,7 +102,7 @@ def main() -> None:
     spark = get_spark(app_name="scan-audit")
     sf = "/root/testdata/sf0.01"
     flagged: dict[str, dict[str, int]] = {}
-    skipped = 0
+    skipped: set[str] = set()
     for name, fn in sorted(QUERIES.items()):
         try:
             df = fn(spark, sf)
@@ -116,11 +116,11 @@ def main() -> None:
                 flagged[name] = over
                 print(f"{name}: {over}", flush=True)
         except Exception as exc:  # noqa: BLE001 — side-effectful queries
-            skipped += 1
+            skipped.add(name)
             print(f"# skipped {name}: {type(exc).__name__}", file=sys.stderr)
         spark.catalog.clearCache()
     print(f"# flagged {len(flagged)} / {len(QUERIES)} queries at "
-          f">={threshold} scans of one fact ({skipped} skipped)")
+          f">={threshold} scans of one fact ({len(skipped)} skipped)")
     if not check:
         return
     if threshold != 3:
@@ -131,12 +131,18 @@ def main() -> None:
         n: over for n, over in flagged.items()
         if any(c > MANIFEST.get(n, {}).get(f, 0) for f, c in over.items())
     }
-    stale = sorted(set(MANIFEST) - set(flagged))
+    # a manifest query that raised during plan build is NOT a landed
+    # fix — report it as its own failure class, never as stale
+    broken = sorted(set(MANIFEST) & skipped)
+    stale = sorted(set(MANIFEST) - set(flagged) - skipped)
     if regressions:
         print(f"# SCAN REGRESSIONS vs manifest: {regressions}")
+    if broken:
+        print(f"# manifest entries that RAISED at plan build "
+              f"(fix the query, then re-audit): {broken}")
     if stale:
         print(f"# stale manifest entries (fix landed — remove): {stale}")
-    raise SystemExit(1 if (regressions or stale) else 0)
+    raise SystemExit(1 if (regressions or stale or broken) else 0)
 
 
 if __name__ == "__main__":
