@@ -20,7 +20,14 @@ ts = st.integers(min_value=0, max_value=500).map(
     lambda s: BASE + dt.timedelta(seconds=s)
 )
 left_row = st.tuples(st.integers(1, 3), ts, st.integers(0, 10_000))
-right_row = st.tuples(st.integers(1, 3), ts, st.floats(0, 100, allow_nan=False))
+# rval includes None: SQL ASOF matches the latest right ROW, nulls
+# included — the r11 struct fix; pandas merge_asof agrees (it carries
+# the matched row's NaN instead of skipping to an older row)
+right_row = st.tuples(
+    st.integers(1, 3),
+    ts,
+    st.one_of(st.none(), st.floats(0, 100, allow_nan=False)),
+)
 
 
 def _spark_asof(spark, lrows, rrows, direction):
