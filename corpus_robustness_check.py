@@ -20,6 +20,9 @@ engines read the same files):
 - ``duppk``: 1/6 of documents/events/orders rows duplicated EXACTLY
   (same ids) — the primary-key-violation corpus the schema contract
   forbids and a partial-load retry produces anyway.
+- ``skew``: one third of events/orders/lineitems funneled to ONE hot
+  user/customer/supplier (FKs reassigned to existing parents) — the
+  hot-key corpus where per-key group size dwarfs a partition.
 
 Each mode carries a committed KNOWN manifest — the adjudicated
 failure set. The sweep exits 0 iff failures EQUAL the manifest: a new
@@ -32,6 +35,7 @@ Usage:
     python corpus_robustness_check.py unicode
     python corpus_robustness_check.py timewarp
     python corpus_robustness_check.py duppk
+    python corpus_robustness_check.py skew
 """
 
 from __future__ import annotations
@@ -136,6 +140,65 @@ KNOWN_DUPPK: dict[str, str] = {
     "streaming_jittered_dedup": "[requires-pk] id-keyed streaming dedup",
     "token_budget_sample_bpe": "[requires-pk] per-doc BPE counts join fan-out",
 }
+
+
+# --- skew-corpus manifest ---------------------------------------------
+# Sixth probe surface (round 11): EXTREME KEY SKEW — one third of all
+# events funneled to one hot user, one third of orders to one hot
+# customer, one third of lineitems to one hot supplier (FK columns
+# reassigned to EXISTING parents, entity PKs untouched, so
+# referential integrity holds by construction). This is the
+# hot-key corpus every 100 TB pipeline eventually meets (a bot
+# account, a house-brand supplier, a default-bucket customer);
+# uniform fixtures never enter the code paths where per-key group
+# size dwarfs a partition. The sweep checks ENGINE AGREEMENT on the
+# same skewed files — results legitimately differ from the clean
+# corpus, but Spark and DuckDB must still agree bit-for-bit.
+KNOWN_SKEW: dict[str, str] = {}
+
+
+def build_skew() -> str:
+    import duckdb
+
+    from oracle_utils import TABLES
+
+    d = tempfile.mkdtemp(prefix="lq_skew_")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW t_{t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+        if t == "events":
+            sel = (
+                "SELECT event_id, ts, "
+                "CASE WHEN event_id % 3 = 0 THEN "
+                "(SELECT min(user_id) FROM t_events) ELSE user_id END "
+                "AS user_id, event_type, value, props FROM t_events"
+            )
+        elif t == "orders":
+            sel = (
+                "SELECT o_orderkey, "
+                "CASE WHEN o_orderkey % 3 = 0 THEN "
+                "(SELECT min(c_custkey) FROM t_customer) ELSE o_custkey "
+                "END AS o_custkey, o_orderstatus, o_totalprice, "
+                "o_orderdate, o_orderpriority FROM t_orders"
+            )
+        elif t == "lineitem":
+            cols = [
+                r[0] for r in con.execute("DESCRIBE t_lineitem").fetchall()
+            ]
+            sel = "SELECT " + ", ".join(
+                "CASE WHEN l_orderkey % 3 = 0 THEN "
+                "(SELECT min(s_suppkey) FROM t_supplier) ELSE l_suppkey "
+                "END AS l_suppkey" if c == "l_suppkey" else c
+                for c in cols
+            ) + " FROM t_lineitem"
+        else:
+            sel = f"SELECT * FROM t_{t}"
+        con.execute(f"COPY ({sel}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return d
 
 
 def build_duppk() -> str:
@@ -299,6 +362,7 @@ MODES = {
     "unicode": (build_unicode, KNOWN_UNICODE),
     "timewarp": (build_timewarp, KNOWN_TIMEWARP),
     "duppk": (build_duppk, KNOWN_DUPPK),
+    "skew": (build_skew, KNOWN_SKEW),
 }
 
 
