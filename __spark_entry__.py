@@ -52,60 +52,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Changed in round 11 — the r10 probes' fix round. The head budget is
 # 37 r5-cohort aging rows (the SURVEY-2 core parity set, owed first)
-# + exactly these 13 changed slots, per the slot plan in COVERAGE.md:
-# 4 P1 null bugs, 7 P2 cross-engine NULL-semantics contracts, 2
-# queued scan fixes (three of the 13 carry a scan fix riding along).
-_CHANGED_R11 = [
-    # P1: NULL value leaked NaN into the int64 quota state
-    # (floor(NaN).astype(int64) garbage); now masked at ingestion —
-    # NULL-value events consume quota, contribute 0 cents (SQL SUM)
-    "streaming_quota_enforcement",
-    # P1: mapInPandas decode kernel now null-guards NULL binary
-    # (emits a null-metadata row instead of killing the worker);
-    # oracle mirrors the NULL format group + encode() unicode shim
-    "media_decode_meta",
-    # P1: phash kernel null-guards NULL binary -> NULL phash, which
-    # pairs with nothing (oracle's a.text = b.text already agrees)
-    "media_phash_dups",
-    # P1: den = 0 (all-NULL 10-lag window) -> NULL ewma by contract
-    # in BOTH engines (was ANSI DIVIDE_BY_ZERO vs IEEE NaN)
-    "ewma_event_value",
-    # P2: asof_join now carries the right row as ONE struct through
-    # last(ignorenulls) — a NULL field in the matched row stays NULL
-    # instead of leaking a stale older row's value
+# + these changed slots, per the slot plan in COVERAGE.md.
+#
+# Round 12: the scan-fix sweep (18 manifest rows persisted, 8 of
+# them r6-vintage so they double as cohort refreshes), the 4
+# [contract] NULL-key posture decisions, the 2 remaining unicode
+# media oracle shims, the value_trend_stats oracle DECIMAL widening,
+# and the asof_join NULL-timestamp contract fix. 25 changed slots of
+# which 8 are r6 rows, leaving 25 aging slots = the other 19 r6 rows
+# + 6 r7 rows: the full 27-row r6 cohort is consumed this round.
+_CHANGED_R12 = [
+    # -- scan fixes, r6-vintage (cohort refresh rides along) --------
+    "pit_event_enrichment",        # customer 6 -> persisted dim proj
+    "bpe_fertility_by_lang",       # documents 3 -> 1
+    "exact_substring_cut_stats",   # documents 3 -> 1
+    "exact_substring_dedup_apply", # documents 4 -> fewer
+    "hard_negative_mining",        # embeddings 4 -> fewer
+    "incremental_join_maintenance",  # orders 4 + lineitem 4
+    "incremental_minhash_dedup",   # documents 3 -> 1
+    "pq_ann_topk",                 # embeddings 10 -> fewer
+    # -- scan fixes, non-r6 -----------------------------------------
+    "kmv_partial_merge",           # orders 4 -> 1
+    "fuzzy_name_match",            # part 8 -> persisted blocking frame
+    "part_name_edit_pairs",        # part 6 -> persisted proj
+    "scd2_dimension_report",       # customer 6 -> persisted base/update
+    "brand_set_ops",               # part 4 -> persisted brand proj
+    "ivf_ann_topk",                # embeddings 6 -> fewer
+    "right_to_erasure_audit",      # orders 3 + customer 4
+    "incremental_agg_maintenance", # orders 3 -> 1
+    "calendar_gap_fill",           # orders 3 -> 1
+    # -- [contract] NULL-key postures decided + pinned ----------------
+    "token_budget_sample",         # also a scan-fix row (documents 4)
+    "mixture_build_plan",
+    "robust_value_stats",
+    "padding_waste_report",
+    # -- unicode media oracle shims rewritten via encode() ------------
+    "audio_chunk_inventory",
+    "media_inventory",
+    # -- oracle DECIMAL(38) widening (epoch-scale x*x sums) -----------
+    "value_trend_stats",
+    # -- asof_join: NULL-timestamp rows never match (both sides) ------
     "asof_last_purchase",
-    # P2: NULL text fingerprints as empty text in BOTH engines +
-    # oracle LEFT-join posture; scan fix rides along (fp frame
-    # persisted: 3 documents scans -> 1)
-    "bloom_history_dedup",
-    # P2: only decodable (non-NULL) media are inventoried — oracle
-    # mirrors Spark's explode-drop; encode() unicode shim
-    "frame_sample_inventory",
-    # P2: NULL text -> 'und' in both engines (oracle's CASE fell
-    # through NULL comparisons to 'zh')
-    "lang_id_confusion",
-    # P2: regr_* NULL-pair semantics in the pandas fit (NaN poisoned
-    # the whole group's slope)
-    "per_group_trend_forecast",
-    # P2: NULL text packs as 0 tokens in both engines (Spark
-    # size(NULL) = -1 walked offsets backwards); per-doc count frame
-    # persisted (scan fix: documents 4 -> 1)
-    "sequence_packing_stats",
-    # P2: oracle now mirrors the Spark side's md5(COALESCE(text,''))
-    # fingerprint (docstring claimed it already did; it did not)
-    "streaming_incremental_dedup",
-    # scan fix: cluster-label frame persisted (4 consumers -> one
-    # clustering execution; documents 4 -> ~2)
-    "leakage_safe_split_report",
-    # scan fix: per-customer rollup persisted (orders/customer 4 ->
-    # 1); NULL-cents posture decided: unknown revenue is EXCLUDED
-    # from the Gini population, mirrored in the oracle
-    "revenue_concentration_gini",
 ]
 
 # Round-agnostic alias: tests and tooling reference this name so the
 # per-round list can be renamed without touching them.
-_CHANGED_THIS_ROUND = _CHANGED_R11
+_CHANGED_THIS_ROUND = _CHANGED_R12
 
 
 def _green_rounds() -> dict[str, int]:

@@ -152,26 +152,38 @@ def main() -> None:
     out_of_band = sorted(
         n for n, v in var_per_query.items() if v["spread_pct"] > threshold_pct
     )
+    def _spread(pair: list[float]) -> float | None:
+        if len(pair) == 2 and pair[0] > 0:
+            return round(100 * (pair[1] - pair[0]) / pair[0], 2)
+        return None
+
     for name in out_of_band:
-        samples = list(var_per_query[name]["warm_samples"])
+        warm = list(var_per_query[name]["warm_samples"])
+        # rerun samples live in their OWN key: the original warm pair
+        # stays distinguishable in the artifact, so a bimodal query
+        # (plan-choice flake alternating fast/slow) can't launder two
+        # fast reruns into an in-band-looking history
+        reruns: list[float] = []
         for _ in range(2):
             extra = run_one(name)
             if extra >= 0:
-                samples.append(extra)
-            best = sorted(s for s in samples if s >= 0)[:2]
-            if len(best) == 2 and best[0] > 0:
-                spread = round(100 * (best[1] - best[0]) / best[0], 2)
-                if spread <= threshold_pct:
-                    break
-        best = sorted(s for s in samples if s >= 0)[:2]
-        spread = (
-            round(100 * (best[1] - best[0]) / best[0], 2)
-            if len(best) == 2 and best[0] > 0
-            else var_per_query[name]["spread_pct"]
-        )
+                reruns.append(extra)
+            best = sorted(s for s in warm + reruns if s >= 0)[:2]
+            if _spread(best) is not None and _spread(best) <= threshold_pct:
+                break
+        pool = sorted(s for s in warm + reruns if s >= 0)
+        best2, worst2 = pool[:2], pool[-2:]
+        spread = _spread(best2)
+        if spread is None:
+            spread = var_per_query[name]["spread_pct"]
         var_per_query[name] = {
-            "warm_samples": samples,
+            "warm_samples": warm,
+            "rerun_samples": reruns,
             "spread_pct": spread,
+            # worst-two spread over ALL samples: best-two scoring can
+            # only detect sustained slowness; this keeps bimodality
+            # visible even when the best-two verdict lands in-band
+            "worst_two_spread_pct": _spread(worst2),
             "rerun": True,
         }
     # rebuild the aggregate spread list from the (possibly re-scored)

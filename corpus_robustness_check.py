@@ -75,21 +75,16 @@ KNOWN_EMPTY: dict[str, str] = {
     "semantic_dedup_stats": "trainer-contract: kmeans refuses 0 training vectors (clean ValueError)",
 }
 
-# --- nulls-corpus manifest: the 4 remaining [contract] rows ----------
-# The r10 probe's 4 P1 bugs and 7 P2 divergences were all FIXED in
-# r11 (engine + oracle mirrored, each riding a changed driver slot —
-# see _CHANGED_R11 in __spark_entry__.py). What remains: documented
-# loud non-null input contracts (grouped/global_prefix_sum raise with
-# remediation text). The query-level NULL posture for these four
-# ("counts 0" vs "excluded") rides their queued r12 scan-fix slots
-# (three of the four are in the scan queue; the decision lands with
-# the persist).
-KNOWN_NULLS: dict[str, str] = {
-    "mixture_build_plan": "[contract] grouped_prefix_sum non-null bucket-key contract (NULL text -> NULL token count)",
-    "token_budget_sample": "[contract] grouped_prefix_sum non-null bucket-key contract",
-    "robust_value_stats": "[contract] grouped_prefix_sum non-null bucket-key contract (NULL value cents)",
-    "padding_waste_report": "[contract] global_prefix_sum non-null order-key contract",
-}
+# --- nulls-corpus manifest -------------------------------------------
+# EMPTY as of r12: the last 4 [contract] rows decided their query-
+# level NULL postures (mixture_build_plan / token_budget_sample /
+# padding_waste_report: NULL text COUNTS 0 tokens, the
+# sequence_packing_stats precedent; robust_value_stats: NULL value
+# EXCLUDED, SQL-aggregate semantics), mirrored in both engines and
+# pinned here. The prefix-sum operators keep their loud non-null key
+# contracts for raw callers; the catalog queries now satisfy them by
+# construction.
+KNOWN_NULLS: dict[str, str] = {}
 
 
 # --- unicode-corpus manifest -----------------------------------------

@@ -139,6 +139,22 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
     rcols = [c for c in right.columns if c not in keys and c != right_ts]
+    if "__rt" in rcols:
+        raise ValueError(
+            "asof_join reserves the right-payload field name '__rt'; "
+            "rename the right column before joining"
+        )
+
+    # NULL timestamps never participate in the as-of ordering (SQL
+    # ASOF semantics: a NULL ts matches nothing on either side). A
+    # NULL-ts RIGHT row would otherwise sort NULLS-FIRST under the
+    # ascending window and be carried forward as the 'earliest' match
+    # for left rows with no real predecessor — drop them before the
+    # union. NULL-ts LEFT rows stay: with right nulls gone and the
+    # window ordered NULLS FIRST in BOTH directions, they sort before
+    # every right row and naturally resolve to a NULL payload (the
+    # left-outer posture) in the same single pass.
+    right = right.filter(F.col(right_ts).isNotNull())
 
     # right-side payload rides as ONE struct: the struct is non-null
     # for every right row even when its FIELDS are null, so
@@ -174,13 +190,16 @@ def asof_join(
         # right rows sort before left rows at equal ts => `<=` semantics
         w = (
             W.partitionBy(*keys)
-            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .orderBy(F.col("__t").asc_nulls_first(), F.col("__is_left").asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
     elif direction == "forward":
+        # desc_nulls_first so NULL-ts LEFT rows precede every right
+        # row (desc defaults to NULLS LAST, which would hand them the
+        # final right struct as a bogus match)
         w = (
             W.partitionBy(*keys)
-            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .orderBy(F.col("__t").desc_nulls_first(), F.col("__is_left").asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
     else:
@@ -193,15 +212,14 @@ def asof_join(
         *[F.col(c) for c in lcols],
         F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r"),
     )
-    return (
-        filled.filter(F.col("__is_left") == 1)
-        .select(
-            *keys,
-            F.col("__t").alias(left_ts),
-            *[F.col(c) for c in lcols],
-            *[F.col(f"__r.{c}").alias(f"{c}{suffix}") for c in rcols],
-            F.col("__r.__rt").alias(f"{right_ts}{suffix}"),
-        )
+    # getField, not the dotted "__r.{c}" path: a right column name
+    # containing a dot would break the path parse
+    return filled.filter(F.col("__is_left") == 1).select(
+        *keys,
+        F.col("__t").alias(left_ts),
+        *[F.col(c) for c in lcols],
+        *[F.col("__r").getField(c).alias(f"{c}{suffix}") for c in rcols],
+        F.col("__r").getField("__rt").alias(f"{right_ts}{suffix}"),
     )
 
 

@@ -726,6 +726,7 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, event_id,
              CAST(round(value * 100) AS BIGINT) AS cents
       FROM events
+      WHERE value IS NOT NULL
     ), r AS (
       SELECT event_type, cents,
              row_number() OVER (PARTITION BY event_type
@@ -781,8 +782,15 @@ def robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-type count — 5 executed events scans unpersisted (audited
     # r9). The persisted frame is the 3-narrow-column projection, not
     # the raw events table.
+    # NULL-value posture (r12 [contract] decision): EXCLUDED. A
+    # trimmed/winsorized mean over unknown values is undefined, and
+    # SQL aggregates ignore NULLs — the oracle filters identically;
+    # without the filter a NULL cents violates the rank scan's
+    # non-null bucket-key contract (loud raise on the nulls corpus).
     ev = scoped_persist(
-        read_table(spark, sf_dir, "events").select(
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
             "event_type", "event_id",
             F.round(F.col("value") * 100).cast("bigint").alias("cents"),
         )

@@ -156,8 +156,10 @@ def incremental_lot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id, source,
-             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-                                  x -> x <> '')) AS BIGINT) AS n_tokens
+             CAST(COALESCE(len(list_filter(string_split_regex(trim(text),
+                                                              '\s+'),
+                                           x -> x <> '')), 0)
+                  AS BIGINT) AS n_tokens
       FROM documents
     ), cum AS (
       SELECT doc_id, source, n_tokens,
@@ -180,12 +182,28 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHIN each source — the de-skewed scan mixture_build_plan uses),
     so a dominant source never lands its whole doc set on one
     reducer; the token count is computed in the same pass as the
-    scan (no second read)."""
+    scan (no second read).
+
+    NULL-text posture (r12 [contract] decision): COUNTS 0 — a NULL
+    document is admitted like an empty one, consuming no budget
+    (the sequence_packing_stats precedent); the oracle COALESCEs
+    identically. The per-doc count frame is persisted: the prefix
+    sum's internal consumers (range stats, local window, bucket
+    offsets) otherwise re-tokenized the corpus per consumer (4
+    executed documents scans, audited r10)."""
+    from logicash_etl_spark.operators.caching import scoped_persist
     from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
 
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    toks = scoped_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.when(F.col("text").isNull(), F.lit(0))
+            .otherwise(F.size(tokens("text")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
     )
     return (
         grouped_prefix_sum(
@@ -452,8 +470,10 @@ def temperature_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id, source,
-             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-                                  x -> x <> '')) AS BIGINT) AS n_tokens
+             CAST(COALESCE(len(list_filter(string_split_regex(trim(text),
+                                                              '\s+'),
+                                           x -> x <> '')), 0)
+                  AS BIGINT) AS n_tokens
       FROM documents
     ), stats AS (
       SELECT source,
@@ -521,11 +541,16 @@ def mixture_build_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer (8 executed documents scans — audited r9); persisting
     # the per-doc count frame (3 narrow columns, no text) and the
     # |sources|-row budget frame makes it ONE corpus scan.
+    # NULL-text posture (r12 [contract] decision): COUNTS 0 — same
+    # contract as token_budget_sample; the oracle COALESCEs too.
     toks = scoped_persist(
         read_table(spark, sf_dir, "documents").select(
             "doc_id",
             "source",
-            F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+            F.when(F.col("text").isNull(), F.lit(0))
+            .otherwise(F.size(tokens("text")))
+            .cast("bigint")
+            .alias("n_tokens"),
         )
     )
     stats = toks.groupBy("source").agg(
@@ -1093,8 +1118,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH d AS (
       SELECT doc_id,
-             len(list_filter(string_split_regex(trim(text), '\s+'),
-                             x -> x <> '')) AS n_tok
+             COALESCE(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> x <> '')), 0) AS n_tok
       FROM documents
     ), a AS (
       SELECT n_tok,
@@ -1152,8 +1177,16 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logicash_etl_spark.operators.text import token_count
 
     batch_size = 32
+    # NULL-text posture (r12 [contract] decision): COUNTS 0 — a NULL
+    # document occupies a batch slot with zero real tokens, exactly
+    # like an empty one (oracle COALESCEs identically); it also keeps
+    # the composite sort key non-null for global_prefix_sum's
+    # non-null order-key contract.
     docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", token_count(F.col("text")).alias("n_tok")
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(token_count(F.col("text")))
+        .alias("n_tok"),
     )
 
     def strategy(name: str, key: F.Column) -> DataFrame:

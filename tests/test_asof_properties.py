@@ -91,3 +91,43 @@ def test_asof_matches_pandas(spark, lrows, rrows, direction):
     assert set(got) == set(want)
     for key in want:
         assert got[key] == want[key], f"{direction} {key}: {got[key]} != {want[key]}"
+
+
+def test_null_ts_rows_never_match(spark):
+    """SQL ASOF: NULL timestamps match nothing on either side. A
+    NULL-ts right row must not be carried as the 'earliest' match
+    under forward/backward windows (it used to sort NULLS FIRST into
+    the ascending window); a NULL-ts left row keeps its row with a
+    NULL payload in both directions."""
+    left = spark.createDataFrame(
+        [(1, BASE, 10), (1, None, 11)],
+        "k long, ts timestamp, lval long",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, BASE + dt.timedelta(seconds=5), 7.0)],
+        "k long, ts timestamp, rval double",
+    )
+    for direction, want_real in (("backward", None), ("forward", 7.0)):
+        out = {
+            (r.lval): (r.rval_right, r.ts_right)
+            for r in asof_join(
+                left, right, on="k", direction=direction
+            ).collect()
+        }
+        assert len(out) == 2
+        # NULL-ts left row: present, never matched
+        assert out[11] == (None, None)
+        # real left row: never matched to the NULL-ts right row
+        if want_real is None:
+            assert out[10] == (None, None)
+        else:
+            assert out[10] == (7.0, BASE + dt.timedelta(seconds=5))
+
+
+def test_reserved_rt_column_raises(spark):
+    left = spark.createDataFrame([(1, BASE, 1)], "k long, ts timestamp, lval long")
+    right = spark.createDataFrame(
+        [(1, BASE, 2)], "k long, ts timestamp, __rt long"
+    )
+    with pytest.raises(ValueError, match="__rt"):
+        asof_join(left, right, on="k")
