@@ -88,16 +88,12 @@ KNOWN_NULLS: dict[str, str] = {}
 
 
 # --- unicode-corpus manifest -----------------------------------------
-# Both are ORACLE-expressibility limits, not engine divergences: the
-# synthetic media shims derive their fake BLOB column from text, and
-# DuckDB refuses non-ASCII STRING -> BLOB casts outright (the Spark
-# sides run fine). media_decode_meta and frame_sample_inventory were
-# rewritten via encode() in r11 (they rode changed slots for their
-# NULL fixes); these two ride their own r12 slots.
-KNOWN_UNICODE: dict[str, str] = {
-    "audio_chunk_inventory": "[oracle-shim] DuckDB STRING->BLOB cast refuses non-ASCII; use encode()",
-    "media_inventory": "[oracle-shim] DuckDB STRING->BLOB cast refuses non-ASCII; use encode()",
-}
+# EMPTY as of r12: the last two STRING->BLOB oracle shims
+# (audio_chunk_inventory, media_inventory) were rewritten via
+# encode(), the same recipe media_decode_meta and
+# frame_sample_inventory used in r11 — DuckDB refuses non-ASCII
+# STRING -> BLOB casts but encode() is unicode-clean.
+KNOWN_UNICODE: dict[str, str] = {}
 
 # --- timewarp-corpus manifest ----------------------------------------
 # The six streaming rows are Spark's watermark DOING ITS JOB: rows
@@ -105,11 +101,8 @@ KNOWN_UNICODE: dict[str, str] = {
 # streaming engine (the documented late-data contract) while the
 # batch SQL oracle has no watermark concept and counts everything —
 # on the driver fixtures (bounded skew) the two agree, which is what
-# the oracle pins. value_trend_stats is an ORACLE precision bound:
-# DuckDB DECIMAL(18) overflows LOUDLY on epoch-scale x*x regression
-# sums at +/-80-year horizons (the query documents its calendar-
-# bounded input domain); queued low-priority to widen the oracle to
-# DECIMAL(38).
+# the oracle pins. (value_trend_stats left this list in r12: both
+# engines widened to DECIMAL(19,2), which survives epoch-scale x*x.)
 # --- duppk-corpus manifest -------------------------------------------
 # Every row below is an operator whose SEMANTICS presuppose unique
 # row identity — dedup pair generation (id_a < id_b collapses for
@@ -298,7 +291,8 @@ KNOWN_TIMEWARP: dict[str, str] = {
     "streaming_outer_interval_join": "[watermark] interval-join state eviction under extreme skew",
     "streaming_session_windows": "[watermark] sessions beyond horizon dropped",
     "streaming_tumbling_counts": "[watermark] tumbling windows beyond horizon dropped",
-    "value_trend_stats": "[oracle-precision] DuckDB DECIMAL(18) x*x overflow at epoch-scale horizons (loud); widen to DECIMAL(38) when slotted",
+    # value_trend_stats: FIXED r12 — both engines widened to
+    # DECIMAL(19,2) (int128 in DuckDB; (19,2)x(19,2)->(38,4) exact)
 }
 
 

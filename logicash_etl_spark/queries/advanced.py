@@ -401,8 +401,8 @@ def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT event_type,
-             CAST(CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 1000000.0 AS DECIMAL(18,2)) AS x,
-             CAST(value AS DECIMAL(18,2)) AS y
+             CAST(CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 1000000.0 AS DECIMAL(19,2)) AS x,
+             CAST(value AS DECIMAL(19,2)) AS y
       FROM events
     ), s AS (
       SELECT event_type,
@@ -424,13 +424,17 @@ def value_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sxy, Sxx, Syy) so results are partition-order independent. The
     built-in regr_slope/corr aggregate in floating point with
     order-dependent error; at 1000 executors this formulation is the
-    reproducible one. x is seconds since 2024-01-01 to keep moments
-    within decimal range."""
+    reproducible one. x is seconds since 2024-01-01; DECIMAL(19,2)
+    (not 18) so the x*x cross moments survive epoch-scale skew —
+    precision 19 forces DuckDB onto int128 storage (18 is int64 and
+    overflows the multiply on decades-off timestamps) and the
+    (19,2)x(19,2) -> (38,4) product stays exact under Spark's
+    38-precision cap for |x| up to ~3e14 seconds."""
     ev = read_table(spark, sf_dir, "events")
     x = ((F.unix_micros("ts") - F.lit(1704067200000000)).cast("double") / 1e6).cast(
-        "decimal(18,2)"
+        "decimal(19,2)"
     )
-    y = F.col("value").cast("decimal(18,2)")
+    y = F.col("value").cast("decimal(19,2)")
     d = ev.select("event_type", x.alias("x"), y.alias("y"))
     s = d.groupBy("event_type").agg(
         F.count("*").alias("n"),

@@ -906,7 +906,7 @@ def media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pcm AS (
       SELECT doc_id,
-             CAST(floor(octet_length(CAST(text AS BLOB)) / 2) AS BIGINT)
+             CAST(floor(octet_length(encode(text)) / 2) AS BIGINT)
                AS n_samples
       FROM documents
     )

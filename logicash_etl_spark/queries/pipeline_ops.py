@@ -171,7 +171,7 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            count(*) AS n_media,
-           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            count(DISTINCT sha256(text)) AS n_distinct_content
     FROM documents
     GROUP BY source
