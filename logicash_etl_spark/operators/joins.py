@@ -280,16 +280,23 @@ def fuzzy_self_join(
 
     Returns (key_a, key_b, edit_dist) with key_a < key_b.
     """
+    from logicash_etl_spark.operators.caching import scoped_persist
+
     blocks = list(block_cols or [])
     if collapse_exact:
         # unit = one distinct (blocks, text) combination; the unit key
         # embeds the block values so identical texts under DIFFERENT
-        # blocks stay distinct units and never cross-expand
+        # blocks stay distinct units and never cross-expand.
+        # base is persisted: ids feeds BOTH expansion sides and units
+        # feeds the whole block/verify pipeline — unpersisted, the
+        # (fact-sized at TPC-H 100 TB) input was re-scanned up to 8x
+        # (audited r10)
+        base = scoped_persist(df.select(*blocks, id_col, text_col))
         ukey = F.concat_ws("\x1f", *blocks, F.col(text_col))
-        ids = df.select(
+        ids = base.select(
             ukey.alias("__ukey"), F.col(id_col).alias("__id")
         )
-        units = df.select(
+        units = base.select(
             *blocks, ukey.alias("__ukey"), F.col(text_col).alias("__utxt")
         ).dropDuplicates(["__ukey"])
         tpairs = fuzzy_self_join(
@@ -323,14 +330,20 @@ def fuzzy_self_join(
             )
         )
         return cross.unionByName(same)
-    keyed = df.select(
-        *blocks,
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__txt"),
-        # left/right (not substring with negative pos): identical
-        # shorter-than-n semantics across engines for the oracle mirror
-        F.expr(f"left({text_col}, {prefix_len})").alias("__pre"),
-        F.expr(f"right({text_col}, {suffix_len})").alias("__suf"),
+    # both block passes consume keyed from both join sides (4 scans
+    # of the input unpersisted); the frame is a narrow id/text/keys
+    # projection
+    keyed = scoped_persist(
+        df.select(
+            *blocks,
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__txt"),
+            # left/right (not substring with negative pos): identical
+            # shorter-than-n semantics across engines for the oracle
+            # mirror
+            F.expr(f"left({text_col}, {prefix_len})").alias("__pre"),
+            F.expr(f"right({text_col}, {suffix_len})").alias("__suf"),
+        )
     )
 
     def one_pass(key: str) -> DataFrame:
@@ -630,7 +643,13 @@ def qgram_edit_join(
 
     Returns (name_a, name_b, dist) with name_a < name_b, dist BIGINT.
     """
-    names = (
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # names is the vocabulary-bounded distinct frame and feeds SIX
+    # consumers (both gram sides, both length sides, both short-pool
+    # sides) — unpersisted, each re-scanned the fact-sized input
+    # (6 scans, audited r10); grams feeds both inverted-index sides
+    names = scoped_persist(
         df.select(F.col(str_col).alias("nm"))
         .filter(F.col("nm").isNotNull())
         .distinct()
@@ -639,7 +658,7 @@ def qgram_edit_join(
     cutoff = q * (max_dist + 1)
 
     # positional q-gram multiset -> (nm, gram, cnt)
-    grams = (
+    grams = scoped_persist(
         names.filter(F.col("ln") >= q)
         .select(
             "nm",

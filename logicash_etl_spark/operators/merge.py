@@ -99,7 +99,13 @@ def scd2_apply(
     upd = latest.select([F.col(c).alias(f"__u_{c}") for c in latest.columns])
 
     cond = [F.col(k) == F.col(f"__u_{k}") for k in keys]
-    joined = cur.join(upd, on=cond, how="full")
+    # three consumers below (keep_cur / closed / new_rows): without a
+    # persist, Catalyst re-derives the full-outer join — and the whole
+    # upstream dim/update lineage, including their table scans — once
+    # per consumer (no common-subexpression materialization)
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    joined = scoped_persist(cur.join(upd, on=cond, how="full"))
 
     changed_pred = None
     for c in tracked:

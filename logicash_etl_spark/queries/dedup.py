@@ -436,9 +436,17 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same s-curve minhash_lsh_dups pins corpus-wide), so the per-doc
     verdicts EQUAL the SQL-exact cross-split answer and the driver
     hash catches any signature/banding regression."""
+    from logicash_etl_spark.operators.caching import scoped_persist
     from logicash_etl_spark.operators.dedup import minhash_probe_pairs
 
-    docs = read_table(spark, sf_dir, "documents")
+    # one documents scan: the hist/incoming shingle builds and the
+    # final status join all derive from this persisted 3-column
+    # projection (3 scans unpersisted, audited r10)
+    docs = scoped_persist(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+    )
     hist = docs.filter(F.col("doc_id") % 10 < 8)
     incoming = docs.filter(F.col("doc_id") % 10 >= 8)
     pairs = minhash_probe_pairs(

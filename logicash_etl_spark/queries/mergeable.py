@@ -533,32 +533,37 @@ def kmv_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day / per-source sketch partials and answer distinct-count
     and overlap questions by k-row unions, never re-scanning."""
     K = 128
-    od = read_table(spark, sf_dir, "orders").select(
-        "o_orderpriority", F.col("o_custkey").alias("v")
+    # ONE orders scan: every consumer (partials, direct sketch, exact
+    # distinct) derives from this persisted distinct (priority, key,
+    # u) frame — 4 scans unpersisted, audited r10. distinct includes
+    # the raw key so the exact count never rides on hash uniqueness.
+    from logicash_etl_spark.operators.caching import scoped_persist
+    from logicash_etl_spark.operators.partitioning import grouped_bottom_k
+
+    dv = scoped_persist(
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", F.col("o_custkey").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select("o_orderpriority", "v", _kmv_u(F.col("v")).alias("u"))
+        .distinct()
     )
     # partials: one bottom-k sketch per priority group, built with the
     # two-phase salted bottom-k (grouped_bottom_k) — a plain per-group
     # window would sort each group's entire distinct-key set on one
     # reducer, the skew trap when one group dominates at scale
-    from logicash_etl_spark.operators.partitioning import grouped_bottom_k
-
-    u = _kmv_u(F.col("v")).alias("u")
     ranked = grouped_bottom_k(
-        od.filter(F.col("v").isNotNull())
-        .select("o_orderpriority", u)
-        .distinct(),
+        dv.select("o_orderpriority", "u").distinct(),
         group_col="o_orderpriority",
         order_col="u",
         k=K,
     ).select("o_orderpriority", "u")
-    merged = ranked.select("u").distinct().orderBy("u").limit(K)
-    direct = kmv_sketch(
-        read_table(spark, sf_dir, "orders").select(
-            F.col("o_custkey").alias("v")
-        ),
-        "v",
-        K,
+    # 128 rows, consumed by the mismatch join AND the estimate agg
+    merged = scoped_persist(
+        ranked.select("u").distinct().orderBy("u").limit(K)
     )
+    # direct sketch over the same cached frame — identical semantics
+    # to kmv_sketch(orders, "o_custkey", K): distinct u of non-null v
+    direct = dv.select("u").distinct().orderBy("u").limit(K)
     mism = (
         merged.withColumn("l", F.lit(1))
         .join(direct.withColumn("r", F.lit(1)), "u", "full_outer")
@@ -566,12 +571,7 @@ def kmv_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_mismatch"))
     )
     s = merged.agg(F.count("*").alias("n"), F.max("u").alias("m"))
-    exact = (
-        read_table(spark, sf_dir, "orders")
-        .select("o_custkey")
-        .distinct()
-        .agg(F.count("*").alias("exact_distinct"))
-    )
+    exact = dv.select("v").distinct().agg(F.count("*").alias("exact_distinct"))
     return (
         s.crossJoin(F.broadcast(mism))
         .crossJoin(F.broadcast(exact))
@@ -622,10 +622,17 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums keep the merge order-independent (functions/money.py
     policy); counts that reach zero would drop the group row on both
     sides identically (HAVING n > 0 semantics)."""
-    od = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    # one orders scan: base feeds the stored aggregate AND the delete
+    # delta, inserts a third consumer (3 scans unpersisted, audited
+    # r10) — persist the 3-column projection they all derive from
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    od = scoped_persist(
+        read_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
     )
     base = od.filter(F.col("o_orderkey") % 10 != 0)
     inserts = od.filter(F.col("o_orderkey") % 10 == 0).withColumn(
@@ -704,15 +711,24 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing ever re-joins base against base. Partial-aggregate
     merging is what makes the maintenance associative: month rows
     add, they never need the underlying lines."""
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
-        (F.col("o_orderkey") % 9 == 0).alias("d_o"),
+    # each base/delta split is consumed by TWO of the four delta-rule
+    # terms, so unpersisted the fact tables were scanned 4x each
+    # (audited r10); persist the narrow projections once
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    o = scoped_persist(
+        read_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            (F.col("o_orderkey") % 9 == 0).alias("d_o"),
+        )
     )
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        (money("l_extendedprice") * (1 - money("l_discount"))).alias("rev"),
-        (F.col("l_orderkey") % 11 == 0).alias("d_l"),
+    li = scoped_persist(
+        read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            (money("l_extendedprice") * (1 - money("l_discount"))).alias("rev"),
+            (F.col("l_orderkey") % 11 == 0).alias("d_l"),
+        )
     )
     o0, do = o.filter(~F.col("d_o")), o.filter(F.col("d_o"))
     l0, dl = li.filter(~F.col("d_l")), li.filter(F.col("d_l"))

@@ -290,9 +290,17 @@ def scd2_dimension_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra: closed rows = old versions of changed keys, current =
     changed new versions + untouched keys."""
     from logicash_etl_spark.functions.money import money
+    from logicash_etl_spark.operators.caching import scoped_persist
     from logicash_etl_spark.operators.merge import scd2_apply, scd2_init
 
-    c = read_table(spark, sf_dir, "customer")
+    # one customer scan: snap and upd both derive from this persisted
+    # 3-column projection (unpersisted, the SCD build re-scanned the
+    # fact-sized dim per internal consumer — 6 scans, audited r10)
+    c = scoped_persist(
+        read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+    )
     snap = c.select(
         "c_custkey", "c_mktsegment", money("c_acctbal").alias("bal")
     ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
@@ -1370,6 +1378,7 @@ def exact_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     on). The oracle rebuilds identical strings with an ordered
     string_agg, so the driver hash pins the reconstruction
     byte-for-byte."""
+    from logicash_etl_spark.operators.caching import scoped_persist
     from logicash_etl_spark.operators.dedup import repeated_substring_spans
     from logicash_etl_spark.operators.text import tokens as tok_fn
 
@@ -1377,10 +1386,14 @@ def exact_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = repeated_substring_spans(
         docs, id_col="doc_id", text_col="text", min_tokens=8
     )
-    tokpos = docs.select(
-        "doc_id",
-        F.posexplode(tok_fn(F.lower(F.col("text")))).alias("pos0", "w"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    # tokpos feeds the cut range-join AND the keep anti-join —
+    # persisted so the corpus isn't re-tokenized per consumer
+    tokpos = scoped_persist(
+        docs.select(
+            "doc_id",
+            F.posexplode(tok_fn(F.lower(F.col("text")))).alias("pos0", "w"),
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
     cut = (
         tokpos.join(
             spans,
@@ -1470,9 +1483,17 @@ def pit_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows in set algebra and runs the identical range-residual
     join."""
     from logicash_etl_spark.functions.money import money
+    from logicash_etl_spark.operators.caching import scoped_persist
     from logicash_etl_spark.operators.merge import scd2_apply, scd2_init
 
-    c = read_table(spark, sf_dir, "customer")
+    # one customer scan: snap and upd both derive from this persisted
+    # 3-column projection (unpersisted, the SCD build re-scanned the
+    # fact-sized dim per internal consumer — 6 scans, audited r10)
+    c = scoped_persist(
+        read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+    )
     snap = c.select(
         "c_custkey", "c_mktsegment", money("c_acctbal").alias("bal")
     ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
@@ -1808,13 +1829,20 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical posture to bpe_token_counts — per-occurrence
     cost is one hash join against the word->length table and a
     map-side-combinable sum; the per-lang frame is |langs| rows."""
+    from logicash_etl_spark.operators.caching import scoped_persist
     from logicash_etl_spark.operators.text import bpe_encode, bpe_train
 
     docs = read_table(spark, sf_dir, "documents")
-    wc = (
-        docs.select(F.explode(tokens("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
+    # one tokenization pass feeds BOTH the vocab count and the
+    # per-lang occurrence join (unpersisted: the corpus was exploded
+    # twice — 3 documents scans, audited r10); wc is the vocabulary-
+    # bounded frame bpe_train iterates over, persisted for the same
+    # reason
+    tokenized = scoped_persist(
+        docs.select("lang", F.explode(tokens("text")).alias("word"))
+    )
+    wc = scoped_persist(
+        tokenized.groupBy("word").agg(F.count("*").alias("n"))
     )
     merges = bpe_train(wc, n_merges=8)
     wlen = wc.select(
@@ -1822,8 +1850,7 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe_encode(F.col("word"), merges)).cast("bigint").alias("__n_sym"),
     )
     per_lang = (
-        docs.select("lang", F.explode(tokens("text")).alias("word"))
-        .join(wlen, "word")
+        tokenized.join(wlen, "word")
         .groupBy("lang")
         .agg(
             F.count("*").cast("bigint").alias("n_ws_tokens"),

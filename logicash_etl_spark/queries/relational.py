@@ -638,9 +638,19 @@ def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def brand_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # each distinct brand set feeds BOTH set ops; persisted (they are
+    # catalog-bounded: <= |brands| rows) so part — fact-sized at
+    # TPC-H 100 TB — is scanned once per side, not twice (4 scans
+    # unpersisted, audited r10)
+    from logicash_etl_spark.operators.caching import scoped_persist
+
     part = _t(spark, sf_dir, "part")
-    large = part.filter(F.col("p_size") > 25).select("p_brand").distinct()
-    pricey = part.filter(F.col("p_retailprice") > 1500).select("p_brand").distinct()
+    large = scoped_persist(
+        part.filter(F.col("p_size") > 25).select("p_brand").distinct()
+    )
+    pricey = scoped_persist(
+        part.filter(F.col("p_retailprice") > 1500).select("p_brand").distinct()
+    )
     both = large.intersect(pricey).select(F.lit("both").alias("tag"), "p_brand")
     only = large.exceptAll(pricey).select(F.lit("large_only").alias("tag"), "p_brand")
     return both.unionByName(only)
@@ -1046,9 +1056,17 @@ def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     month silently loses its zero rows (exactly the gap the fill
     exists to surface — caught at sf0.001, where one priority is
     absent in January 1995)."""
+    from logicash_etl_spark.operators.caching import scoped_persist
+
     all_orders = _t(spark, sf_dir, "orders")
-    orders = all_orders.filter(
-        F.col("o_orderdate").between("1995-01-01", "1995-01-31")
+    # the month window feeds BOTH the span agg and the actual rollup;
+    # persisted as a 2-column projection so the partition-pruned scan
+    # runs once (3 orders scans unpersisted, audited r10 — the dims
+    # scan stays: densification needs the FULL table's domain)
+    orders = scoped_persist(
+        all_orders.filter(
+            F.col("o_orderdate").between("1995-01-01", "1995-01-31")
+        ).select("o_orderdate", "o_orderpriority")
     )
     span = orders.agg(
         F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
@@ -1480,10 +1498,25 @@ def right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joins are left to Catalyst/AQE, which converts them to
     broadcast only when the runtime size actually fits. Counts are
     map-side-combinable; nothing rewrites until the audit passes."""
+    # the request list, purged-order set, and narrow fact projections
+    # each feed 3-4 consumers (stat totals, cascade semi-joins, the
+    # real anti-join deletes, the orphan re-check) — unpersisted this
+    # audit re-scanned orders 3x and customer 4x (audited r10)
+    from logicash_etl_spark.operators.caching import scoped_persist
+
     c = read_table(spark, sf_dir, "customer").select("c_custkey")
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
-    req = c.filter(F.col("c_custkey") % 97 == 0)
+    o = scoped_persist(
+        read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    )
+    li = scoped_persist(
+        read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    )
+    req = scoped_persist(c.filter(F.col("c_custkey") % 97 == 0))
+    # po stays UNPERSISTED on purpose: its consumers re-run only a
+    # broadcast semi-join over the cached o (no extra scans), and the
+    # plan contract (test_plan_contracts: the fact x po semi-joins
+    # must reach AQE unhinted, the req join hinted) stays visible in
+    # the optimized plan instead of hiding inside a cache lineage
     po = o.join(
         F.broadcast(req), o.o_custkey == req.c_custkey, "left_semi"
     ).select("o_orderkey")

@@ -257,14 +257,27 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_lite,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # ONE embeddings scan: the k-means sample, the IVF cell scan, and
+    # the exact-recall brute force all read this persisted 2-column
+    # frame (6 scans unpersisted, audited r10); approx is k x
+    # |queries| rows with the whole IVF lineage behind it, persisted
+    # for its two consumers.
+    emb = scoped_persist(
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     # 8k training rows bound the driver pull; FAISS practice is
     # ~256 samples per centroid, so 8k >> enough for k=8
     centroids = kmeans_lite(emb, k=8, iterations=2, train_sample=8192)
     queries = emb.filter(F.col("vec_id") < 10)
     # 10-query batch vs the whole corpus: broadcast the probed query
     # side so the 8-distinct-value cell join never shuffles the corpus
-    approx = ivf_ann_topk(emb, queries, centroids, k=5, n_probe=3, broadcast_queries=True)
+    approx = scoped_persist(
+        ivf_ann_topk(
+            emb, queries, centroids, k=5, n_probe=3, broadcast_queries=True
+        )
+    )
     exact = cosine_topk(emb, queries, k=5, exclude_self=True).select(
         "query_id", F.col("vec_id").alias("__exact_id")
     )
@@ -385,13 +398,23 @@ def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # ONE embeddings scan: the codebook sample, code scan, rerank
+    # fetch, and the in-query exact-recall brute force all derive
+    # from this persisted 2-column frame (10 scans unpersisted,
+    # audited r10 — each of approx's consumers re-ran the whole
+    # encode+rerank lineage). approx itself is k x |queries| rows,
+    # persisted for its two consumers.
+    emb = scoped_persist(
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     books = pq_train_codebooks(
         emb, dim=64, m=8, k_codes=16, iterations=3, train_sample=8192
     )
     queries = emb.filter(F.col("vec_id") < 10)
-    approx = pq_ann_topk(
-        emb, queries, books, k=5, rerank_candidates=64
+    approx = scoped_persist(
+        pq_ann_topk(emb, queries, books, k=5, rerank_candidates=64)
     )
     # exact L2 top-5 by brute force, in-query, for the recall verdict
     q = queries.select(
@@ -519,7 +542,14 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id", "same").orderBy(
         F.desc("sim"), F.asc("vec_id")
     )
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # best is 2 rows per query; persisted so the pos/neg consumers
+    # don't each re-run the corpus scoring pass (4 embeddings scans
+    # unpersisted, audited r10)
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    best = scoped_persist(
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
     pos = best.filter(F.col("same")).select(
         "query_id", F.col("vec_id").alias("pos_id"), F.col("sim").alias("pos_sim")
     )

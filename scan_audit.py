@@ -50,41 +50,34 @@ FACTS = (
 # manifest entry that no longer flags (a fix landed -> shrink the
 # manifest deliberately). Keys: query -> {fact: max allowed scans}.
 MANIFEST: dict[str, dict[str, int]] = {
+    # The r12 sweep landed the 18 queued fixes (13 fact rows + the 5
+    # dim-scan rows): persisted multi-consumer frames in
+    # pit_event_enrichment / scd2_dimension_report (shared customer
+    # projection + scd2_apply's joined frame), bpe_fertility_by_lang
+    # (tokenized + vocab), exact_substring_{cut_stats,dedup_apply}
+    # (shingle index in the operator + tokpos), hard_negative_mining
+    # (best frame), incremental_{agg,join}_maintenance (narrow fact
+    # projections), incremental_minhash_dedup (doc projection),
+    # kmv_partial_merge (distinct (prio,key,u) frame),
+    # pq_ann_topk / ivf_ann_topk (embeddings projection + approx),
+    # fuzzy_name_match / part_name_edit_pairs (keyed/base + vocab
+    # frames inside fuzzy_self_join / qgram_edit_join),
+    # brand_set_ops (distinct brand sets), calendar_gap_fill (month
+    # window), right_to_erasure_audit (req/po/fact projections),
+    # token_budget_sample (per-doc token counts).
+    #
+    # What remains is adjudicated repeat-by-design or queued r13:
     "ann_lsh_topk": {"embeddings": 4},
     "benchmark_contamination": {"documents": 3},
-    # dim-rescan rows (r10 extension of the audit to fact-sized dims;
-    # self-join/SCD shapes — candidates for the r12 persist sweep)
-    "brand_set_ops": {"part": 4},
-    "fuzzy_name_match": {"part": 8},
-    "part_name_edit_pairs": {"part": 6},
-    "pit_event_enrichment": {"customer": 6},
-    "scd2_dimension_report": {"customer": 6},
     "bigram_surprisal_score": {"documents": 4},
-    # bloom_history_dedup: FIXED r11 (fp frame persisted, 3 -> 1)
     "bloom_join_prune_stats": {"lineitem": 3},
     "bloom_pruned_revenue": {"lineitem": 3},
-    "bpe_fertility_by_lang": {"documents": 3},
-    "calendar_gap_fill": {"orders": 3},
     "conversion_funnel": {"events": 3},
     "embedding_centroid_drift": {"embeddings": 4},
-    "exact_substring_cut_stats": {"documents": 3},
-    "exact_substring_dedup_apply": {"documents": 4},
-    "hard_negative_mining": {"embeddings": 4},
-    "incremental_agg_maintenance": {"orders": 3},
-    "incremental_join_maintenance": {"orders": 4, "lineitem": 4},
-    "incremental_minhash_dedup": {"documents": 3},
-    "ivf_ann_topk": {"embeddings": 6},
-    "kmv_partial_merge": {"orders": 4},
     "knn_label_vote": {"embeddings": 3},
-    # leakage_safe_split_report: FIXED r11 (lab frame persisted)
-    "pq_ann_topk": {"embeddings": 10},
     "referential_integrity_audit": {"lineitem": 3},
-    # revenue_concentration_gini: FIXED r11 (cr frame persisted)
-    "right_to_erasure_audit": {"orders": 3, "customer": 4},
     "semantic_dedup_stats": {"embeddings": 3},
-    # sequence_packing_stats: FIXED r11 (per-doc count frame persisted)
     "tfidf_top_terms": {"documents": 3},
-    "token_budget_sample": {"documents": 4},
     "unigram_surprisal_score": {"documents": 3},
     "value_drift_psi": {"events": 4},
     "vocab_drift_psi": {"documents": 4},
