@@ -544,8 +544,9 @@ def kmv_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "orders")
         .select("o_orderpriority", F.col("o_custkey").alias("v"))
         .filter(F.col("v").isNotNull())
+        .distinct()  # dedup BEFORE hashing: u is functional in v, so
+        # md5 runs |distinct| times, not |rows| times
         .select("o_orderpriority", "v", _kmv_u(F.col("v")).alias("u"))
-        .distinct()
     )
     # partials: one bottom-k sketch per priority group, built with the
     # two-phase salted bottom-k (grouped_bottom_k) — a plain per-group
