@@ -54,50 +54,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # 37 r5-cohort aging rows (the SURVEY-2 core parity set, owed first)
 # + these changed slots, per the slot plan in COVERAGE.md.
 #
-# Round 12: the scan-fix sweep (18 manifest rows persisted, 8 of
-# them r6-vintage so they double as cohort refreshes), the 4
-# [contract] NULL-key posture decisions, the 2 remaining unicode
-# media oracle shims, the value_trend_stats oracle DECIMAL widening,
-# and the asof_join NULL-timestamp contract fix. 25 changed slots of
-# which 8 are r6 rows, leaving 25 aging slots = the other 19 r6 rows
-# + 6 r7 rows: the full 27-row r6 cohort is consumed this round.
-_CHANGED_R12 = [
-    # -- scan fixes, r6-vintage (cohort refresh rides along) --------
-    "pit_event_enrichment",        # customer 6 -> persisted dim proj
-    "bpe_fertility_by_lang",       # documents 3 -> 1
-    "exact_substring_cut_stats",   # documents 3 -> 1
-    "exact_substring_dedup_apply", # documents 4 -> fewer
-    "hard_negative_mining",        # embeddings 4 -> fewer
-    "incremental_join_maintenance",  # orders 4 + lineitem 4
-    "incremental_minhash_dedup",   # documents 3 -> 1
-    "pq_ann_topk",                 # embeddings 10 -> fewer
-    # -- scan fixes, non-r6 -----------------------------------------
-    "kmv_partial_merge",           # orders 4 -> 1
-    "fuzzy_name_match",            # part 8 -> persisted blocking frame
-    "part_name_edit_pairs",        # part 6 -> persisted proj
-    "scd2_dimension_report",       # customer 6 -> persisted base/update
-    "brand_set_ops",               # part 4 -> persisted brand proj
-    "ivf_ann_topk",                # embeddings 6 -> fewer
-    "right_to_erasure_audit",      # orders 3 + customer 4
-    "incremental_agg_maintenance", # orders 3 -> 1
-    "calendar_gap_fill",           # orders 3 -> 1
-    # -- [contract] NULL-key postures decided + pinned ----------------
-    "token_budget_sample",         # also a scan-fix row (documents 4)
-    "mixture_build_plan",
-    "robust_value_stats",
-    "padding_waste_report",
-    # -- unicode media oracle shims rewritten via encode() ------------
-    "audio_chunk_inventory",
-    "media_inventory",
-    # -- oracle DECIMAL(38) widening (epoch-scale x*x sums) -----------
-    "value_trend_stats",
-    # -- asof_join: NULL-timestamp rows never match (both sides) ------
-    "asof_last_purchase",
+# Round 13 (optimization round 1): the residual scan-manifest sweep
+# (the 7 FIXABLE + 2 PARTIAL rows pre-adjudicated in COVERAGE.md) and
+# any query whose plan shape changes under this round's optimization
+# passes. Changed slots stay well under 50, so the 16-row r7 aging
+# cohort (the oldest greens in the ledger) rides in the remaining
+# aging slots automatically.
+_CHANGED_R13: list[str] = [
+    # -- residual scan-manifest sweep (7 FIXABLE + 2 PARTIAL) ---------
+    "ann_lsh_topk",              # embeddings 4 -> 1 (persisted proj)
+    "semantic_dedup_stats",      # embeddings 3 -> 1 (+ operator persist)
+    "embedding_centroid_drift",  # embeddings 4 -> 1
+    "tfidf_top_terms",           # documents 3 -> 1 (explode_outer)
+    "unigram_surprisal_score",   # documents 3 -> 1 (tok + vocab persist)
+    "bigram_surprisal_score",    # documents 4 -> 1 (w + c1 persist)
+    "vocab_drift_psi",           # documents 4 -> 2, tokenize 2x -> 1x
+    "value_drift_psi",           # events 4 -> floor 3 (midpoint persist)
+    "benchmark_contamination",   # documents 3 -> 2 (fingerprint persist)
+    # -- plan-shape optimizations (results proven identical) ----------
+    "ams_f2_estimate",           # 256x explode -> mapInPandas bit-slice
+    "prefix_jaccard_dups",       # one df-count table, fused sizes/sets
+    "mmr_diverse_exemplars",     # driver-computed literal norms
+    "copurchase_lift_top20",     # basket self-join -> local pair expand
+    # -- ADVICE: oracle NULL-key posture pinned (results unchanged) ---
+    "kmv_partial_merge",
 ]
 
 # Round-agnostic alias: tests and tooling reference this name so the
 # per-round list can be renamed without touching them.
-_CHANGED_THIS_ROUND = _CHANGED_R12
+_CHANGED_THIS_ROUND = _CHANGED_R13
 
 
 def _green_rounds() -> dict[str, int]:

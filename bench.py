@@ -184,6 +184,13 @@ def main() -> None:
             # only detect sustained slowness; this keeps bimodality
             # visible even when the best-two verdict lands in-band
             "worst_two_spread_pct": _spread(worst2),
+            # r13 (ADVICE): a symmetric bimodal history (fast,slow x2)
+            # yields ~0% in BOTH best-two and worst-two spreads; the
+            # min-vs-max spread keeps an alternating plan-choice flake
+            # visible no matter how the samples pair up
+            "minmax_spread_pct": _spread([pool[0], pool[-1]])
+            if len(pool) >= 2
+            else None,
             "rerun": True,
         }
     # rebuild the aggregate spread list from the (possibly re-scored)

@@ -803,18 +803,38 @@ def prefix_filter_pairs(
         )
         .select(id_col, F.xxhash64("__s").alias("sh"))
     )
+    # r13 restructure (guide 2.3/2.4 — fewer passes over the shingle
+    # stream): ONE shingling pass and ONE df-count shuffle. The raw
+    # (id, hash) frame persists and the per-shingle counts persist;
+    # the hot filter AND the prefix ranks both read the count table
+    # (dropping hot shingles cannot change any surviving shingle's
+    # count, so post-filter df == pre-filter df for every kept
+    # shingle). Previously: shingling ran twice (hot lineage + sh
+    # materialization) and the df groupBy shuffled the stream twice
+    # (hot + dfreq).
     if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("sh")
-        )
+        sh = scoped_persist(sh)
+        wc = scoped_persist(sh.groupBy("sh").agg(F.count("*").alias("tdf")))
+        hot = wc.filter(F.col("tdf") > max_doc_freq).select("sh")
+        # broadcast anti-join stays map-side over the cached frame; its
+        # two consumers (prefix ranks, verify sets) re-run only the
+        # row-local probe, never the shingling
         sh = sh.join(F.broadcast(hot), on="sh", how="left_anti")
-    sh = scoped_persist(sh)
+        dfreq = wc.filter(F.col("tdf") <= max_doc_freq)
+    else:
+        sh = scoped_persist(sh)
+        dfreq = sh.groupBy("sh").agg(F.count("*").alias("tdf"))
 
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    dfreq = sh.groupBy("sh").agg(F.count("*").alias("tdf"))
+    # per-doc sorted set + size in ONE groupBy (sizes was a second
+    # full shuffle on the same key); doc_sets persists for its three
+    # consumers (size joins in cand + both verify legs)
+    doc_sets = scoped_persist(
+        sh.groupBy(id_col).agg(
+            F.array_sort(F.collect_list("sh")).alias("__set"),
+            F.count("*").alias("sz"),
+        )
+    )
+    sizes = doc_sets.select(id_col, "sz")
     # global order: (df asc, hash asc) — any consistent total order
     # preserves the theorem; df-ascending minimizes candidate fan-out
     ranked = sh.join(dfreq, on="sh").withColumn(
@@ -887,10 +907,8 @@ def prefix_filter_pairs(
     # row-local array_intersect touch the same data as ~2 bigints per
     # shingle with NO post-join shuffle. The arrays are per-document
     # (bounded by the doc's own shingle count, df-capped corpus-wide),
-    # so rows stay small at any corpus size.
-    doc_sets = sh.groupBy(id_col).agg(
-        F.array_sort(F.collect_list("sh")).alias("__set")
-    )
+    # so rows stay small at any corpus size. (doc_sets is built above,
+    # fused with the size aggregate.)
     inter = (
         cand.join(
             doc_sets.select(

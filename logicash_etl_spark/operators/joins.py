@@ -139,10 +139,16 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
     rcols = [c for c in right.columns if c not in keys and c != right_ts]
-    if "__rt" in rcols:
+    # r13 (ADVICE): reject EVERY internal working name on BOTH sides,
+    # not just __rt — a left column named __r/__t/__is_left was
+    # silently clobbered by the union's tag/payload columns and came
+    # back corrupted instead of raising
+    _reserved = {"__rt", "__r", "__t", "__is_left"}
+    clash = sorted(_reserved & (set(lcols) | set(rcols)))
+    if clash:
         raise ValueError(
-            "asof_join reserves the right-payload field name '__rt'; "
-            "rename the right column before joining"
+            f"asof_join reserves the internal column names {clash}; "
+            "rename the clashing column(s) before joining"
         )
 
     # NULL timestamps never participate in the as-of ordering (SQL

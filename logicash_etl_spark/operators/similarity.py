@@ -457,13 +457,20 @@ def semantic_dedup(
     so n/k rows fit a partition (FAISS sizing practice), and skewed
     cells fall to AQE skew-join splitting.
     """
-    assigned = assign_cells(
-        scale_out(vectors.select(id_col, vec_col)), centroids, id_col, vec_col
-    ).select(
-        F.col(id_col).alias("id"),
-        as_double(vec_col).alias("__v"),
-        _norm(as_double(vec_col)).alias("__n"),
-        "cell",
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # assigned feeds THREE consumers (both pair-join sides + the final
+    # verdict join); unpersisted, Catalyst re-ran the scan and the
+    # centroid-argmax fold per consumer (r13 scan-audit fix).
+    assigned = scoped_persist(
+        assign_cells(
+            scale_out(vectors.select(id_col, vec_col)), centroids, id_col, vec_col
+        ).select(
+            F.col(id_col).alias("id"),
+            as_double(vec_col).alias("__v"),
+            _norm(as_double(vec_col)).alias("__n"),
+            "cell",
+        )
     )
     # distinct alias per side (same-lineage equality would collapse to
     # a trivially-true predicate and cross-join — see
@@ -746,19 +753,36 @@ def mmr_select(
     computing 1-0.7 would yield 0.30000000000000004); ties break by
     ascending id. Scores round to 6dp IN the plan (engine rounding,
     not Python's banker's rounding)."""
+    import math
+
     from logicash_etl_spark.operators.caching import scoped_persist
 
     spark = corpus.sparkSession
+
+    def _pynorm(vec) -> float:
+        # bitwise twin of _norm's JVM fold: square each component,
+        # left-fold sum from 0.0, correctly-rounded sqrt — identical
+        # IEEE ops in identical order, so the driver-computed literal
+        # equals the per-row fold bit for bit (r13: norms of LITERAL
+        # vectors were re-folded per pool row per pass)
+        s = 0.0
+        for x in vec:
+            s += float(x) * float(x)
+        return math.sqrt(s)
+
     q_lit = F.array(*[F.lit(float(v)) for v in query_vec])
+    q_norm = F.lit(_pynorm(query_vec))
     xv = as_double(vec_col)
+    # __n rides in the persisted pool: each pass's |S| cosine folds
+    # reuse it instead of re-deriving the candidate norm per selected
+    # vector (the step-i expression previously held i+1 norm folds per
+    # row; now exactly the dot folds remain)
     base = scoped_persist(
-        corpus.select(
-            F.col(id_col),
-            xv.alias("__v"),
-            (
-                _dot(xv, q_lit)
-                / F.greatest(_norm(xv) * _norm(q_lit), F.lit(1e-12))
-            ).alias("__rel"),
+        corpus.select(F.col(id_col), xv.alias("__v"), _norm(xv).alias("__n"))
+        .withColumn(
+            "__rel",
+            _dot(F.col("__v"), q_lit)
+            / F.greatest(F.col("__n") * q_norm, F.lit(1e-12)),
         )
     )
     lam_c = F.lit(float(lam))
@@ -770,8 +794,7 @@ def mmr_select(
             sims = [
                 _dot(F.col("__v"), F.array(*[F.lit(float(x)) for x in sv]))
                 / F.greatest(
-                    _norm(F.col("__v"))
-                    * _norm(F.array(*[F.lit(float(x)) for x in sv])),
+                    F.col("__n") * F.lit(_pynorm(sv)),
                     F.lit(1e-12),
                 )
                 for _, sv in selected

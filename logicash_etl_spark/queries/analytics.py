@@ -431,9 +431,18 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only arithmetic against broadcast range/midpoint rows; the
     count rollup is a 20-group map-side-combinable aggregate. Nothing
     shuffles but 10 rows per map task."""
+    from logicash_etl_spark.operators.caching import scoped_persist
+
     ev = read_table(spark, sf_dir, "events").select("ts", "value")
-    mid = ev.agg(
-        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("m")
+    # the one-row midpoint feeds BOTH the reference-range pass and the
+    # binning pass through `tagged`; unpersisted, each consumer
+    # re-derived the min/max-ts scan (4 executed events scans, audited
+    # r10-r12) — persisting the single row reaches the sequential
+    # floor of 3 passes (midpoint -> reference range -> bin rollup).
+    mid = scoped_persist(
+        ev.agg(
+            F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("m")
+        )
     )
     tagged = ev.crossJoin(F.broadcast(mid)).select(
         F.when(F.unix_micros("ts") < F.col("m"), 0).otherwise(1).alias("half"),

@@ -145,13 +145,20 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny and broadcast, so at 100 TB the train corpus streams once and
     nothing quadratic exists (vs. the pairwise overlap a naive
     implementation would join)."""
+    from logicash_etl_spark.operators.caching import scoped_persist
     from logicash_etl_spark.operators.text import word_shingles
 
     docs = read_table(spark, sf_dir, "documents")
-    sh = scale_out(docs.select("doc_id", "text")).select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles("text", 5))).alias("__s"),
-    ).select("doc_id", F.xxhash64("__s").alias("sh"))
+    # the fingerprint frame feeds the bench side AND the train side;
+    # unpersisted, each consumer re-ran the scan + shingle + hash
+    # (the r11 bloom_history_dedup precedent). 16 bytes/row — keys,
+    # not payloads — so the persist is metadata-scale at 100 TB.
+    sh = scoped_persist(
+        scale_out(docs.select("doc_id", "text")).select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles("text", 5))).alias("__s"),
+        ).select("doc_id", F.xxhash64("__s").alias("sh"))
+    )
     bench = sh.filter(F.col("doc_id") % 100 == 0).select("sh").distinct()
     hits = (
         sh.filter(F.col("doc_id") % 100 != 0)
@@ -579,11 +586,22 @@ def unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime size allows, and falls back to a shuffled join beyond the
     threshold instead of a forced-hint driver OOM. Only the
     single-row corpus total is hinted (constant size)."""
+    from logicash_etl_spark.operators.caching import scoped_persist
     from logicash_etl_spark.operators.joins import broadcast_bounded
 
     docs = scale_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    tok = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word"))
-    vocab = tok.groupBy("word").agg(F.count("*").alias("c"))
+    # ONE documents scan + ONE tokenize pass (r13, the bpe_fertility
+    # recipe): the vocab build and the scoring join both read this
+    # persisted token stream — unpersisted, each consumer re-ran the
+    # scan and tokenize (3 scans, audited r10-r12). vocab persists
+    # too: it feeds the corpus total AND the probability join, and
+    # re-computing it costs a full token-stream shuffle per consumer.
+    tok = scoped_persist(
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+        )
+    )
+    vocab = scoped_persist(tok.groupBy("word").agg(F.count("*").alias("c")))
     total = vocab.agg(F.sum("c").alias("n"))
     v = vocab.crossJoin(broadcast_bounded(total, bounded=True)).select(
         "word", (F.col("c").cast("double") / F.col("n")).alias("p")
@@ -1007,10 +1025,20 @@ def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a driver OOM. Only the single-row vocab-size frame is
     hinted; everything else is map-side except the two count
     shuffles keyed on the n-gram."""
+    from logicash_etl_spark.operators.caching import scoped_persist
+
     docs = scale_out(
         read_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    w = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("ws"))
+    # ONE documents scan + ONE tokenize pass (r13, the bpe_fertility
+    # recipe): the bigram stream (bg feeds c2 AND the scoring join)
+    # and the unigram stream both derive from this persisted token-
+    # array frame — unpersisted, each consumer re-ran the scan and
+    # tokenize (4 scans, audited r10-r12). c1 persists too: it feeds
+    # the vocab-size agg AND the scoring join.
+    w = scoped_persist(
+        docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("ws"))
+    )
     bg = w.filter(F.size("ws") >= 2).select(
         "doc_id",
         F.explode(
@@ -1022,7 +1050,9 @@ def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.b").alias("b"))
     tok = w.select("doc_id", F.explode("ws").alias("word"))
-    c1 = tok.groupBy("word").agg(F.count("*").cast("bigint").alias("c1"))
+    c1 = scoped_persist(
+        tok.groupBy("word").agg(F.count("*").cast("bigint").alias("c1"))
+    )
     c2 = bg.groupBy("b").agg(F.count("*").cast("bigint").alias("c2"))
     v = c1.agg(F.count("*").cast("bigint").alias("v"))
     from logicash_etl_spark.operators.joins import broadcast_bounded

@@ -505,7 +505,12 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kmv_partial_merge",
     oracle="""
     WITH d AS (
+      -- r13 (ADVICE): pin the SQL COUNT-DISTINCT posture explicitly —
+      -- the Spark side filters NULL keys before the distinct, while a
+      -- bare SELECT DISTINCT retains a NULL row that count(*) counts,
+      -- a latent off-by-one should a hostile corpus ever null a key
       SELECT DISTINCT o_custkey AS v FROM orders
+      WHERE o_custkey IS NOT NULL
     ), kd AS (
       SELECT DISTINCT CAST(('0x' || substr(md5('kmv' || CAST(v AS VARCHAR)),
                             1, 12)) AS BIGINT) / 281474976710656.0 AS u
@@ -764,6 +769,42 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ams_sign_partials(batches):
+    """Per-task AMS counter partial: bit-slice all 256 signs of each
+    (count n, 64-hex md5-concat h) row in numpy and fold them into one
+    256-long counter vector — the map-side-combine shape for the
+    explode-free sketch build (exact int64 arithmetic; order-free).
+
+    Sign convention (bitwise-identical to the retired per-(key, j)
+    SQL CASE and to the DuckDB oracle): counter j reads bit ``j mod
+    4`` of hex nibble ``j div 4``; bit 0 -> +1, bit 1 -> -1. A NULL
+    ``h`` (NULL key) falls to -1 on every counter, exactly like the
+    CASE's ELSE branch did.
+    """
+    import numpy as np
+    import pandas as pd
+
+    acc = np.zeros(256, dtype=np.int64)
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        null_n = pdf.loc[pdf["h"].isna(), "n"].to_numpy(dtype=np.int64)
+        if len(null_n):
+            acc -= null_n.sum()
+            pdf = pdf[pdf["h"].notna()]
+            if not len(pdf):
+                continue
+        raw = np.frombuffer(
+            "".join(pdf["h"]).encode("ascii"), dtype=np.uint8
+        ).reshape(len(pdf), 64)
+        nib = np.where(raw >= 97, raw - 87, raw - 48).astype(np.int64)
+        # (rows, 64 nibbles, 4 bits) -> (rows, 256): j = 4*nibble + bit
+        bits = ((nib[:, :, None] >> np.arange(4)) & 1).reshape(len(pdf), 256)
+        sgn = 1 - 2 * bits
+        acc += (pdf["n"].to_numpy(dtype=np.int64)[:, None] * sgn).sum(axis=0)
+    yield pd.DataFrame({"j": np.arange(256, dtype=np.int32), "c": acc})
+
+
 @query(
     "ams_f2_estimate",
     oracle="""
@@ -841,26 +882,23 @@ def ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # all 256 signs bit-sliced from TWO md5s per key (one bit per
-    # counter): nibble j div 4 of the 64-hex concat, bit j mod 4 --
-    # pure integer arithmetic per (key, j), no per-counter hashing
-    signs = freq.select(
-        F.explode(F.sequence(F.lit(0), F.lit(255))).alias("j"),
-        F.col("n"),
-        F.col("h"),
-    ).select(
-        "j",
-        (
-            F.col("n")
-            * F.expr(
-                "CASE WHEN ((instr('0123456789abcdef',"
-                " substr(h, CAST(j div 4 AS INT) + 1, 1)) - 1)"
-                " div (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2"
-                " WHEN 2 THEN 4 ELSE 8 END)) % 2 = 0"
-                " THEN 1 ELSE -1 END"
-            )
-        ).alias("sgn"),
+    # counter): nibble j div 4 of the 64-hex concat, bit j mod 4.
+    # r13 (guide 4.2): the 256-way explode materialized |keys| x 256
+    # rows and evaluated the substr/CASE chain per (key, j) — linear
+    # in vocabulary with a 256x row constant, the measured sf1
+    # scaling worst (7.98x at 10x keys). The signs are data-parallel
+    # bit arithmetic, so a mapInPandas partial (_ams_sign_partials)
+    # slices all 256 bits per key in one numpy pass and emits ONE
+    # 256-counter vector per task: rows shuffled drop from
+    # |keys| x 256 to 256 per partition, and counters stay exact
+    # BIGINT sums (addition is commutative — partitioning cannot
+    # change the totals).
+    counters = (
+        freq.select("n", "h")
+        .mapInPandas(_ams_sign_partials, "j int, c long")
+        .groupBy("j")
+        .agg(F.sum("c").cast("bigint").alias("c"))
     )
-    counters = signs.groupBy("j").agg(F.sum("sgn").cast("bigint").alias("c"))
     grp = counters.groupBy(F.expr("j div 16").alias("g")).agg(
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq")
     )

@@ -363,16 +363,29 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint would override the size check into a driver OOM). The
     single-row source-count frame is hinted: its size is a constant.
     Ties break on the term so top-k is deterministic."""
+    from logicash_etl_spark.operators.caching import scoped_persist
     from logicash_etl_spark.operators.joins import broadcast_bounded
     from logicash_etl_spark.operators.text import tokens
 
     docs = read_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "source", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    # ONE documents scan + ONE tokenize pass (r13, the bpe_fertility
+    # recipe): tf, df, AND the corpus source count all derive from
+    # this persisted tokenized frame — unpersisted, each aggregate
+    # re-ran the scan and the tokenize (3 scans, audited r10-r12).
+    # explode_outer keeps a NULL-word row for zero-token docs so
+    # n_sources still counts every document's source exactly as the
+    # direct COUNT(DISTINCT source) over documents did; tf/df drop
+    # those rows (a real token is never NULL).
+    tok = scoped_persist(
+        docs.select(
+            "source",
+            F.explode_outer(tokens(F.lower(F.col("text")))).alias("word"),
+        )
     )
-    tf = tok.groupBy("source", "word").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("word").agg(F.countDistinct("source").alias("df"))
-    n = docs.agg(
+    words = tok.filter(F.col("word").isNotNull())
+    tf = words.groupBy("source", "word").agg(F.count("*").alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("source").alias("df"))
+    n = tok.agg(
         F.countDistinct("source").cast("double").alias("n_sources")
     )
     scored = (
@@ -1601,30 +1614,32 @@ def vocab_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from logicash_etl_spark.operators.caching import scoped_persist
 
-    # ref_top (50 rows) and counts (51 rows) each feed two consumers;
-    # unpersisted, Catalyst re-derived the WHOLE tokenize lineage per
-    # consumer — 12 executed documents scans (audited r9, zero
-    # runtime reuse). Persisting the two tiny frames collapses that
-    # to 3 scans / 2 tokenize passes WITHOUT materializing the
-    # corpus-sized token stream (persisting tok itself would cost
-    # corpus-scale memory to save one scan — the wrong trade).
+    # r13 restructure (was: ref_top + counts persisted, but the token
+    # stream still tokenized TWICE — once under ref_top, once under
+    # the term-mapping rollup; 4 executed documents scans). The whole
+    # query only ever needs per-(half, word) COUNTS, so aggregate the
+    # token stream ONCE into a vocab-sized frame and derive both the
+    # reference top-50 and the PSI rollup from it: one tokenize pass,
+    # and the persisted frame is |vocab| x 2 rows, not corpus-scale.
+    wc = scoped_persist(
+        tok.groupBy("half", "word").agg(F.count("*").cast("bigint").alias("n"))
+    )
     ref_top = scoped_persist(
-        tok.filter(F.col("half") == 0)
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
+        wc.filter(F.col("half") == 0)
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(50)
         .select("word")
     )
-    mapped = tok.join(
+    mapped = wc.join(
         F.broadcast(ref_top.withColumnRenamed("word", "__kept")),
-        tok.word == F.col("__kept"),
+        wc.word == F.col("__kept"),
         "left",
     ).select(
         "half",
         F.when(F.col("__kept").isNotNull(), F.col("word"))
         .otherwise(F.lit("__other"))
         .alias("term"),
+        "n",
     )
     terms = ref_top.select(F.col("word").alias("term")).unionByName(
         tok.sparkSession.createDataFrame([("__other",)], "term string")
@@ -1634,9 +1649,9 @@ def vocab_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joining the token stream on 51 keys would funnel the __other
     # majority through one reducer
     agg = mapped.groupBy("term").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(0))
         .cast("bigint").alias("__r"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0))
         .cast("bigint").alias("__c"),
     )
     counts = scoped_persist(

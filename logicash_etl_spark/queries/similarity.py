@@ -216,7 +216,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate union, re-rank — is SQL-expressed (_lsh_oracle_sql) and
     driver-hash-checked: a bucketing or probing regression now fails
     the row, not just the local recall property test."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # ONE embeddings scan (r13, the ivf/pq recipe): corpus signature
+    # keys, query signature keys, query vectors, and the candidate
+    # re-rank fetch all derive from this persisted 2-column frame —
+    # unpersisted, each consumer re-ran the parquet scan (4 scans,
+    # audited r10-r12).
+    emb = scoped_persist(
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     queries = emb.filter(F.col("vec_id") < 10)
     out = lsh_ann_topk(emb, queries, dim=64, planes=4, tables=8, k=5, multi_probe=2)
     return out
@@ -339,7 +348,14 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_extensions.py)."""
     from logicash_etl_spark.operators.similarity import kmeans_lite, semantic_dedup
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # ONE embeddings scan (r13, the ivf/pq recipe): the k-means
+    # trainer sample and the operator's assignment pass share this
+    # persisted 2-column frame (3 scans unpersisted, audited r10-r12).
+    emb = scoped_persist(
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     centroids = kmeans_lite(emb, k=8, iterations=2, train_sample=8192)
     marked = semantic_dedup(emb, centroids, threshold=0.4)
     per_cell = marked.groupBy("cell").agg(
@@ -617,14 +633,20 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2 x dim)-group map-side-combinable SUM — shuffle state is 128
     doubles per map task regardless of corpus size; the cosine is a
     dim-row fold on one row."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    # ONE embeddings scan (r13): the max-id probe, the component-sum
+    # explode, and the per-half counts all derive from this persisted
+    # 2-column frame — unpersisted, each consumer re-ran the parquet
+    # scan (4 scans, audited r10-r12).
+    emb = scoped_persist(
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     mx = emb.agg(F.max("vec_id").alias("m"))
     t = emb.crossJoin(F.broadcast(mx)).select(
         F.when(F.col("vec_id") * 2 <= F.col("m"), 0).otherwise(1).alias("half"),
         "embedding",
     )
-    from logicash_etl_spark.operators.caching import scoped_persist
-
     # comp (2 x dim rows) feeds both half-filters; unpersisted, the
     # embedding explode re-ran per consumer (6 executed scans —
     # audited r9).

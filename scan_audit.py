@@ -50,37 +50,31 @@ FACTS = (
 # manifest entry that no longer flags (a fix landed -> shrink the
 # manifest deliberately). Keys: query -> {fact: max allowed scans}.
 MANIFEST: dict[str, dict[str, int]] = {
-    # The r12 sweep landed the 18 queued fixes (13 fact rows + the 5
-    # dim-scan rows): persisted multi-consumer frames in
-    # pit_event_enrichment / scd2_dimension_report (shared customer
-    # projection + scd2_apply's joined frame), bpe_fertility_by_lang
-    # (tokenized + vocab), exact_substring_{cut_stats,dedup_apply}
-    # (shingle index in the operator + tokpos), hard_negative_mining
-    # (best frame), incremental_{agg,join}_maintenance (narrow fact
-    # projections), incremental_minhash_dedup (doc projection),
-    # kmv_partial_merge (distinct (prio,key,u) frame),
-    # pq_ann_topk / ivf_ann_topk (embeddings projection + approx),
-    # fuzzy_name_match / part_name_edit_pairs (keyed/base + vocab
-    # frames inside fuzzy_self_join / qgram_edit_join),
-    # brand_set_ops (distinct brand sets), calendar_gap_fill (month
-    # window), right_to_erasure_audit (req/po/fact projections),
-    # token_budget_sample (per-doc token counts).
+    # The r13 sweep landed the 7 FIXABLE + 2 PARTIAL rows the r12
+    # pre-adjudication queued (COVERAGE.md): persisted 2-col
+    # embeddings projections in ann_lsh_topk / semantic_dedup_stats /
+    # embedding_centroid_drift (the ivf/pq recipe; semantic_dedup
+    # additionally persists its assigned frame), shared persisted
+    # tokenized frames in tfidf_top_terms (explode_outer so the
+    # source count rides along) / unigram_surprisal_score /
+    # bigram_surprisal_score, the per-(half, word) count-table
+    # restructure in vocab_drift_psi (4 -> 2, tokenize 2x -> 1x),
+    # the persisted one-row midpoint in value_drift_psi (4 -> its
+    # sequential floor 3), and the persisted fingerprint frame in
+    # benchmark_contamination (3 -> 2).
     #
-    # What remains is adjudicated repeat-by-design or queued r13:
-    "ann_lsh_topk": {"embeddings": 4},
-    "benchmark_contamination": {"documents": 3},
-    "bigram_surprisal_score": {"documents": 4},
+    # What remains is adjudicated repeat-BY-DESIGN (judge-reviewed
+    # r12: the bloom pair compares pruned vs unpruned scans — the
+    # extra pass IS the measurement; conversion_funnel keeps one
+    # pushed-down filter per stage; referential_integrity_audit is
+    # per-FK-edge; knn_label_vote's third scan is the label join;
+    # value_drift_psi's 3 passes are sequentially dependent):
     "bloom_join_prune_stats": {"lineitem": 3},
     "bloom_pruned_revenue": {"lineitem": 3},
     "conversion_funnel": {"events": 3},
-    "embedding_centroid_drift": {"embeddings": 4},
     "knn_label_vote": {"embeddings": 3},
     "referential_integrity_audit": {"lineitem": 3},
-    "semantic_dedup_stats": {"embeddings": 3},
-    "tfidf_top_terms": {"documents": 3},
-    "unigram_surprisal_score": {"documents": 3},
-    "value_drift_psi": {"events": 4},
-    "vocab_drift_psi": {"documents": 4},
+    "value_drift_psi": {"events": 3},
 }
 
 

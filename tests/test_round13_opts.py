@@ -1,0 +1,208 @@
+"""Round-13 optimization pins: every rewrite that changed an
+operator's internals ships an equivalence test against the retired
+formulation (the optimization must be invisible in the results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_ams_numpy_partials_match_sql_case_ladder(spark):
+    """The mapInPandas bit-slice partial (_ams_sign_partials) must
+    reproduce the retired per-(key, j) explode + SQL-CASE counters
+    exactly — including the NULL-h row, which the CASE sent to the
+    ELSE branch (-1 on every counter)."""
+    from logicash_etl_spark.queries.mergeable import _ams_sign_partials
+
+    rows = [
+        (3, "0123456789abcdef" * 4),
+        (1, "fedcba9876543210" * 4),
+        (7, "a" * 64),
+        (2, "0" * 64),
+        (5, None),  # NULL key -> NULL md5 concat
+    ]
+    df = spark.createDataFrame(rows, "n bigint, h string")
+    ref = (
+        df.select(
+            F.explode(F.sequence(F.lit(0), F.lit(255))).alias("j"), "n", "h"
+        )
+        .select(
+            "j",
+            (
+                F.col("n")
+                * F.expr(
+                    "CASE WHEN ((instr('0123456789abcdef',"
+                    " substr(h, CAST(j div 4 AS INT) + 1, 1)) - 1)"
+                    " div (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2"
+                    " WHEN 2 THEN 4 ELSE 8 END)) % 2 = 0"
+                    " THEN 1 ELSE -1 END"
+                )
+            ).alias("sgn"),
+        )
+        .groupBy("j")
+        .agg(F.sum("sgn").cast("bigint").alias("c"))
+    )
+    got = (
+        df.select("n", "h")
+        .mapInPandas(_ams_sign_partials, "j int, c long")
+        .groupBy("j")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    ref_map = {r["j"]: r["c"] for r in ref.collect()}
+    got_map = {r["j"]: r["c"] for r in got.collect()}
+    assert got_map == ref_map
+    assert len(got_map) == 256
+
+
+def test_copurchase_array_expansion_matches_self_join(spark):
+    """The basket-local sorted-array pair expansion must produce
+    exactly the self-join's (a < b) pair multiset — including the
+    NULL-basket posture (an equi-join never matches NULL keys, so a
+    NULL basket contributes no pairs)."""
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 20), (2, 10),
+        (3, 40),
+        (None, 50), (None, 60),
+    ]
+    items = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+
+    a, b = items.alias("a"), items.alias("b")
+    ref = (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    got = (
+        items.filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_partkey")).alias("__ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ps, (x, i) ->"
+                    " transform(slice(__ps, i + 2, size(__ps)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("__p")
+        )
+        .select(F.col("__p.part_a"), F.col("__p.part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    to_map = lambda df: {  # noqa: E731
+        (r["part_a"], r["part_b"]): r["n_ab"] for r in df.collect()
+    }
+    assert to_map(got) == to_map(ref)
+    assert to_map(ref)  # non-degenerate fixture
+
+
+def test_mmr_driver_norm_is_bitwise_twin_of_jvm_fold(spark):
+    """mmr_select now computes literal-vector norms on the driver;
+    the Python fold must equal the JVM sequential fold bit for bit,
+    or the oracle's unrolled CTE argmax keys drift."""
+    import math
+
+    vecs = [
+        [0.1, 0.2, 0.3],
+        [1.5, -2.25, 3.125, 0.0625],
+        [1e-8, 1e8, -1e-8],
+        [0.0, 0.0],
+    ]
+
+    def pynorm(v):
+        s = 0.0
+        for x in v:
+            s += float(x) * float(x)
+        return math.sqrt(s)
+
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    jvm = [
+        r[0]
+        for r in df.select(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("v", "v", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+            )
+        ).collect()
+    ]
+    assert jvm == [pynorm(v) for v in vecs]
+
+
+def test_asof_join_rejects_all_reserved_names(spark):
+    """ADVICE r12: the reserved-name guard covered only a right __rt;
+    left or right columns named __r/__t/__is_left silently collided
+    with asof_join's internals. All four names must raise, on either
+    side."""
+    import pytest
+
+    from logicash_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 9)], "k bigint, ts string, __r bigint"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5)], "k bigint, rts string, v bigint"
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    with pytest.raises(ValueError, match="__r"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+    for bad in ("__t", "__is_left", "__rt"):
+        r2 = right.withColumnRenamed("v", bad)
+        with pytest.raises(ValueError, match=bad):
+            asof_join(
+                left.withColumnRenamed("__r", "ok"),
+                r2,
+                on="k",
+                left_ts="ts",
+                right_ts="rts",
+            )
+
+
+def test_vocab_drift_count_table_matches_token_stream_rollup(spark):
+    """vocab_drift_psi now rolls PSI counts up from the per-(half,
+    word) count table instead of re-tokenizing; grouped sums of the
+    count table must equal direct token-stream counts for any term
+    mapping."""
+    rows = [
+        (0, "a"), (0, "a"), (0, "b"), (0, "c"),
+        (1, "a"), (1, "c"), (1, "c"), (1, "d"),
+    ]
+    tok = spark.createDataFrame(rows, "half int, word string")
+    keep = {"a", "c"}
+    term = (
+        F.when(F.col("word").isin(*keep), F.col("word"))
+        .otherwise(F.lit("__other"))
+        .alias("term")
+    )
+    ref = (
+        tok.select("half", term)
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("r"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c"),
+        )
+    )
+    wc = tok.groupBy("half", "word").agg(F.count("*").alias("n"))
+    got = (
+        wc.select("half", term, "n")
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(0)).alias("r"),
+            F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0)).alias("c"),
+        )
+    )
+    as_map = lambda df: {r["term"]: (r["r"], r["c"]) for r in df.collect()}  # noqa: E731
+    assert as_map(got) == as_map(ref)
