@@ -72,10 +72,9 @@ _CHANGED_R13: list[str] = [
     "value_drift_psi",           # events 4 -> floor 3 (midpoint persist)
     "benchmark_contamination",   # documents 3 -> 2 (fingerprint persist)
     # -- plan-shape optimizations (results proven identical) ----------
-    "ams_f2_estimate",           # 256x explode -> mapInPandas bit-slice
+    "ams_f2_estimate",           # string CASE signs -> int bit ops
     "prefix_jaccard_dups",       # one df-count table, fused sizes/sets
     "mmr_diverse_exemplars",     # driver-computed literal norms
-    "copurchase_lift_top20",     # basket self-join -> local pair expand
     # -- ADVICE: oracle NULL-key posture pinned (results unchanged) ---
     "kmv_partial_merge",
 ]

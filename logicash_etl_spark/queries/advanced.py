@@ -873,36 +873,20 @@ def copurchase_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every SF), so the semi-join would cost a shuffle and prune zero
     # rows — measured strictly slower; enable it where min-support
     # actually bites.
-    #
-    # r13 (guide 2.4 — remove shuffles outright): the basket SELF-JOIN
-    # shuffled items twice (once per side) and the pair rollup a third
-    # time; grouping each basket into a sorted item array (ONE shuffle
-    # on the basket key) and expanding the i<j pairs ROW-LOCALLY
-    # reaches the pair rollup in two exchanges total. Fan-out is
-    # unchanged — C(basket, 2) rows per basket either way (the
-    # Vernica et al. SIGMOD'10 per-group expansion); items are
-    # distinct per basket so the sorted-array pairs are exactly the
-    # a.part < b.part join pairs.
-    # NULL basket keys never equi-join with themselves, so they must
-    # not form a pair group here either (hostile-corpus posture; the
-    # fixture's l_orderkey is NOT NULL)
-    baskets = (
-        items.filter(F.col("l_orderkey").isNotNull())
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_list("l_partkey")).alias("__ps"))
-    )
+    a = items.alias("a")
+    b = items.alias("b")
     pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(__ps, (x, i) ->"
-                    " transform(slice(__ps, i + 2, size(__ps)),"
-                    " y -> struct(x AS part_a, y AS part_b))))"
-                )
-            ).alias("__p")
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
         )
-        .select(F.col("__p.part_a"), F.col("__p.part_b"))
-        .groupBy("part_a", "part_b")
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
         .agg(F.count("*").cast("bigint").alias("n_ab"))
         .filter(F.col("n_ab") >= 3)
     )

@@ -769,40 +769,58 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ams_sign_partials(batches):
-    """Per-task AMS counter partial: bit-slice all 256 signs of each
-    (count n, 64-hex md5-concat h) row in numpy and fold them into one
-    256-long counter vector — the map-side-combine shape for the
-    explode-free sketch build (exact int64 arithmetic; order-free).
+def _ams_sign_counters(freq: DataFrame) -> DataFrame:
+    """The 256 AMS sign counters as (j int, c bigint) rows, built
+    from the distinct-key frame (columns ``n`` count, ``h`` 64-hex
+    md5 concat) with INTEGER bit arithmetic: the 64 hex chars parse
+    into 8 big-endian 32-bit words ONCE per key, then the 256-way
+    explode computes each sign as three int ops on a word (j div 32
+    picks the word; bit 4*(7 - (j div 4) mod 8) + j mod 4 picks the
+    sign bit). The groupBy(j) partial-aggregates map-side, so the
+    exchange carries at most 256 rows per partition at any scale.
 
     Sign convention (bitwise-identical to the retired per-(key, j)
     SQL CASE and to the DuckDB oracle): counter j reads bit ``j mod
     4`` of hex nibble ``j div 4``; bit 0 -> +1, bit 1 -> -1. A NULL
-    ``h`` (NULL key) falls to -1 on every counter, exactly like the
-    CASE's ELSE branch did.
-    """
-    import numpy as np
-    import pandas as pd
+    ``h`` (NULL key) makes every word NULL and the coalesce falls to
+    -1, exactly like the CASE's ELSE branch did. Empty input yields
+    zero rows, the retired posture.
 
-    acc = np.zeros(256, dtype=np.int64)
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        null_n = pdf.loc[pdf["h"].isna(), "n"].to_numpy(dtype=np.int64)
-        if len(null_n):
-            acc -= null_n.sum()
-            pdf = pdf[pdf["h"].notna()]
-            if not len(pdf):
-                continue
-        raw = np.frombuffer(
-            "".join(pdf["h"]).encode("ascii"), dtype=np.uint8
-        ).reshape(len(pdf), 64)
-        nib = np.where(raw >= 97, raw - 87, raw - 48).astype(np.int64)
-        # (rows, 64 nibbles, 4 bits) -> (rows, 256): j = 4*nibble + bit
-        bits = ((nib[:, :, None] >> np.arange(4)) & 1).reshape(len(pdf), 256)
-        sgn = 1 - 2 * bits
-        acc += (pdf["n"].to_numpy(dtype=np.int64)[:, None] * sgn).sum(axis=0)
-    yield pd.DataFrame({"j": np.arange(256, dtype=np.int32), "c": acc})
+    (Two rejected r13 shapes, both measured at sf0.1: a mapInPandas/
+    numpy partial ran 1.8x slower warm -- the Arrow round-trip of the
+    key frame costs more than it saves -- and a 257-column single
+    aggregate + stack() unpivot ran 4x slower because analyzing/
+    optimizing the 500+-expression plan dominates on the driver.)
+    """
+    words = freq.select(
+        "n",
+        F.array(
+            *[
+                F.conv(F.substring("h", 1 + 8 * w, 8), 16, 10).cast(
+                    "bigint"
+                )
+                for w in range(8)
+            ]
+        ).alias("ws"),
+    )
+    signs = words.select(
+        F.explode(F.sequence(F.lit(0), F.lit(255))).alias("j"), "n", "ws"
+    ).select(
+        "j",
+        (
+            F.col("n")
+            * F.coalesce(
+                F.lit(1)
+                - F.lit(2)
+                * F.expr(
+                    "shiftright(element_at(ws, CAST(j div 32 AS INT) + 1),"
+                    " CAST(4 * (7 - (j div 4) % 8) + j % 4 AS INT)) & 1"
+                ),
+                F.lit(-1),
+            )
+        ).alias("sgn"),
+    )
+    return signs.groupBy("j").agg(F.sum("sgn").cast("bigint").alias("c"))
 
 
 @query(
@@ -861,11 +879,13 @@ def ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mergeable like the CMS/KMV family: counters ADD across partitions
     and across lots — 256 BIGINTs of state at any data size.
     Scale: the CMS lesson — sketch state is keyed by VOCABULARY, not
-    occurrences: hashing and the 256x explode run over |distinct
-    keys| (per-row per-counter md5 measured 27.8 s at sf0.1;
-    key-frame bit-slicing ~1 s); one groupBy(j) of map-side-combined
-    partials, 256 groups; exact F2 reuses the same frequency
-    frame."""
+    occurrences: hashing runs over |distinct keys| (per-row
+    per-counter md5 measured 27.8 s at sf0.1); the per-(key, j) sign
+    is integer bit arithmetic on 8 once-parsed words (r13 — the
+    former string CASE ladder scaled 7.98x at 10x keys), the
+    groupBy(j) exchange carries <=256 map-side partials per
+    partition, and the persisted key frame feeds both the sketch and
+    exact F2 in one orders scan."""
     o = read_table(spark, sf_dir, "orders").select("o_custkey")
     # hash the DISTINCT-KEY frame, never per row: counter_j =
     # sum_key count_key * sign(key, j) is algebraically identical and
@@ -883,22 +903,21 @@ def ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # all 256 signs bit-sliced from TWO md5s per key (one bit per
     # counter): nibble j div 4 of the 64-hex concat, bit j mod 4.
-    # r13 (guide 4.2): the 256-way explode materialized |keys| x 256
-    # rows and evaluated the substr/CASE chain per (key, j) — linear
-    # in vocabulary with a 256x row constant, the measured sf1
-    # scaling worst (7.98x at 10x keys). The signs are data-parallel
-    # bit arithmetic, so a mapInPandas partial (_ams_sign_partials)
-    # slices all 256 bits per key in one numpy pass and emits ONE
-    # 256-counter vector per task: rows shuffled drop from
-    # |keys| x 256 to 256 per partition, and counters stay exact
-    # BIGINT sums (addition is commutative — partitioning cannot
-    # change the totals).
-    counters = (
-        freq.select("n", "h")
-        .mapInPandas(_ams_sign_partials, "j int, c long")
-        .groupBy("j")
-        .agg(F.sum("c").cast("bigint").alias("c"))
-    )
+    # r13 (guide 1.2/2.3): the sf1 scaling cost (7.98x at 10x keys)
+    # was the per-(key, j) STRING work — substr + instr + a CASE
+    # ladder evaluated |keys| x 256 times. _ams_sign_counters keeps
+    # the explode/groupBy shape (its partial aggregation already
+    # capped the exchange at 256 rows per partition) but parses the
+    # hex into 8 words once per key so each sign is three INT ops.
+    # freq persists: the counter pass and the exact-F2 pass are its
+    # two consumers (orders scans 2 -> 1), and the frame is
+    # |distinct keys| x (n, h) — vocabulary-sized, never row-sized.
+    # Counters stay exact BIGINT sums — addition is commutative,
+    # partitioning cannot change the totals.
+    from logicash_etl_spark.operators.caching import scoped_persist
+
+    freq = scoped_persist(freq)
+    counters = _ams_sign_counters(freq)
     grp = counters.groupBy(F.expr("j div 16").alias("g")).agg(
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq")
     )

@@ -149,22 +149,13 @@ def build_sf1(spark: SparkSession) -> None:
         fh.write("ok")
 
 
-def main() -> None:
-    n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
-        bench = json.load(fh)
-    slowest = sorted(
-        (q for q, t in bench["queries"].items() if t >= 0),
-        key=lambda q: bench["queries"][q],
-        reverse=True,
-    )[:n_queries]
+def run_one(name: str) -> dict:
+    """The 5-run steady-state ladder for ONE query, in THIS process
+    (invoked as a fresh subprocess per query — see main): warmup at
+    sf0.001, then second-run timings at sf0.1 and sf1."""
+    spark = get_spark(app_name=f"logicash-scaling-{name}")
 
-    spark = get_spark(app_name="logicash-scaling")
-    t0 = time.perf_counter()
-    build_sf1(spark)
-    build_sec = round(time.perf_counter() - t0, 1)
-
-    def run(name: str, sf_dir: str) -> float:
+    def run(spark: SparkSession, name: str, sf_dir: str) -> float:
         # cold drains every run: streaming checkpoints/sinks are
         # memoized per (query, sf) for incremental re-invocation, but
         # a scaling ratio must compare FULL drain work at both
@@ -187,28 +178,99 @@ def main() -> None:
         drop_drain_sinks(spark)
         return sec
 
+    # warmup at sf0.001: JIT/codegen/streaming-machinery spin-up
+    # otherwise lands entirely on the first timed run
+    run(spark, name, "/root/testdata/sf0.001")
+    # time the SECOND run at each scale: the first pays one-time
+    # per-(query, sf) costs — shared lot materialization (the
+    # sf1 dup-events lot alone is a 1.1M-row union+write) and
+    # plan-shape codegen — which billed to the ratio made the
+    # dedup drain read 6x when its steady state is ~2x. A scaling
+    # ratio should compare steady states at both volumes.
+    run(spark, name, BASE)
+    small = run(spark, name, BASE)
+    run(spark, name, BIG_DIR)
+    big = run(spark, name, BIG_DIR)
+    ratio = round(big / small, 2) if small > 0 and big > 0 else None
+    return {"sf0.1_sec": small, "sf1_sec": big, "ratio_10x_data": ratio}
+
+
+def main() -> None:
+    if sys.argv[1:2] == ["--one"]:
+        # subprocess mode: one query's ladder, result as a JSON line
+        print("##RESULT## " + json.dumps(run_one(sys.argv[2])))
+        return
+
+    n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
+        bench = json.load(fh)
+    slowest = sorted(
+        (q for q, t in bench["queries"].items() if t >= 0),
+        key=lambda q: bench["queries"][q],
+        reverse=True,
+    )[:n_queries]
+
+    spark = get_spark(app_name="logicash-scaling-build")
+    t0 = time.perf_counter()
+    build_sf1(spark)
+    build_sec = round(time.perf_counter() - t0, 1)
+    spark.stop()
+
+    # FRESH PROCESS per query (r13 measurement fix): one shared
+    # session accumulated state across the 20 x 5-run ladder —
+    # localCheckpoint RDD blocks survive clearCache(), and a 48 g
+    # single-JVM heap that has once ballooned keeps GC-throttling
+    # every later query. Measured: the same prefix_jaccard_dups sf1
+    # run took 27.7 s in a fresh session vs 1307 s late in a shared
+    # one (x128 artifact), and untouched queries showed 5-10x fake
+    # ratios purely by running later in the sequence. An in-process
+    # stop()+getOrCreate() cycle was tried first and broke Python
+    # worker bootstrap after ~20 cycles ("Python worker failed to
+    # connect back" on the streaming ladder) — a subprocess per query
+    # gives a genuinely fresh JVM + Python pair, order-insensitive by
+    # construction. The ladder inside one query (warmup + 2x small +
+    # 2x big) still shares its session, as the steady-state
+    # methodology requires.
+    import subprocess
+
     results: dict[str, dict] = {}
     for name in slowest:
-        # warmup at sf0.001: JIT/codegen/streaming-machinery spin-up
-        # otherwise lands entirely on the first timed run
-        run(name, "/root/testdata/sf0.001")
-        # time the SECOND run at each scale: the first pays one-time
-        # per-(query, sf) costs — shared lot materialization (the
-        # sf1 dup-events lot alone is a 1.1M-row union+write) and
-        # plan-shape codegen — which billed to the ratio made the
-        # dedup drain read 6x when its steady state is ~2x. A scaling
-        # ratio should compare steady states at both volumes.
-        run(name, BASE)
-        small = run(name, BASE)
-        run(name, BIG_DIR)
-        big = run(name, BIG_DIR)
-        ratio = round(big / small, 2) if small > 0 and big > 0 else None
-        results[name] = {"sf0.1_sec": small, "sf1_sec": big, "ratio_10x_data": ratio}
-        print(f"{name}: {small}s -> {big}s (x{ratio})")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            env=os.environ,
+        )
+        line = next(
+            (
+                ln[len("##RESULT## "):]
+                for ln in proc.stdout.splitlines()
+                if ln.startswith("##RESULT## ")
+            ),
+            None,
+        )
+        if line is None:
+            print(
+                f"# {name} subprocess failed rc={proc.returncode}: "
+                f"{proc.stderr[-300:]}",
+                file=sys.stderr,
+            )
+            results[name] = {
+                "sf0.1_sec": -1.0, "sf1_sec": -1.0, "ratio_10x_data": None,
+            }
+            continue
+        results[name] = json.loads(line)
+        r = results[name]
+        print(
+            f"{name}: {r['sf0.1_sec']}s -> {r['sf1_sec']}s "
+            f"(x{r['ratio_10x_data']})"
+        )
 
     out = {
         "method": "sf0.1 replicated 10x, FK-consistent key shifts, "
-        "token-tagged docs, rotated embeddings (scaling_check.py)",
+        "token-tagged docs, rotated embeddings; fresh process per "
+        "query, second-run steady state (scaling_check.py)",
         "build_sec": build_sec,
         "queries": results,
     }

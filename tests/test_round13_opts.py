@@ -8,12 +8,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def test_ams_numpy_partials_match_sql_case_ladder(spark):
-    """The mapInPandas bit-slice partial (_ams_sign_partials) must
-    reproduce the retired per-(key, j) explode + SQL-CASE counters
+def test_ams_jvm_bitslice_matches_sql_case_ladder(spark):
+    """The int-bit-op sign builder (_ams_sign_counters) must
+    reproduce the retired per-(key, j) substr/instr SQL-CASE counters
     exactly — including the NULL-h row, which the CASE sent to the
-    ELSE branch (-1 on every counter)."""
-    from logicash_etl_spark.queries.mergeable import _ams_sign_partials
+    ELSE branch (-1 on every counter) — and empty input must yield
+    zero counter rows, the retired explode + groupBy(j) posture."""
+    from logicash_etl_spark.queries.mergeable import _ams_sign_counters
 
     rows = [
         (3, "0123456789abcdef" * 4),
@@ -43,68 +44,13 @@ def test_ams_numpy_partials_match_sql_case_ladder(spark):
         .groupBy("j")
         .agg(F.sum("sgn").cast("bigint").alias("c"))
     )
-    got = (
-        df.select("n", "h")
-        .mapInPandas(_ams_sign_partials, "j int, c long")
-        .groupBy("j")
-        .agg(F.sum("c").cast("bigint").alias("c"))
-    )
+    got = _ams_sign_counters(df.select("n", "h"))
     ref_map = {r["j"]: r["c"] for r in ref.collect()}
     got_map = {r["j"]: r["c"] for r in got.collect()}
     assert got_map == ref_map
     assert len(got_map) == 256
-
-
-def test_copurchase_array_expansion_matches_self_join(spark):
-    """The basket-local sorted-array pair expansion must produce
-    exactly the self-join's (a < b) pair multiset — including the
-    NULL-basket posture (an equi-join never matches NULL keys, so a
-    NULL basket contributes no pairs)."""
-    rows = [
-        (1, 10), (1, 20), (1, 30),
-        (2, 20), (2, 10),
-        (3, 40),
-        (None, 50), (None, 60),
-    ]
-    items = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
-
-    a, b = items.alias("a"), items.alias("b")
-    ref = (
-        a.join(
-            b,
-            on=[
-                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
-                F.col("a.l_partkey") < F.col("b.l_partkey"),
-            ],
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("n_ab"))
-    )
-    got = (
-        items.filter(F.col("l_orderkey").isNotNull())
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_list("l_partkey")).alias("__ps"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(__ps, (x, i) ->"
-                    " transform(slice(__ps, i + 2, size(__ps)),"
-                    " y -> struct(x AS part_a, y AS part_b))))"
-                )
-            ).alias("__p")
-        )
-        .select(F.col("__p.part_a"), F.col("__p.part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_ab"))
-    )
-    to_map = lambda df: {  # noqa: E731
-        (r["part_a"], r["part_b"]): r["n_ab"] for r in df.collect()
-    }
-    assert to_map(got) == to_map(ref)
-    assert to_map(ref)  # non-degenerate fixture
+    empty = spark.createDataFrame([], "n bigint, h string")
+    assert _ams_sign_counters(empty).count() == 0
 
 
 def test_mmr_driver_norm_is_bitwise_twin_of_jvm_fold(spark):
