@@ -75,6 +75,7 @@ _CHANGED_R13: list[str] = [
     "ams_f2_estimate",           # string CASE signs -> int bit ops
     "prefix_jaccard_dups",       # one df-count table, fused sizes/sets
     "mmr_diverse_exemplars",     # driver-computed literal norms
+    "exact_substring_dedup_apply",  # row-local span filter, 1 scan
     # -- ADVICE: oracle NULL-key posture pinned (results unchanged) ---
     "kmv_partial_merge",
 ]

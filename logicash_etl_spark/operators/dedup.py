@@ -491,6 +491,7 @@ def repeated_substring_spans(
     id_col: str,
     text_col: str = "text",
     min_tokens: int = 8,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Maximal token spans every position of which lies inside SOME
     repeated ``>= min_tokens``-token substring — exactly the REMOVAL
@@ -541,9 +542,16 @@ def repeated_substring_spans(
     L = int(min_tokens)
     if L < 2:
         raise ValueError(f"min_tokens must be >= 2, got {L}")
-    toks = df.select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t")
-    )
+    # tokens_col lets a caller that ALSO needs the token arrays (the
+    # apply/stats pair) tokenize the corpus once and share the frame —
+    # the expression below must stay identical to the default path
+    # (tokens(lower(text))) or the shingle hashes diverge.
+    if tokens_col is not None:
+        toks = df.select(F.col(id_col), F.col(tokens_col).alias("__t"))
+    else:
+        toks = df.select(
+            F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t")
+        )
     # guard: sequence(1, 0) would DESCEND in Spark, fabricating
     # positions for short docs — emit an empty shingle array instead
     sh = toks.select(

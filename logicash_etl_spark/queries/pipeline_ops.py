@@ -1295,7 +1295,12 @@ def exact_substring_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     run reads before committing a destructive dedup pass: a cut_ratio
     spike on one source means templated boilerplate, not diversity.
     Same shingle-keyed shuffles as repeated_substring_spans; the
-    interval-merge windows are per-doc, bounded by spans-per-doc."""
+    interval-merge windows are per-doc, bounded by spans-per-doc.
+    (r13 probe note: persisting one shared tokenized-array frame for
+    the shingle pass + the n_tok totals was built and MEASURED at
+    sf0.1 — 1.02 -> 1.64 s warm; the columnar cache write of
+    corpus-sized string arrays costs more than the cheap second
+    scan + regex split it saves, so the two-scan shape stays.)"""
     from logicash_etl_spark.operators.dedup import (
         merge_spans_stats,
         repeated_substring_spans,
@@ -1380,15 +1385,21 @@ def exact_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ExactSubstr pass APPLIED, not just reported: rebuild each
     document with every repeated >= 8-token span removed — the
     destructive step a curation pipeline runs after
-    exact_substring_cut_stats signs off. Token positions inside any
-    span are dropped via a per-doc range join against the span list
-    (spans per doc are few — the range join's fan-out is bounded by
-    span count, never tokens x spans corpus-wide), and surviving
-    tokens re-assemble ORDER-SAFELY: array_sort over (pos, word)
-    structs then array_join — collect_list alone has no ordering
-    guarantee and would be nondeterministic under retries/speculation.
-    Docs whose every token is cut disappear (nothing left to train
-    on). The oracle rebuilds identical strings with an ordered
+    exact_substring_cut_stats signs off.
+
+    Shape (r13): decide with small rows, move the payload once. The
+    span list is the DECISION — tiny (one row per maximal duplicated
+    run) — so it folds to one array per doc and rides a single
+    doc_id join onto the persisted token arrays; surviving tokens are
+    kept by a row-local higher-order filter over (token, position),
+    which preserves document order natively. The r12 shape exploded
+    the corpus to one row per token and shuffled that stream three
+    times (span range-join, cut DISTINCT, keep anti-join) before a
+    collect_list + array_sort reassembly; every one of those token
+    exchanges and the per-doc sort is gone. The corpus is tokenized
+    ONCE (shared with the shingle pass via tokens_col) and scanned
+    once. Docs whose every token is cut disappear (nothing left to
+    train on). The oracle rebuilds identical strings with an ordered
     string_agg, so the driver hash pins the reconstruction
     byte-for-byte."""
     from logicash_etl_spark.operators.caching import scoped_persist
@@ -1396,43 +1407,41 @@ def exact_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logicash_etl_spark.operators.text import tokens as tok_fn
 
     docs = read_table(spark, sf_dir, "documents")
-    spans = repeated_substring_spans(
-        docs, id_col="doc_id", text_col="text", min_tokens=8
-    )
-    # tokpos feeds the cut range-join AND the keep anti-join —
-    # persisted so the corpus isn't re-tokenized per consumer
-    tokpos = scoped_persist(
+    # one tokenize pass feeds BOTH the shingle/span derivation and the
+    # rebuild join below (documents scans 2 -> 1, regex splits 2 -> 1)
+    toks = scoped_persist(
         docs.select(
-            "doc_id",
-            F.posexplode(tok_fn(F.lower(F.col("text")))).alias("pos0", "w"),
-        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
-    )
-    cut = (
-        tokpos.join(
-            spans,
-            on=[
-                tokpos["doc_id"] == spans["doc_id"],
-                tokpos["pos"].between(
-                    F.col("span_start"), F.col("span_end")
-                ),
-            ],
+            "doc_id", tok_fn(F.lower(F.col("text"))).alias("__t")
         )
-        .select(tokpos["doc_id"], tokpos["pos"])
-        .distinct()
     )
-    kept = tokpos.join(cut, on=["doc_id", "pos"], how="left_anti")
-    return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda x: x["w"],
+    spans = repeated_substring_spans(
+        toks, id_col="doc_id", min_tokens=8, tokens_col="__t"
+    )
+    # fold the spans to ONE small row per affected doc; docs without
+    # spans keep every token via the left join + empty-array default
+    span_arr = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    kept = toks.join(span_arr, on="doc_id", how="left").select(
+        "doc_id",
+        F.filter(
+            F.col("__t"),
+            lambda w, i: ~F.exists(
+                F.coalesce(
+                    F.col("__spans"),
+                    F.array().cast(
+                        "array<struct<span_start:bigint,span_end:bigint>>"
+                    ),
                 ),
-                " ",
-            ).alias("clean_text"),
-            F.count("*").cast("bigint").alias("n_tokens_kept"),
-        )
+                lambda s: (i + 1 >= s["span_start"])
+                & (i + 1 <= s["span_end"]),
+            ),
+        ).alias("__kept"),
+    )
+    return kept.filter(F.size("__kept") > 0).select(
+        "doc_id",
+        F.array_join("__kept", " ").alias("clean_text"),
+        F.size("__kept").cast("bigint").alias("n_tokens_kept"),
     )
 
 
