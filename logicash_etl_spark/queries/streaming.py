@@ -731,7 +731,10 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the whole multi-lot evolution is deterministic given the
     (lot, doc_id) arrival order, so plain SQL reproduces it with
     first-occurrence windows over the union of streamed lots."""
-    from logicash_etl_spark.sources.lot_datasource import register_lot_source
+    from logicash_etl_spark.sources.lot_datasource import (
+        lot_stream_quiet,
+        register_lot_source,
+    )
     from logicash_etl_spark.streaming.history import (
         incremental_dedup_batch_fn,
         write_history_base,
@@ -749,6 +752,35 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist_dir = f"{root}/hist"
     verdicts = f"{root}/verdicts"
     lots_root = f"{root}/lots"
+
+    def _verdicts_readback() -> DataFrame:
+        # epoch=N partition dirs append a discovered partition column —
+        # schema pinned to the verdict layout (history.py writes
+        # exactly these three), and the select drops the epoch
+        return (
+            spark.read.schema("doc_id long, source string, status string")
+            .parquet(verdicts)
+            .select("doc_id", "source", "status")
+        )
+
+    # Quiet-period fast path (the r13 verdict's bimodal-warm-runtime
+    # root cause): a warm re-invocation restarted the checkpointed
+    # stream just to plan one empty no-new-lots micro-batch, and for a
+    # PYTHON data source every stream start spawns a fresh driver-side
+    # runner process — measured 1.9-3.8 s of "Initializing sources"
+    # (interpreter + pyspark import) against a 1-2 ms idle trigger,
+    # the whole of the query's warm cost and all of its variance. The
+    # production ``_READY`` protocol is flag-TRIGGERED (EventBridge
+    # wakes the consumer when a flag lands); during a quiet period the
+    # consumer checks the listing against its committed offsets and
+    # goes back to sleep — it does not boot streaming machinery. The
+    # check mirrors the stream reader's own decision stamp for stamp,
+    # so ANY divergence (new lot, mutated or vanished consumed lot,
+    # uncommitted batch) falls through to the real stream, which
+    # drains or raises per contract.
+    if not drain["cold"] and lot_stream_quiet(f"{root}/ckpt", lots_root):
+        return _verdicts_readback()
+
     if drain["cold"]:
         # history generation 0: fingerprints of the pre-existing
         # corpus. fixture lots are kilobytes: size the tmp-store
@@ -798,15 +830,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     q.awaitTermination()
     _mark_drained(drain)
-
-    # epoch=N partition dirs append a discovered partition column —
-    # schema pinned to the verdict layout (history.py writes exactly
-    # these three), and the select drops the epoch
-    return (
-        spark.read.schema("doc_id long, source string, status string")
-        .parquet(verdicts)
-        .select("doc_id", "source", "status")
-    )
+    return _verdicts_readback()
 
 
 def _pin_admission_order(lot: str) -> None:

@@ -1,0 +1,118 @@
+"""Round-14 optimization equivalence pins.
+
+Each test pins an optimization that changed an operator's internals
+this round: the optimized path must decide/produce EXACTLY what the
+retired (or bypassed) path did.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from logicash_etl_spark.sources.lot_datasource import (
+    lot_stream_quiet,
+    register_lot_source,
+)
+
+
+def _drain(spark, root, ck, out):
+    q = (
+        spark.readStream.format("logicash_lot")
+        .schema("id long")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_lot_stream_quiet_mirrors_reader_decision(spark, tmp_path):
+    """The quiet-period detector must say True exactly when a stream
+    restart would plan one empty no-new-lots micro-batch, and False on
+    every divergence the real reader acts on (new lot, mutated stamp,
+    vanished consumed lot, uncommitted batch) — so the fast path can
+    never skip a drain or mask a contract violation."""
+    register_lot_source(spark)
+    root = str(tmp_path / "lots")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    spark.range(5).write.format("logicash_lot").mode("append").option(
+        "path", f"{root}/lot_a"
+    ).save()
+
+    # before any drain: no checkpoint logs -> not quiet
+    assert not lot_stream_quiet(ck, root)
+
+    _drain(spark, root, ck, out)
+    assert lot_stream_quiet(ck, root)
+
+    # a new READY lot is new data -> not quiet; the stream picks it up
+    # and the detector flips back to quiet afterwards
+    spark.range(5, 8).write.format("logicash_lot").mode("append").option(
+        "path", f"{root}/lot_b"
+    ).save()
+    assert not lot_stream_quiet(ck, root)
+    _drain(spark, root, ck, out)
+    assert lot_stream_quiet(ck, root)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(8))
+
+    # mutated consumed lot (stamp changed) -> not quiet (stream raises)
+    flag = f"{root}/lot_a/_READY"
+    stamp = open(flag).read()
+    with open(flag, "w") as fh:
+        fh.write("rows=999 gen=deadbeef")
+    assert not lot_stream_quiet(ck, root)
+    with open(flag, "w") as fh:
+        fh.write(stamp)
+    # restoring bytes does NOT restore the stamp: mtime_ns moved
+    assert not lot_stream_quiet(ck, root)
+
+    # vanished consumed lot -> not quiet (stream raises)
+    saved = str(tmp_path / "saved_lot_b")
+    shutil.move(f"{root}/lot_b", saved)
+    assert not lot_stream_quiet(ck, root)
+    shutil.move(saved, f"{root}/lot_b")
+
+    # uncommitted latest batch (crash between offset write and commit)
+    # -> not quiet (the restart must replay the batch)
+    commits = sorted(
+        f for f in os.listdir(f"{ck}/commits") if f.lstrip("-").isdigit()
+    )
+    latest = f"{ck}/commits/{commits[-1]}"
+    saved_commit = str(tmp_path / "saved_commit")
+    shutil.move(latest, saved_commit)
+    assert not lot_stream_quiet(ck, root)
+    shutil.move(saved_commit, latest)
+
+
+def test_streaming_incremental_dedup_warm_fastpath_identical(spark, sf_smoke):
+    """The warm quiet-period fast path (sink readback without a stream
+    restart) must return byte-identical verdicts to the cold drain —
+    and a second warm call must stay identical too (the memoized drain
+    state is not consumed by the fast path)."""
+    from logicash_etl_spark.queries import QUERIES
+    from logicash_etl_spark.queries import streaming as _sq
+
+    # fresh drain state for this test regardless of what ran before
+    _sq._DRAIN_MEMO.pop(("incremental_dedup", os.path.abspath(sf_smoke)), None)
+    cold = sorted(
+        map(tuple, QUERIES["streaming_incremental_dedup"](spark, sf_smoke).collect())
+    )
+    state = _sq._drain_state("incremental_dedup", sf_smoke, "lq_inc_stream_")
+    assert state["cold"] is False  # second _drain_state call is warm
+    assert lot_stream_quiet(f"{state['root']}/ckpt", f"{state['root']}/lots")
+    warm1 = sorted(
+        map(tuple, QUERIES["streaming_incremental_dedup"](spark, sf_smoke).collect())
+    )
+    warm2 = sorted(
+        map(tuple, QUERIES["streaming_incremental_dedup"](spark, sf_smoke).collect())
+    )
+    assert warm1 == cold
+    assert warm2 == cold
