@@ -68,6 +68,8 @@ _CHANGED_R14: list[str] = [
     #   re-invocation skips the stream restart (a fresh Python runner
     #   process per start) when the committed offset map already
     #   covers the READY listing stamp for stamp
+    "copurchase_lift_top20",  # freq persisted: the per-part groupBy
+    #   ran once per broadcast side (exchanges 6 -> 5)
 ]
 
 # Round-agnostic alias: tests and tooling reference this name so the

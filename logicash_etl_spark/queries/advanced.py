@@ -858,8 +858,14 @@ def copurchase_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    freq = items.groupBy("l_partkey").agg(
-        F.count("*").cast("bigint").alias("n")
+    # freq feeds BOTH broadcast sides (fa and fb) — unpersisted, the
+    # per-part groupBy ran twice (plan-verified: two independent
+    # HashAggregate+Exchange subtrees over the items cache). The frame
+    # is O(|parts|) rows — catalog-sized, cheap to hold.
+    freq = scoped_persist(
+        items.groupBy("l_partkey").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
     )
     tot = items.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
