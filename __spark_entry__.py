@@ -70,6 +70,9 @@ _CHANGED_R14: list[str] = [
     #   covers the READY listing stamp for stamp
     "copurchase_lift_top20",  # freq persisted: the per-part groupBy
     #   ran once per broadcast side (exchanges 6 -> 5)
+    "session_peak_concurrency",  # grouped_prefix_peak: per-day max of
+    #   the running sum without materializing the prefix series
+    #   (exchanges 8 -> 5, joins 3 -> 1)
 ]
 
 # Round-agnostic alias: tests and tooling reference this name so the

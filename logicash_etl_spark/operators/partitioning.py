@@ -234,6 +234,108 @@ def grouped_prefix_sum(
     )
 
 
+def grouped_prefix_peak(
+    df: DataFrame,
+    group_col: str,
+    bucket_key: str,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "peak",
+    buckets: int = 32,
+) -> DataFrame:
+    """Per-group MAX of the inclusive running sum of ``value_col`` —
+    one row per group — without materializing the prefix series.
+
+    Algebraically identical to
+    ``grouped_prefix_sum(..., inclusive=True)`` followed by
+    ``groupBy(group).agg(max(out_col))`` (pinned in
+    tests/test_round14_opts.py), but where the general operator must
+    ATTACH the bucket offset to every row (a rows-sized join) and the
+    caller then aggregates the rows-sized prefix series back down,
+    the peak decomposes per bucket:
+
+        peak(group) = max over buckets of
+            (running sum of PRIOR buckets' totals
+             + max inclusive local prefix within the bucket)
+
+    so after the one (group, bucket) window pass the reduction is a
+    map-side aggregate in the window's OWN partitioning (no second
+    exchange over the rows), and everything downstream is
+    O(groups x buckets) rows. Two rows-sized passes of the general
+    form — the offset join and the final groupBy — disappear.
+
+    Same contract as ``grouped_prefix_sum``: numeric non-null
+    ``bucket_key`` monotone w.r.t. ``order_cols``; deterministic
+    arithmetic bucket split; groups with no rows are absent."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    sum_type = df.select(F.sum(value_col)).schema[0].dataType
+    if isinstance(sum_type, T.NullType):
+        sum_type = T.LongType()
+    rng = df.groupBy(group_col).agg(
+        F.min(bucket_key).cast("double").alias("__gpp_lo"),
+        F.max(bucket_key).cast("double").alias("__gpp_hi"),
+    )
+    key = (
+        F.when(
+            F.col(bucket_key).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"grouped_prefix_peak: bucket_key {bucket_key!r} must "
+                    "be non-null (filter or fill before the scan)"
+                )
+            ).cast("double"),
+        )
+        .otherwise(F.col(bucket_key).cast("double"))
+    )
+    span = F.greatest(
+        (F.col("__gpp_hi") - F.col("__gpp_lo")) / buckets, F.lit(1e-9)
+    )
+    bucketed = df.join(rng, on=group_col).withColumn(
+        "__gpp_b",
+        F.least(
+            F.lit(buckets - 1),
+            F.floor((key - F.col("__gpp_lo")) / span),
+        ).cast("int"),
+    ).drop("__gpp_lo", "__gpp_hi")
+    w_local = (
+        Window.partitionBy(group_col, "__gpp_b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # coalesce matches grouped_prefix_sum's local term exactly: an
+    # all-NULL-value bucket contributes its offset (local 0), not NULL
+    local = bucketed.withColumn(
+        "__gpp_local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    )
+    # max local prefix AND bucket total in ONE aggregate, in the
+    # window's own (group, bucket) hash partitioning — no exchange
+    per_bucket = local.groupBy(group_col, "__gpp_b").agg(
+        F.max("__gpp_local").alias("__gpp_mx"),
+        F.sum(value_col).alias("__gpp_t"),
+    )
+    # exclusive running total of PRIOR buckets: <= buckets rows per
+    # group, trivially bounded
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__gpp_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_bucket.withColumn(
+            "__gpp_off", F.coalesce(F.sum("__gpp_t").over(w_off), F.lit(0))
+        )
+        .groupBy(group_col)
+        .agg(
+            F.max(F.col("__gpp_mx") + F.col("__gpp_off"))
+            .cast(sum_type)
+            .alias(out_col)
+        )
+    )
+
+
 def grouped_bottom_k(
     df: DataFrame,
     group_col: str,

@@ -568,7 +568,7 @@ def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the sessionize pipeline upstream is evaluated once. Daily
     peak = max running value (concurrency is constant between
     boundaries, so boundary maxima are exact)."""
-    from logicash_etl_spark.operators.partitioning import grouped_prefix_sum
+    from logicash_etl_spark.operators.partitioning import grouped_prefix_peak
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
     s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
@@ -606,19 +606,23 @@ def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # microsecond epoch order key: unique per (day, ts) after the
-    # rollup, non-null — the grouped scan's determinism contract
+    # rollup, non-null — the grouped scan's determinism contract.
+    # r14: the query only needs the per-day MAX of the running sum,
+    # so the specialized grouped_prefix_peak replaces
+    # grouped_prefix_sum + groupBy(max) — the rows-sized offset join
+    # and the rows-sized final aggregation both disappear (the
+    # per-bucket max/total reduce in the window's own partitioning;
+    # equivalence pinned in tests/test_round14_opts.py)
     keyed = net.withColumn("__ord", F.unix_micros("ts"))
-    run = grouped_prefix_sum(
+    return grouped_prefix_peak(
         keyed,
         group_col="day",
         bucket_key="__ord",
         order_cols=[F.col("__ord").asc()],
         value_col="net",
-        out_col="__conc",
-        inclusive=True,
-    )
-    return run.groupBy("day").agg(
-        F.max("__conc").cast("bigint").alias("peak_concurrent")
+        out_col="__peak",
+    ).select(
+        "day", F.col("__peak").cast("bigint").alias("peak_concurrent")
     )
 
 
