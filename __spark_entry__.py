@@ -73,6 +73,10 @@ _CHANGED_R14: list[str] = [
     "session_peak_concurrency",  # grouped_prefix_peak: per-day max of
     #   the running sum without materializing the prefix series
     #   (exchanges 8 -> 5, joins 3 -> 1)
+    "kmv_set_overlap",  # one-scan membership-flag frame: sets a/b and
+    #   the exact intersection from a single groupBy(l_orderkey)
+    #   (scans 2 -> 1, exchanges 13 -> 10, the a-join-b exchange pair
+    #   retired)
 ]
 
 # Round-agnostic alias: tests and tooling reference this name so the

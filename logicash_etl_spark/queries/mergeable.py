@@ -429,19 +429,26 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a/b each feed three consumers (sketch build, exact count, exact
     # intersection) and the k-row sketches feed three more — without
     # persists the lineitem fact was scanned TWELVE times (audited
-    # r9, executed plan, zero runtime reuse). Persist the two distinct
-    # key sets (one scan + one distinct each) and the two 256-row
-    # sketches; lineitem is now read exactly twice (once per filter).
-    a = scoped_persist(
-        li.filter(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("v"))
-        .distinct()
+    # r9, executed plan, zero runtime reuse). r9 persisted the two
+    # distinct key sets (one scan + one distinct each, lineitem read
+    # twice). r14: ONE lineitem scan — rows matching EITHER filter
+    # feed a single groupBy(l_orderkey) that tags each surviving
+    # order with (in_a, in_b) membership flags. Sets a and b fall out
+    # as filters of this persisted orders-sized frame, and the exact
+    # intersection becomes a flag conjunction instead of an a-join-b
+    # exchange pair. The one shuffle carries |a ∪ b| keys + 2 bools —
+    # FEWER key instances than the two distincts moved separately
+    # (keys in both sets shipped twice before).
+    pa = F.col("l_returnflag") == "R"
+    pb = F.col("l_quantity") >= 40
+    base = scoped_persist(
+        li.filter(pa | pb)
+        .select(F.col("l_orderkey").alias("v"), pa.alias("pa"), pb.alias("pb"))
+        .groupBy("v")
+        .agg(F.max("pa").alias("in_a"), F.max("pb").alias("in_b"))
     )
-    b = scoped_persist(
-        li.filter(F.col("l_quantity") >= 40)
-        .select(F.col("l_orderkey").alias("v"))
-        .distinct()
-    )
+    a = base.filter(F.col("in_a")).select("v")
+    b = base.filter(F.col("in_b")).select("v")
     ka = scoped_persist(kmv_sketch(a, "v", K))
     kb = scoped_persist(kmv_sketch(b, "v", K))
     ku = ka.unionByName(kb).distinct().orderBy("u").limit(K)
@@ -460,12 +467,28 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("theta"))
         .agg(F.count("*").alias("ninter"))
     )
-    exacts = (
-        a.agg(F.count("*").alias("exact_a"))
-        .crossJoin(F.broadcast(b.agg(F.count("*").alias("exact_b"))))
-        .crossJoin(
-            F.broadcast(a.join(b, "v").agg(F.count("*").alias("exact_inter")))
+    # exact counts in ONE pass over the persisted flag frame; the
+    # v-NOT-NULL guard on the conjunction mirrors the retired
+    # a.join(b, "v"), where a NULL key never matches (count(in_a)
+    # and count(in_b) DO include a NULL-key group, exactly as the
+    # old per-set count(*) did).
+    exacts = base.agg(
+        F.coalesce(F.sum(F.col("in_a").cast("long")), F.lit(0))
+        .cast("bigint")
+        .alias("exact_a"),
+        F.coalesce(F.sum(F.col("in_b").cast("long")), F.lit(0))
+        .cast("bigint")
+        .alias("exact_b"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("in_a") & F.col("in_b") & F.col("v").isNotNull()
+                ).cast("long")
+            ),
+            F.lit(0),
         )
+        .cast("bigint")
+        .alias("exact_inter"),
     )
     est = (
         scalars.crossJoin(F.broadcast(su))

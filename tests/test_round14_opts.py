@@ -163,3 +163,83 @@ def test_streaming_incremental_dedup_warm_fastpath_identical(spark, sf_smoke):
     )
     assert warm1 == cold
     assert warm2 == cold
+
+
+def test_kmv_membership_flags_match_filter_distinct_join(spark):
+    """kmv_set_overlap's one-scan membership-flag frame must decide
+    set a, set b, and the three exact counts exactly as the retired
+    two-scan filter+distinct shape and its a-join-b intersection —
+    including NULL order keys (never join-matched, but counted in the
+    per-set counts, as count(*) over a DISTINCT set counts its NULL
+    row), orders whose lines match both / one / neither filter, and
+    an input matching nothing (sum-over-empty must still report 0)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "R", 10.0),  # order 1: set a via this line ...
+        (1, "N", 45.0),  # ... set b via this one -> in the intersection
+        (2, "R", 50.0),  # both sets via a single line
+        (3, "N", 41.0),  # b only
+        (4, "R", 5.0),   # a only
+        (5, "N", 1.0),   # neither
+        (None, "R", 99.0),  # NULL key lands in both sets' counts ...
+        (None, "N", 44.0),  # ... but never in the join intersection
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_returnflag string, l_quantity double"
+    )
+    pa = F.col("l_returnflag") == "R"
+    pb = F.col("l_quantity") >= 40
+
+    def old_shape(src):
+        a = src.filter(pa).select(F.col("l_orderkey").alias("v")).distinct()
+        b = src.filter(pb).select(F.col("l_orderkey").alias("v")).distinct()
+        return (
+            {r.v for r in a.collect()},
+            {r.v for r in b.collect()},
+            a.count(),
+            b.count(),
+            a.join(b, "v").count(),
+        )
+
+    def new_shape(src):
+        base = (
+            src.filter(pa | pb)
+            .select(
+                F.col("l_orderkey").alias("v"), pa.alias("pa"), pb.alias("pb")
+            )
+            .groupBy("v")
+            .agg(F.max("pa").alias("in_a"), F.max("pb").alias("in_b"))
+        )
+        ex = base.agg(
+            F.coalesce(F.sum(F.col("in_a").cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias("exact_a"),
+            F.coalesce(F.sum(F.col("in_b").cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias("exact_b"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("in_a") & F.col("in_b") & F.col("v").isNotNull()
+                    ).cast("long")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("exact_inter"),
+        ).collect()[0]
+        return (
+            {r.v for r in base.filter(F.col("in_a")).select("v").collect()},
+            {r.v for r in base.filter(F.col("in_b")).select("v").collect()},
+            ex.exact_a,
+            ex.exact_b,
+            ex.exact_inter,
+        )
+
+    assert new_shape(li) == old_shape(li)
+    assert old_shape(li)[4] == 2  # the fixture exercises a real overlap
+
+    empty_match = li.filter(F.col("l_quantity") < 0)
+    assert new_shape(empty_match) == old_shape(empty_match)
+    assert new_shape(empty_match)[2:] == (0, 0, 0)
