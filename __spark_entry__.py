@@ -77,6 +77,15 @@ _CHANGED_R14: list[str] = [
     #   the exact intersection from a single groupBy(l_orderkey)
     #   (scans 2 -> 1, exchanges 13 -> 10, the a-join-b exchange pair
     #   retired)
+    "pq_ann_topk",  # pq_encode: literal-codebook expression fold ->
+    #   numpy mapInArrow argmin with the fold's exact IEEE
+    #   accumulation order (codes bit-identical; encode pass 2.4x)
+    "curation_funnel_report",  # stage-1 ingest row rides the quality
+    #   pass (scans 3 -> 2); kept-text-only persist preserves the
+    #   memory posture
+    "padding_waste_report",  # persist the 16-byte (doc_id, n_tok)
+    #   proxy: both batching strategies re-ran the corpus tokenize
+    #   (scans 2 -> 1)
 ]
 
 # Round-agnostic alias: tests and tooling reference this name so the

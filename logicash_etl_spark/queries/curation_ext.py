@@ -910,19 +910,26 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logicash_etl_spark.operators.text import (
         quality_features,
         quality_flag,
-        token_count,
     )
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # single consumer (the ingest stage row): no persist — caching a
-    # corpus-sized text payload for one aggregate pass evicts caches
-    # that do have multiple readers (q / e / nd below)
-    feat = docs.select(token_count("text").cast("bigint").alias("n_tokens"))
-    q = scoped_persist(
-        quality_flag(quality_features(docs))
-        .filter(F.col("quality_keep"))
-        .select("doc_id", "text", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+    # r14: ONE tokenize pass for stages 1 AND 2 — the old shape ran a
+    # separate `feat` scan computing token_count over the whole corpus
+    # just for the ingest row, then quality_features tokenized the
+    # corpus AGAIN for the gate. The persisted frame keeps text bytes
+    # ONLY for gate survivors (NULLed otherwise), so the cache holds
+    # exactly what the old post-filter persist held plus a narrow
+    # (doc_id, n_tokens, flag) row per dropped doc — dropped docs'
+    # text is never cached, preserving the old memory posture.
+    qa = scoped_persist(
+        quality_flag(quality_features(docs)).select(
+            "doc_id",
+            F.when(F.col("quality_keep"), F.col("text")).alias("text"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "quality_keep",
+        )
     )
+    q = qa.filter(F.col("quality_keep")).select("doc_id", "text", "n_tokens")
     e = scoped_persist(exact_dedup(q, "doc_id", "text"))
     # near-dup evidence comes from the corpus-wide exact-Jaccard pair
     # lot (shared + materialized once per process — the same evidence
@@ -963,7 +970,7 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        stage(1, "ingest", feat)
+        stage(1, "ingest", qa)
         .unionByName(stage(2, "quality_gate", q))
         .unionByName(stage(3, "exact_dedup", e))
         .unionByName(stage(4, "near_dup", nd))
@@ -1176,17 +1183,26 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logicash_etl_spark.operators.partitioning import global_prefix_sum
     from logicash_etl_spark.operators.text import token_count
 
+    from logicash_etl_spark.operators.caching import scoped_persist
+
     batch_size = 32
     # NULL-text posture (r12 [contract] decision): COUNTS 0 — a NULL
     # document occupies a batch slot with zero real tokens, exactly
     # like an empty one (oracle COALESCEs identically); it also keeps
     # the composite sort key non-null for global_prefix_sum's
     # non-null order-key contract.
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(F.col("text").isNull(), F.lit(0))
-        .otherwise(token_count(F.col("text")))
-        .alias("n_tok"),
+    # r14: persisted — BOTH batching strategies read this frame, and
+    # unpersisted each re-ran the corpus scan + tokenize. The persist
+    # is the 16-byte (doc_id, n_tok) length proxy, never the text:
+    # tokenize once, batch-pack from metadata (guide §2.3's
+    # keys-not-payloads rule).
+    docs = scoped_persist(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(F.col("text").isNull(), F.lit(0))
+            .otherwise(token_count(F.col("text")))
+            .alias("n_tok"),
+        )
     )
 
     def strategy(name: str, key: F.Column) -> DataFrame:
